@@ -1,0 +1,457 @@
+"""Deterministic synthetic `pages` table generator (FIXTURES.md).
+
+Input contract per BASELINE.json input_hint: one row per document,
+columns (url string, warc_ts timestamp, html binary, text string,
+lang string). Document kinds are encoded in the PAYLOAD BYTES (detection
+must sniff, never trust the url): article / table_page / invoice_page /
+receipt_page / math_page / docx_doc / pdf_doc / broken, with the shares
+and contents specified in FIXTURES.md §1.
+
+Fully deterministic and ORDER-INDEPENDENT: every row derives from
+``random.Random(f"{seed}:{i}")``, so the same (seed, i) yields the same
+bytes whether generated driver-side (tests) or inside a distributed
+stage (bench at 200k+ rows). No wall-clock anywhere: warc_ts = fixed
+base + i seconds.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import io
+import random
+import re
+import zipfile
+
+BASE_TS = _dt.datetime(2025, 8, 29, 0, 0, 0)
+SEED = 42
+
+WORDS = (
+    "data spark table query scan filter join merge sort group window "
+    "batch stream column row value key hash range bucket shuffle stage "
+    "task page text block layout extract parse render schema field "
+    "record document content article section heading paragraph anchor "
+    "metric lineage manifest commit resume partition skew salt broadcast"
+).split()
+
+DOMAINS = tuple(
+    ["hot-portal.example.com", "mega-news.example.org"] +
+    [f"site-{i:02d}.example.net" for i in range(48)])
+
+KINDS = (
+    ("article", 0.55), ("table_page", 0.15), ("invoice_page", 0.10),
+    ("receipt_page", 0.05), ("math_page", 0.05), ("docx_doc", 0.04),
+    ("pdf_doc", 0.04), ("broken", 0.02),
+)
+_CUM = []
+_acc = 0.0
+for _k, _s in KINDS:
+    _acc += _s
+    _CUM.append((_acc, _k))
+
+HEADER_KEYWORDS = ("name", "date", "description", "id", "type", "status")
+MATH_CHARS = ("α", "∞", "∑", "≤", "π", "√", "≥", "×")
+
+
+def _words(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def _slug(rng: random.Random) -> str:
+    return "-".join(rng.choice(WORDS) for _ in range(3))
+
+
+def kind_of(rng_val: float) -> str:
+    for cum, kind in _CUM:
+        if rng_val < cum:
+            return kind
+    return KINDS[-1][0]
+
+
+def _domain(rng: random.Random) -> str:
+    r = rng.random()
+    if r < 0.20:
+        return DOMAINS[0]
+    if r < 0.40:
+        return DOMAINS[1]
+    return DOMAINS[2 + rng.randrange(48)]
+
+
+# ---------------------------------------------------------------------------
+# HTML builders
+# ---------------------------------------------------------------------------
+
+def _nav_block(rng: random.Random) -> str:
+    n = rng.randint(10, 30)
+    links = "".join(
+        f'<li><a href="/{_slug(rng)}">{rng.choice(WORDS)}</a></li>'
+        for _ in range(n))
+    return f'<nav class="menu"><ul>{links}</ul></nav>'
+
+
+def _chrome(rng: random.Random) -> tuple[str, str, str]:
+    header = (f'<header id="banner"><a href="/">{rng.choice(WORDS)}</a>'
+              f'<span>{_words(rng, 3)}</span></header>')
+    sidebar_links = "".join(
+        f'<li><a href="/{_slug(rng)}">{_words(rng, 2)}</a></li>'
+        for _ in range(rng.randint(5, 12)))
+    sidebar = f'<div class="sidebar"><ul>{sidebar_links}</ul></div>'
+    footer = (f'<footer><p><a href="/about">about</a> | '
+              f'<a href="/contact">contact</a> © {rng.choice(WORDS)}'
+              f'</p></footer>')
+    return header, sidebar, footer
+
+
+def _page(rng: random.Random, title: str, body_core: str) -> bytes:
+    header, sidebar, footer = _chrome(rng)
+    script = f'<script>var x = "{rng.choice(WORDS)}";</script>'
+    style = f'<style>.c{rng.randint(0, 99)} {{color: red;}}</style>'
+    html = (
+        "<!DOCTYPE html><html><head>"
+        f"<title>{title}</title>{style}</head><body>"
+        f"{header}{_nav_block(rng)}"
+        f'<div class="content"><h1>{title}</h1>{body_core}</div>'
+        f"{sidebar}{script}{footer}</body></html>")
+    return html.encode("utf-8")
+
+
+def _article(rng: random.Random) -> bytes:
+    title = _words(rng, rng.randint(3, 6)).title()
+    paras = []
+    n_paras = rng.randint(3, 12)
+    js_at = rng.randrange(n_paras)
+    auto_at = rng.randrange(n_paras)
+    for j in range(n_paras):
+        body = _words(rng, rng.randint(30, 80))
+        if j == js_at:
+            body += (f' <a href="javascript:void(0)">{rng.choice(WORDS)}'
+                     "</a>")
+        if j == auto_at:
+            url = f"https://{_domain(rng)}/{_slug(rng)}"
+            body += f' <a href="{url}">{url}</a>'
+        paras.append(f"<p>{body}</p>")
+    return _page(rng, title, "".join(paras))
+
+
+def _table_page(rng: random.Random) -> bytes:
+    title = _words(rng, 3).title()
+    tables = []
+    for _ in range(rng.randint(1, 3)):
+        n_cols = rng.randint(3, 8)
+        n_rows = rng.randint(2, 20)
+        headers = [rng.choice(HEADER_KEYWORDS) + f"_{c}"
+                   for c in range(n_cols)]
+        head = "<tr>" + "".join(f"<th>{h}</th>" for h in headers) + "</tr>"
+        rows = []
+        pipe_r, pipe_c = rng.randrange(n_rows), rng.randrange(n_cols)
+        for r in range(n_rows):
+            cells = []
+            for c in range(n_cols):
+                choice = rng.random()
+                if choice < 0.3:
+                    val = str(rng.randint(0, 9999))
+                elif choice < 0.4:
+                    val = ""
+                else:
+                    val = _words(rng, rng.randint(1, 3))
+                if r == pipe_r and c == pipe_c:
+                    val = f"a|b\nc {val}"
+                cells.append(f"<td>{val}</td>")
+            rows.append("<tr>" + "".join(cells) + "</tr>")
+        tables.append(f"<table>{head}{''.join(rows)}</table>")
+    filler = f"<p>{_words(rng, 40)}</p>"
+    return _page(rng, title, filler + "".join(tables))
+
+
+def _money(rng: random.Random, lo: float, hi: float) -> float:
+    return round(rng.uniform(lo, hi), 2)
+
+
+def _invoice_page(rng: random.Random) -> bytes:
+    inv_no = f"INV-{rng.randint(0, 999999):06d}"
+    date = (f"2025-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}")
+    seller = _words(rng, 2).title() + " GmbH"
+    buyer = _words(rng, 2).title() + " SARL"
+    currency = rng.choice(("EUR", "USD", "GBP"))
+    items = []
+    total_c = 0
+    for _ in range(rng.randint(2, 8)):
+        qty = rng.randint(1, 9)
+        unit_c = rng.randint(100, 99999)  # cents: exact 2-dec fixed point
+        line_c = qty * unit_c
+        total_c += line_c
+        items.append((f"{_words(rng, 2)}", qty, unit_c / 100.0,
+                      line_c / 100.0))
+    rows = "".join(
+        f"<tr><td>{d}</td><td>{q}</td><td>{u:.2f}</td><td>{t:.2f}</td>"
+        "</tr>" for d, q, u, t in items)
+    body = (
+        f"<p>Invoice Number: {inv_no}</p>"
+        f"<p>Invoice Date: {date}</p>"
+        f"<p>Currency: {currency}</p>"
+        f"<p>Seller: {seller}</p>"
+        f"<p>Buyer: {buyer}</p>"
+        '<table class="line-items">'
+        "<tr><th>Description</th><th>Quantity</th><th>Unit Price</th>"
+        f"<th>Line Total</th></tr>{rows}</table>"
+        f"<p>Total: {total_c / 100.0:.2f} {currency}</p>")
+    return _page(rng, f"Invoice {inv_no}", body)
+
+
+def _receipt_page(rng: random.Random) -> bytes:
+    merchant = _words(rng, 2).title() + " Store"
+    date = (f"2025-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}")
+    items = []
+    total_c = 0
+    for _ in range(rng.randint(1, 6)):
+        qty = rng.randint(1, 5)
+        price_c = rng.randint(50, 9999)
+        line_c = qty * price_c
+        total_c += line_c
+        items.append((_words(rng, 2), qty, price_c / 100.0, line_c / 100.0))
+    lis = "".join(
+        f"<li>{n} x{q} @ {p:.2f} = {t:.2f}</li>" for n, q, p, t in items)
+    body = (
+        f"<p>Date: {date}</p>"
+        f'<ul class="items">{lis}</ul>'
+        f"<p>Total: {total_c / 100.0:.2f}</p>"
+        f"<p>Payment: {rng.choice(('card', 'cash', 'mobile'))}</p>"
+        "<p>Currency: EUR</p>")
+    return _page(rng, merchant, body)
+
+
+def _math_page(rng: random.Random) -> bytes:
+    title = _words(rng, 3).title()
+    paras = []
+    for _ in range(rng.randint(2, 5)):
+        sym = rng.choice(MATH_CHARS)
+        inline = f"${rng.choice('xyzab')}^{rng.randint(2, 9)} {sym}$"
+        paras.append(f"<p>{_words(rng, 15)} {inline} {_words(rng, 10)}</p>")
+        if rng.random() < 0.6:
+            block = (f"$$\\frac{{{rng.choice('abc')}}}"
+                     f"{{{rng.randint(2, 9)}}} {rng.choice(MATH_CHARS)}$$")
+            paras.append(f"<p>{block}</p>")
+        paras.append(
+            f"<p>{_words(rng, 8)} E = mc<sup>2</sup> and "
+            f"H<sub>2</sub>O {_words(rng, 6)}</p>")
+    return _page(rng, title, "".join(paras))
+
+
+# ---------------------------------------------------------------------------
+# DOCX builder
+# ---------------------------------------------------------------------------
+
+_DOCX_XML_TMPL = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main" xmlns:m="http://schemas.openxmlformats.org/officeDocument/2006/math">
+<w:body>{body}</w:body>
+</w:document>"""
+
+
+def _w_p(text: str, style: str = "") -> str:
+    spr = (f'<w:pPr><w:pStyle w:val="{style}"/></w:pPr>' if style else "")
+    return (f"<w:p>{spr}<w:r><w:t xml:space=\"preserve\">{text}</w:t>"
+            "</w:r></w:p>")
+
+
+def _docx_doc(rng: random.Random) -> bytes:
+    title = _words(rng, 3).title()
+    body = [_w_p(title, "Heading1")]
+    for _ in range(rng.randint(2, 5)):
+        body.append(_w_p(_words(rng, rng.randint(15, 40))))
+    body.append(_w_p(_words(rng, 3).title(), "Heading2"))
+    # one table
+    cells = "".join(
+        "<w:tr>" + "".join(
+            f"<w:tc><w:p><w:r><w:t>{_words(rng, 2)}</w:t></w:r></w:p>"
+            "</w:tc>" for _ in range(3)) + "</w:tr>"
+        for _ in range(rng.randint(2, 4)))
+    body.append(f"<w:tbl>{cells}</w:tbl>")
+    # inline math: fraction a/b
+    num, den = rng.choice("xyz"), rng.randint(2, 9)
+    body.append(
+        "<w:p><w:r><w:t xml:space=\"preserve\">inline </w:t></w:r>"
+        "<m:oMath><m:f><m:num><m:r><m:t>"
+        f"{num}</m:t></m:r></m:num><m:den><m:r><m:t>{den}</m:t></m:r>"
+        "</m:den></m:f></m:oMath>"
+        "<w:r><w:t xml:space=\"preserve\"> follows</w:t></w:r></w:p>")
+    # block math: superscript e^2
+    base, expo = rng.choice("abe"), rng.randint(2, 5)
+    body.append(
+        "<m:oMathPara><m:oMath><m:sSup><m:e><m:r><m:t>"
+        f"{base}</m:t></m:r></m:e><m:sup><m:r><m:t>{expo}</m:t></m:r>"
+        "</m:sup></m:sSup></m:oMath></m:oMathPara>")
+    xml = _DOCX_XML_TMPL.format(body="".join(body))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml",
+                   '<?xml version="1.0"?><Types/>')
+        z.writestr("word/document.xml", xml)
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# PDF builder (minimal valid PDF 1.4, uncompressed text content streams)
+# ---------------------------------------------------------------------------
+
+def _pdf_doc(rng: random.Random) -> bytes:
+    n_pages = rng.randint(1, 3)
+    page_streams = []
+    for p in range(n_pages):
+        two_col = rng.random() < 0.4
+        ops = ["BT", "/F1 12 Tf"]
+        title = _words(rng, 3).title() if p == 0 else ""
+        y = 760
+        if title:
+            ops.append(f"1 0 0 1 72 {y} Tm")
+            ops.append(f"({title}) Tj")
+            y -= 24
+        n_lines = rng.randint(4, 10)
+        for _ in range(n_lines):
+            ops.append(f"1 0 0 1 72 {y} Tm")
+            ops.append(f"({_words(rng, rng.randint(4, 8))}) Tj")
+            y -= 16
+        if two_col:
+            y2 = 760
+            for _ in range(rng.randint(3, 8)):
+                ops.append(f"1 0 0 1 320 {y2} Tm")
+                ops.append(f"({_words(rng, rng.randint(3, 6))}) Tj")
+                y2 -= 16
+        ops.append("ET")
+        page_streams.append("\n".join(ops).encode("latin-1"))
+
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    font = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    content_ids = [
+        add(b"<< /Length %d >>\nstream\n%s\nendstream"
+            % (len(s), s)) for s in page_streams]
+    page_ids = []
+    pages_id = len(objs) + len(page_streams) + 1  # reserved after pages
+    # simpler: two-pass — compute ids first
+    # layout: 1..k objects already added; pages node next, then page objs
+    pages_node_id = len(objs) + 1
+    objs.append(b"")  # placeholder for pages node
+    for cid in content_ids:
+        pid = add(
+            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+            b"/Contents %d 0 R /Resources << /Font << /F1 %d 0 R >> >> >>"
+            % (pages_node_id, cid, font))
+        page_ids.append(pid)
+    kids = b" ".join(b"%d 0 R" % p for p in page_ids)
+    objs[pages_node_id - 1] = (
+        b"<< /Type /Pages /Kids [%s] /Count %d >>"
+        % (kids, len(page_ids)))
+    catalog = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_node_id)
+
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(out.tell())
+        out.write(b"%d 0 obj\n" % i)
+        out.write(body)
+        out.write(b"\nendobj\n")
+    xref_pos = out.tell()
+    out.write(b"xref\n0 %d\n" % (len(objs) + 1))
+    out.write(b"0000000000 65535 f \n")
+    for off in offsets[1:]:
+        out.write(b"%010d 00000 n \n" % off)
+    out.write(b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF"
+              % (len(objs) + 1, catalog, xref_pos))
+    return out.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# broken payloads
+# ---------------------------------------------------------------------------
+
+def _broken(rng: random.Random, oversize_bytes: int = 0) -> bytes:
+    if oversize_bytes:
+        return b"A" * oversize_bytes
+    choice = rng.randrange(4)
+    if choice == 0:
+        return b"PK\x03\x04" + bytes(rng.randrange(256)
+                                     for _ in range(64))  # truncated zip
+    if choice == 1:
+        return b"%PDF-1.4\nGARBAGE no objects here"  # invalid pdf
+    if choice == 2:
+        return b""  # empty
+    return (b"\x89PNG\r\n\x1a\n" +
+            bytes(rng.randrange(256) for _ in range(128)))  # unsupported
+
+
+_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def _naive_text(payload: bytes, kind: str) -> str:
+    """WET-style naive strip (the `text` column; NOT the target)."""
+    if kind in ("docx_doc", "pdf_doc", "broken"):
+        return ""
+    try:
+        html = payload.decode("utf-8", errors="replace")
+    except Exception:
+        return ""
+    import html as _h
+    return _h.unescape(re.sub(r"\s+", " ", _TAG_RE.sub(" ", html))).strip()
+
+
+_BUILDERS = {
+    "article": _article,
+    "table_page": _table_page,
+    "invoice_page": _invoice_page,
+    "receipt_page": _receipt_page,
+    "math_page": _math_page,
+    "docx_doc": _docx_doc,
+    "pdf_doc": _pdf_doc,
+}
+
+
+def gen_page(i: int, seed: int = SEED, oversize_every: int = 0,
+             oversize_bytes: int = 2 * 1024 * 1024) -> dict:
+    """Generate row i. Pure function of (i, seed): safe to call from any
+    partition in any order."""
+    rng = random.Random(f"{seed}:{i}")
+    kind = kind_of(rng.random())
+    domain = _domain(rng)
+    url = f"https://{domain}/{_slug(rng)}-{i:08d}"
+    if kind == "broken":
+        oversize = bool(oversize_every) and i % oversize_every == 0
+        payload = _broken(rng, oversize_bytes if oversize else 0)
+    else:
+        payload = _BUILDERS[kind](rng)
+    return {
+        "url": url,
+        "warc_ts": BASE_TS + _dt.timedelta(seconds=i),
+        "html": payload,
+        "text": _naive_text(payload, kind),
+        "lang": "fr" if rng.random() < 0.2 else "en",
+        # generation-side truth, for tests only (dropped from the table)
+        "_kind": kind,
+    }
+
+
+def gen_pages(n: int, seed: int = SEED, oversize_every: int = 0):
+    """Driver-side generation for tests: returns list of row dicts
+    (without the _kind helper unless keep_kind)."""
+    return [gen_page(i, seed, oversize_every) for i in range(n)]
+
+
+def write_pages_parquet(path: str, n: int, seed: int = SEED,
+                        oversize_every: int = 0) -> None:
+    """Write the pages table as parquet with pyarrow (no Spark needed —
+    used by tests and by bench pre-generation)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    rows = gen_pages(n, seed, oversize_every)
+    table = pa.table({
+        "url": [r["url"] for r in rows],
+        "warc_ts": pa.array([r["warc_ts"] for r in rows],
+                            type=pa.timestamp("us")),
+        "html": pa.array([r["html"] for r in rows], type=pa.binary()),
+        "text": [r["text"] for r in rows],
+        "lang": [r["lang"] for r in rows],
+    })
+    pq.write_table(table, path)

@@ -1,0 +1,102 @@
+"""File-type detection: magic-byte sniffing + container inspection.
+
+Re-expresses the reference's detector (D1–D5 in SURVEY.md §2.2):
+signature matching (`office-to-markdown/src/utils/file-detector.ts:59-107`),
+ZIP-container Office sniff looking for ``word/document.xml`` etc. in the
+leading bytes (`file-detector.ts:112-138`), and the supported-type
+allowlist (`file-detector.ts:203-230`).  Runs per Arrow batch (bytes ops
+over a pandas column) — never per-row Python at the plan level.
+"""
+
+from __future__ import annotations
+
+# doc_kind values
+KIND_HTML = "html"
+KIND_PDF = "pdf"
+KIND_DOCX = "docx"
+KIND_XLSX = "xlsx"
+KIND_PPTX = "pptx"
+KIND_ZIP = "zip"
+KIND_DOC_LEGACY = "doc"
+KIND_RTF = "rtf"
+KIND_PNG = "png"
+KIND_JPEG = "jpeg"
+KIND_GIF = "gif"
+KIND_BMP = "bmp"
+KIND_EMPTY = "empty"
+KIND_UNKNOWN = "unknown"
+
+SUPPORTED = frozenset({KIND_HTML, KIND_PDF, KIND_DOCX})
+
+# magic signatures, checked in order (parity: file-detector.ts:59-107)
+_SIGS = (
+    (b"%PDF-", KIND_PDF),
+    (b"PK\x03\x04", KIND_ZIP),            # refined below via container sniff
+    (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1", KIND_DOC_LEGACY),  # CFB
+    (b"{\\rtf", KIND_RTF),
+    (b"\xff\xd8\xff", KIND_JPEG),
+    (b"\x89PNG\r\n\x1a\n", KIND_PNG),
+    (b"GIF87a", KIND_GIF),
+    (b"GIF89a", KIND_GIF),
+    (b"BM", KIND_BMP),
+)
+
+_HTML_MARKERS = (b"<!doctype html", b"<html", b"<head", b"<body", b"<h1",
+                 b"<div", b"<p>", b"<table")
+
+
+def sniff_zip_office(head: bytes) -> str:
+    """Distinguish Office-OpenXML containers by member names visible in the
+    leading bytes of the ZIP (parity: file-detector.ts:112-138 which looks
+    in the first 1KB for word/|xl/|ppt/ markers)."""
+    window = head[:4096]
+    if b"word/" in window:
+        return KIND_DOCX
+    if b"xl/" in window:
+        return KIND_XLSX
+    if b"ppt/" in window:
+        return KIND_PPTX
+    return KIND_ZIP
+
+
+def detect_kind(payload: bytes | None) -> str:
+    """Magic-byte detection of a document payload. Deterministic, order-
+    stable; never consults the url (fixtures require content sniffing)."""
+    if payload is None or len(payload) == 0:
+        return KIND_EMPTY
+    head = payload[:4096]
+    for sig, kind in _SIGS:
+        if head.startswith(sig):
+            if kind == KIND_ZIP:
+                return sniff_zip_office(head)
+            return kind
+    low = head[:512].lstrip()[:256].lower()
+    if any(m in low for m in _HTML_MARKERS):
+        return KIND_HTML
+    # lenient: HTML-ish if it contains any tag-like structure early on
+    if low.startswith(b"<"):
+        return KIND_HTML
+    return KIND_UNKNOWN
+
+
+# extension ↔ mime guess tables (subset of file-detector.ts:11-54 that the
+# engine actually routes on; broadcastable as a plain dict)
+EXT_TO_MIME = {
+    ".html": "text/html", ".htm": "text/html",
+    ".pdf": "application/pdf",
+    ".docx": ("application/vnd.openxmlformats-officedocument"
+              ".wordprocessingml.document"),
+    ".doc": "application/msword",
+    ".rtf": "application/rtf",
+    ".png": "image/png", ".jpg": "image/jpeg", ".jpeg": "image/jpeg",
+    ".gif": "image/gif", ".bmp": "image/bmp",
+}
+MIME_TO_KIND = {
+    "text/html": KIND_HTML,
+    "application/pdf": KIND_PDF,
+    EXT_TO_MIME[".docx"]: KIND_DOCX,
+}
+
+
+def is_supported(kind: str) -> bool:
+    return kind in SUPPORTED

@@ -1,0 +1,177 @@
+"""Minimal deterministic DOM built on stdlib ``html.parser``.
+
+lxml is unavailable in executors here (SURVEY.md §7.1), so the block tree
+used by the boilerplate classifier (§2.7) and the markdown serializer
+(§2.6) is built with ``html.parser`` — pure Python, no native deps, which
+also keeps ``--py-files`` packaging trivial on a real cluster.
+"""
+
+from __future__ import annotations
+
+from html import unescape
+from html.parser import HTMLParser
+
+VOID_ELEMENTS = frozenset({
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr",
+})
+
+# elements whose open tag implicitly closes a same-level predecessor
+_IMPLICIT_CLOSE = {
+    "p": {"p"},
+    "li": {"li"},
+    "tr": {"tr", "td", "th"},
+    "td": {"td", "th"},
+    "th": {"td", "th"},
+    "option": {"option"},
+}
+
+BLOCK_TAGS = frozenset({
+    "p", "div", "section", "article", "main", "aside", "nav", "header",
+    "footer", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "li",
+    "table", "thead", "tbody", "tfoot", "tr", "td", "th", "pre",
+    "blockquote", "hr", "form", "figure", "figcaption", "body", "html",
+})
+
+
+class Node:
+    """Element or text node. Text nodes have tag == '#text'."""
+
+    __slots__ = ("tag", "attrs", "children", "parent", "text")
+
+    def __init__(self, tag: str, attrs: dict | None = None,
+                 text: str = "") -> None:
+        self.tag = tag
+        self.attrs = attrs or {}
+        self.children: list[Node] = []
+        self.parent: Node | None = None
+        self.text = text
+
+    @property
+    def is_text(self) -> bool:
+        return self.tag == "#text"
+
+    def append(self, child: "Node") -> None:
+        child.parent = self
+        self.children.append(child)
+
+    def get(self, name: str, default: str = "") -> str:
+        return self.attrs.get(name, default)
+
+    def text_content(self) -> str:
+        if self.is_text:
+            return self.text
+        out: list[str] = []
+        stack = list(reversed(self.children))
+        while stack:
+            n = stack.pop()
+            if n.is_text:
+                out.append(n.text)
+            else:
+                stack.extend(reversed(n.children))
+        return "".join(out)
+
+    def iter(self):
+        """Pre-order traversal over element nodes (self included)."""
+        stack = [self]
+        while stack:
+            n = stack.pop()
+            if not n.is_text:
+                yield n
+                stack.extend(reversed(n.children))
+
+    def find_all(self, *tags: str):
+        want = set(tags)
+        return [n for n in self.iter() if n.tag in want]
+
+    def find(self, *tags: str):
+        want = set(tags)
+        for n in self.iter():
+            if n.tag in want:
+                return n
+        return None
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        if self.is_text:
+            return f"#text({self.text[:30]!r})"
+        return f"<{self.tag} children={len(self.children)}>"
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#document")
+        self.stack = [self.root]
+        self._skip_depth = 0  # inside script/style: drop content
+
+    # -- helpers ---------------------------------------------------------
+    def _top(self) -> Node:
+        return self.stack[-1]
+
+    def _implicit_close(self, tag: str) -> None:
+        closers = _IMPLICIT_CLOSE.get(tag)
+        if not closers:
+            return
+        if self._top().tag in closers:
+            self.stack.pop()
+
+    # -- parser callbacks -------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if self._skip_depth:
+            if tag in ("script", "style"):
+                self._skip_depth += 1
+            return
+        if tag in ("script", "style", "noscript"):
+            self._skip_depth = 1
+            return
+        self._implicit_close(tag)
+        node = Node(tag, dict(attrs))
+        self._top().append(node)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        if self._skip_depth:
+            return
+        self._top().append(Node(tag, dict(attrs)))
+
+    def handle_endtag(self, tag):
+        if self._skip_depth:
+            if tag in ("script", "style", "noscript"):
+                self._skip_depth -= 1
+            return
+        # pop to the matching open tag if present
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # unmatched close tag: ignore
+
+    def handle_data(self, data):
+        if self._skip_depth or not data:
+            return
+        top = self._top()
+        if top.children and top.children[-1].is_text:
+            top.children[-1].text += data
+        else:
+            top.append(Node("#text", text=data))
+
+    def handle_entityref(self, name):  # pragma: no cover (convert_charrefs)
+        self.handle_data(unescape(f"&{name};"))
+
+    def handle_charref(self, name):  # pragma: no cover (convert_charrefs)
+        self.handle_data(unescape(f"&#{name};"))
+
+
+def parse_html(html: str) -> Node:
+    """Parse HTML into a Node tree rooted at '#document'. script/style/
+    noscript subtrees are dropped during parse (serializer preprocess O7,
+    `utils/html-to-markdown.ts:347-359`, fused into the parse)."""
+    builder = _TreeBuilder()
+    builder.feed(html)
+    builder.close()
+    return builder.root
+
+
+def body_of(root: Node) -> Node:
+    return root.find("body") or root

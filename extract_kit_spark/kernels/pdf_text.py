@@ -1,0 +1,273 @@
+"""Deterministic PDF text extraction with reading-order reconstruction.
+
+The reference rasterizes PDF pages with Ghostscript and ships them to a
+vision LLM (`pdf-processor/src/core/file-processor.ts:52-57`,
+`core/vision/ai-generator.ts:51-68`). Per the north rule that call is
+replaced with deterministic layout parsing: this kernel interprets the
+PDF content stream's text operators directly (pure Python; stdlib `zlib`
+for FlateDecode) and reconstructs reading order by column clustering —
+x-cluster detection, top-to-bottom within a column, left column first
+(SURVEY.md §7.4).
+
+Supported operator subset (covers the fixture writer + common simple
+PDFs): BT/ET, Tf, Td, TD, Tm, T*, TL, Tj, TJ, ' (quote). Literal
+strings with standard escapes; hex strings. Validity gate parity:
+`file-processor.ts:46-49` (S5).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+from .errors import ExtractError, INVALID_PDF
+
+_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream",
+                        re.DOTALL)
+_PAGE_COUNT_RE = re.compile(rb"/Type\s*/Page(?![s/])")
+
+_TOKEN_RE = re.compile(
+    r"""\((?:[^()\\]|\\.)*\)      # literal string
+      | <[0-9A-Fa-f\s]*>          # hex string
+      | \[ | \]
+      | /[^\s/\[\]()<>]+          # name
+      | [-+]?\d*\.?\d+            # number
+      | [A-Za-z'"*]+              # operator
+    """, re.VERBOSE)
+
+_ESCAPES = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
+            "(": "(", ")": ")", "\\": "\\"}
+
+
+def is_valid_pdf(payload: bytes) -> bool:
+    """S5 validity gate: header magic + an EOF marker somewhere."""
+    return (payload.startswith(b"%PDF-")
+            and b"%%EOF" in payload[-1024:] if len(payload) >= 16
+            else False)
+
+
+def _decode_literal(tok: str) -> str:
+    out: list[str] = []
+    i = 1
+    end = len(tok) - 1
+    while i < end:
+        c = tok[i]
+        if c == "\\" and i + 1 < end:
+            nxt = tok[i + 1]
+            if nxt in _ESCAPES:
+                out.append(_ESCAPES[nxt])
+                i += 2
+                continue
+            if nxt.isdigit():  # octal escape, up to 3 digits
+                j = i + 1
+                oct_digits = ""
+                while j < end and len(oct_digits) < 3 and tok[j].isdigit():
+                    oct_digits += tok[j]
+                    j += 1
+                out.append(chr(int(oct_digits, 8)))
+                i = j
+                continue
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _decode_hex(tok: str) -> str:
+    hexstr = re.sub(r"\s", "", tok[1:-1])
+    if len(hexstr) % 2:
+        hexstr += "0"
+    try:
+        return bytes.fromhex(hexstr).decode("latin-1")
+    except ValueError:
+        return ""
+
+
+class _TextRun:
+    __slots__ = ("x", "y", "text")
+
+    def __init__(self, x: float, y: float, text: str) -> None:
+        self.x = x
+        self.y = y
+        self.text = text
+
+
+def _interpret_text_ops(content: str) -> list[_TextRun]:
+    runs: list[_TextRun] = []
+    tokens = _TOKEN_RE.findall(content)
+    stack: list = []
+    in_text = False
+    x = y = 0.0
+    line_x = line_y = 0.0
+    leading = 12.0
+    in_array: list | None = None
+    for tok in tokens:
+        if tok == "[":
+            in_array = []
+            continue
+        if tok == "]":
+            stack.append(in_array if in_array is not None else [])
+            in_array = None
+            continue
+        if tok.startswith("(") or tok.startswith("<"):
+            val = (_decode_literal(tok) if tok.startswith("(")
+                   else _decode_hex(tok))
+            if in_array is not None:
+                in_array.append(val)
+            else:
+                stack.append(val)
+            continue
+        if re.fullmatch(r"[-+]?\d*\.?\d+", tok):
+            num = float(tok)
+            if in_array is not None:
+                in_array.append(num)
+            else:
+                stack.append(num)
+            continue
+        if tok.startswith("/"):
+            stack.append(tok)
+            continue
+        # operator
+        op = tok
+        if op == "BT":
+            in_text = True
+            x = y = line_x = line_y = 0.0
+            stack.clear()
+        elif op == "ET":
+            in_text = False
+            stack.clear()
+        elif not in_text:
+            stack.clear()
+        elif op in ("Td", "TD"):
+            if len(stack) >= 2:
+                ty = stack.pop()
+                tx = stack.pop()
+                if op == "TD":
+                    leading = -ty if ty else leading
+                line_x += tx
+                line_y += ty
+                x, y = line_x, line_y
+            stack.clear()
+        elif op == "Tm":
+            if len(stack) >= 6:
+                f = stack.pop()
+                e = stack.pop()
+                stack.clear()
+                line_x, line_y = e, f
+                x, y = e, f
+            else:
+                stack.clear()
+        elif op == "TL":
+            if stack:
+                leading = stack.pop()
+            stack.clear()
+        elif op == "T*":
+            line_y -= leading
+            x, y = line_x, line_y
+            stack.clear()
+        elif op == "Tj":
+            if stack and isinstance(stack[-1], str):
+                text = stack.pop()
+                if text:
+                    runs.append(_TextRun(x, y, text))
+                    x += 5.0 * len(text)  # rough advance
+            stack.clear()
+        elif op == "'":
+            line_y -= leading
+            x, y = line_x, line_y
+            if stack and isinstance(stack[-1], str):
+                text = stack.pop()
+                if text:
+                    runs.append(_TextRun(x, y, text))
+            stack.clear()
+        elif op == "TJ":
+            if stack and isinstance(stack[-1], list):
+                arr = stack.pop()
+                text = "".join(p for p in arr if isinstance(p, str))
+                if text:
+                    runs.append(_TextRun(x, y, text))
+                    x += 5.0 * len(text)
+            stack.clear()
+        else:
+            stack.clear()
+    return runs
+
+
+_COLUMN_GAP = 150.0
+_LINE_TOL = 2.0
+
+
+def _reading_order(runs: list[_TextRun]) -> list[str]:
+    """Column clustering: sort distinct x starts, split on gaps >
+    _COLUMN_GAP, order columns left→right, within a column sort by
+    descending y (PDF origin bottom-left), then x; merge same-line runs."""
+    if not runs:
+        return []
+    xs = sorted({r.x for r in runs})
+    col_starts = [xs[0]]
+    for a, b in zip(xs, xs[1:]):
+        if b - a > _COLUMN_GAP:
+            col_starts.append(b)
+
+    def col_of(r: _TextRun) -> int:
+        c = 0
+        for i, s in enumerate(col_starts):
+            if r.x >= s - 1e-6:
+                c = i
+        return c
+
+    lines: list[str] = []
+    for ci in range(len(col_starts)):
+        col_runs = [r for r in runs if col_of(r) == ci]
+        col_runs.sort(key=lambda r: (-r.y, r.x))
+        cur_y: float | None = None
+        cur_parts: list[str] = []
+        for r in col_runs:
+            if cur_y is not None and abs(r.y - cur_y) <= _LINE_TOL:
+                cur_parts.append(r.text)
+            else:
+                if cur_parts:
+                    lines.append(" ".join(cur_parts))
+                cur_parts = [r.text]
+                cur_y = r.y
+        if cur_parts:
+            lines.append(" ".join(cur_parts))
+    return lines
+
+
+def extract_pdf_pages(payload: bytes) -> list[list[str]]:
+    """PDF bytes → list of pages, each a list of reading-ordered text
+    lines. Raises ExtractError(INVALID_PDF) on a failed validity gate."""
+    if not payload.startswith(b"%PDF-"):
+        raise ExtractError(INVALID_PDF, "bad header", phase="pdf-parse")
+    pages: list[list[str]] = []
+    for m in _STREAM_RE.finditer(payload):
+        params, raw = m.group(1), m.group(2)
+        if raw.endswith(b"\r\n"):
+            raw = raw[:-2]
+        elif raw.endswith(b"\n"):
+            raw = raw[:-1]
+        if b"/FlateDecode" in params:
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error:
+                continue
+        try:
+            content = raw.decode("latin-1")
+        except Exception:
+            continue
+        if "BT" not in content:
+            continue
+        runs = _interpret_text_ops(content)
+        if runs:
+            pages.append(_reading_order(runs))
+    if not pages and not _PAGE_COUNT_RE.search(payload):
+        raise ExtractError(INVALID_PDF, "no pages / no text streams",
+                           phase="pdf-parse")
+    return pages
+
+
+def page_count(payload: bytes) -> int:
+    n = len(_PAGE_COUNT_RE.findall(payload))
+    return n if n else 0

@@ -1,0 +1,341 @@
+"""Unit tests for the pure-Python extraction kernels (no Spark).
+
+Mirrors the reference's test intent (SURVEY.md §5) but as deterministic
+unit tests: operator kernels (detector D1–D2, OMML table O4, serializer
+rules O8–O19, boilerplate §2.7, PDF reading order §7.4) plus the
+receipt/invoice assertions from `pdf-processor/tests/receipt.test.ts`.
+"""
+
+import hashlib
+
+import pytest
+
+from extract_kit_spark.fixtures import gen_page, gen_pages
+from extract_kit_spark.kernels import detect, errors
+from extract_kit_spark.kernels.boilerplate import (extract_title,
+                                                   strip_boilerplate)
+from extract_kit_spark.kernels.extract import extract_document
+from extract_kit_spark.kernels.html_dom import body_of, parse_html
+from extract_kit_spark.kernels.omml import omml_to_latex
+from extract_kit_spark.kernels.pdf_text import extract_pdf_pages
+from extract_kit_spark.kernels.serialize_md import (assemble, render_image,
+                                                    render_link,
+                                                    serialize_blocks)
+
+
+# -- detection (D1–D2) -------------------------------------------------------
+
+def test_detect_magic_bytes():
+    assert detect.detect_kind(b"%PDF-1.4 rest") == "pdf"
+    assert detect.detect_kind(b"<!DOCTYPE html><html>") == "html"
+    assert detect.detect_kind(b"  <html><body>x</body>") == "html"
+    assert detect.detect_kind(b"\x89PNG\r\n\x1a\nxxxx") == "png"
+    assert detect.detect_kind(b"") == "empty"
+    assert detect.detect_kind(None) == "empty"
+    assert detect.detect_kind(b"{\\rtf1 hello}") == "rtf"
+    assert detect.detect_kind(b"\xff\xd8\xff\xe0") == "jpeg"
+
+
+def test_detect_zip_container_sniff():
+    import io
+    import zipfile
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml", "<w:document/>")
+    assert detect.detect_kind(buf.getvalue()) == "docx"
+    buf2 = io.BytesIO()
+    with zipfile.ZipFile(buf2, "w") as z:
+        z.writestr("other.txt", "x")
+    assert detect.detect_kind(buf2.getvalue()) == "zip"
+
+
+# -- OMML → LaTeX (O4) -------------------------------------------------------
+
+def test_omml_fraction():
+    omml = ("<m:oMath><m:f><m:num><m:r><m:t>x</m:t></m:r></m:num>"
+            "<m:den><m:r><m:t>2</m:t></m:r></m:den></m:f></m:oMath>")
+    assert omml_to_latex(omml) == r"\frac{x}{2}"
+
+
+def test_omml_sup_sub_sqrt():
+    sup = ("<m:sSup><m:e><m:r><m:t>a</m:t></m:r></m:e>"
+           "<m:sup><m:r><m:t>3</m:t></m:r></m:sup></m:sSup>")
+    assert omml_to_latex(sup) == "{a}^{3}"
+    sub = ("<m:sSub><m:e><m:r><m:t>x</m:t></m:r></m:e>"
+           "<m:sub><m:r><m:t>i</m:t></m:r></m:sub></m:sSub>")
+    assert omml_to_latex(sub) == "{x}_{i}"
+    rad = "<m:rad><m:e><m:r><m:t>y</m:t></m:r></m:e></m:rad>"
+    assert omml_to_latex(rad) == r"\sqrt{y}"
+    nth = ("<m:rad><m:deg><m:r><m:t>3</m:t></m:r></m:deg>"
+           "<m:e><m:r><m:t>z</m:t></m:r></m:e></m:rad>")
+    assert omml_to_latex(nth) == r"\sqrt[3]{z}"
+
+
+def test_omml_symbols_and_fallback():
+    assert omml_to_latex("<m:r><m:t>α + β</m:t></m:r>") == \
+        r"\alpha + \beta"
+    # garbage never raises; unterminated tags pass through as text
+    assert omml_to_latex("<broken <xml") == "<broken <xml"
+    assert omml_to_latex("<a><b>kept</b></a>") == "kept"
+
+
+# -- serializer rules (O8–O19) -----------------------------------------------
+
+def test_link_rules():
+    assert render_link("x", "javascript:alert(1)") == "x"
+    assert render_link("x", "vbscript:foo") == "x"
+    assert render_link("https://a.io", "https://a.io") == "<https://a.io>"
+    assert render_link("t", "https://a.io/p q") == \
+        "[t](https://a.io/p%20q)"
+    assert render_link("t", "https://a.io", 'say "hi"') == \
+        '[t](https://a.io "say \\"hi\\"")'
+
+
+def test_image_rules():
+    long_data = "data:image/png;base64," + "A" * 200
+    assert render_image("a", long_data).endswith("...)")
+    assert render_image("a", "https://x/" + "b" * 600) == "[a]"
+    assert render_image("a", "https://x/i.png", "t") == \
+        '![a](https://x/i.png "t")'
+
+
+def _blocks(html: str):
+    return serialize_blocks(body_of(parse_html(html)))
+
+
+def test_table_header_separator():
+    blocks = _blocks("<table><tr><th>name</th><th>id</th></tr>"
+                     "<tr><td>a</td><td>1</td></tr></table>")
+    assert blocks == [("table",
+                       "| name | id |\n| --- | --- |\n| a | 1 |")]
+
+
+def test_table_no_header_row():
+    blocks = _blocks("<table><tr><td>just</td><td>words</td></tr>"
+                     "<tr><td>more</td><td>cells</td></tr></table>")
+    text = blocks[0][1]
+    assert "---" not in text
+
+
+def test_table_cell_escaping():
+    blocks = _blocks("<table><tr><td>a|b</td><td>x\ny</td></tr></table>")
+    assert blocks[0][1] == "| a\\|b | x y |"
+
+
+def test_list_nested_and_ordered():
+    blocks = _blocks("<ul><li>one</li><li>two<ul><li>sub</li></ul></li>"
+                     "</ul><ol><li>first</li><li>second</li></ol>")
+    assert blocks[0] == ("list", "- one\n- two\n  - sub")
+    assert blocks[1] == ("list", "1. first\n2. second")
+
+
+def test_heading_newline_to_space():
+    blocks = _blocks("<h2>multi\nline\ntitle</h2>")
+    assert blocks == [("heading", "## multi line title")]
+
+
+def test_math_block_and_inline():
+    blocks = _blocks("<p>$$\\frac{a}{b}$$</p><p>text $x^2$ more</p>")
+    assert blocks[0] == ("math", "$$\\frac{a}{b}$$")
+    assert blocks[1][0] == "para"
+    assert "$x^2$" in blocks[1][1]
+
+
+def test_code_block_language():
+    blocks = _blocks('<pre><code class="language-py">x = 1</code></pre>')
+    assert blocks == [("code", "```py\nx = 1\n```")]
+
+
+def test_script_style_stripped():
+    blocks = _blocks("<script>var a=1;</script><style>.x{}</style>"
+                     "<p>kept</p>")
+    assert blocks == [("para", "kept")]
+
+
+def test_assemble_offsets_are_exact():
+    text, spans = assemble([("heading", "# T"), ("para", "hello world")])
+    assert text == "# T\n\nhello world\n"
+    for (start, end, kind) in spans:
+        assert text[start:end] == {"heading": "# T",
+                                   "para": "hello world"}[kind]
+
+
+def test_assemble_empty():
+    assert assemble([]) == ("", [])
+
+
+# -- boilerplate (§2.7) ------------------------------------------------------
+
+def test_boilerplate_strips_nav_header_footer_sidebar():
+    html = ("<body><header id='top'>chrome</header>"
+            "<nav><ul><li><a href='/a'>a</a></li></ul></nav>"
+            "<div class='content'><h1>Title</h1><p>"
+            + "real content words " * 20 + "</p></div>"
+            "<div class='sidebar'><ul><li><a href='/x'>x</a></li></ul>"
+            "</div><footer>foot</footer></body>")
+    body = body_of(parse_html(html))
+    strip_boilerplate(body)
+    text = body.text_content()
+    assert "real content" in text
+    assert "chrome" not in text and "foot" not in text
+
+
+def test_boilerplate_keeps_link_dense_main_content():
+    # a long, link-dense block that IS the content must survive
+    links = "".join(f"<a href='/{i}'>link text {i} and more words</a> "
+                    for i in range(30))
+    html = f"<body><div class='content'><p>{links}</p></div></body>"
+    body = body_of(parse_html(html))
+    strip_boilerplate(body)
+    assert "link text 0" in body.text_content()
+
+
+def test_title_rules():
+    body = body_of(parse_html("<body><h1> A  Title </h1></body>"))
+    assert extract_title(body, "https://x/y.html") == "A Title"
+    body2 = body_of(parse_html("<body><p>no h1</p></body>"))
+    assert extract_title(body2, "https://x/path/page-01.html") == "page-01"
+    assert extract_title(body2, "") is None
+
+
+# -- PDF (§7.4) ---------------------------------------------------------------
+
+def _pdf_bytes(i: int = 0) -> bytes:
+    for j in range(400):
+        row = gen_page(j)
+        if row["_kind"] == "pdf_doc":
+            if i == 0:
+                return row["html"]
+            i -= 1
+    raise AssertionError("no pdf fixture found")
+
+
+def test_pdf_extracts_pages():
+    pages = extract_pdf_pages(_pdf_bytes())
+    assert pages and all(isinstance(l, str) for p in pages for l in p)
+
+
+def test_pdf_two_column_reading_order():
+    # hand-built two-column page: left column lines first, then right
+    content = (b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (L1) Tj "
+               b"1 0 0 1 320 700 Tm (R1) Tj "
+               b"1 0 0 1 72 684 Tm (L2) Tj "
+               b"1 0 0 1 320 684 Tm (R2) Tj ET")
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n"
+           b"2 0 obj\n<< /Length " + str(len(content)).encode() +
+           b" >>\nstream\n" + content + b"\nendstream\nendobj\n%%EOF")
+    pages = extract_pdf_pages(pdf)
+    assert pages == [["L1", "L2", "R1", "R2"]]
+
+
+def test_pdf_invalid_raises_taxonomy():
+    with pytest.raises(errors.ExtractError) as ei:
+        extract_pdf_pages(b"not a pdf")
+    assert ei.value.code == errors.INVALID_PDF
+
+
+# -- orchestrator invariants ---------------------------------------------------
+
+def test_cardinality_invariant_and_never_raises():
+    rows = gen_pages(200, oversize_every=97)
+    results = [extract_document(r["url"], r["html"]) for r in rows]
+    assert len(results) == len(rows)  # E5: one row out per row in
+    for r in results:
+        assert r["status"] == "ok" or not r["validation"]["success"]
+
+
+def test_size_cap_quarantine():
+    big = b"<html>" + b"x" * (60 * 1024 * 1024)
+    res = extract_document("u", big)
+    assert res["status"] == errors.FILE_TOO_LARGE
+    assert res["validation"]["success"] is False
+
+
+def test_empty_payload():
+    res = extract_document("u", b"")
+    assert res["status"] == errors.EMPTY_FILE
+
+
+def test_broken_zip_quarantined():
+    res = extract_document("u", b"PK\x03\x04garbage")
+    assert res["status"] in (errors.CORRUPTED_FILE, errors.INVALID_DOCX,
+                             errors.UNSUPPORTED_FORMAT)
+
+
+def test_receipt_assertions_reference_parity():
+    # the strongest reference assertions (receipt.test.ts:41-85)
+    for i in range(400):
+        row = gen_page(i)
+        if row["_kind"] != "receipt_page":
+            continue
+        res = extract_document(row["url"], row["html"])
+        rec = res["fields"]["receipt"]
+        assert rec["merchant_name"]
+        assert rec["total_amount"] > 0
+        assert rec["items"]
+        for it in rec["items"]:
+            assert it["name"] and it["price"] > 0
+            assert it["quantity"] > 0 and it["total"] > 0
+        assert abs(sum(i2["total"] for i2 in rec["items"])
+                   - rec["total_amount"]) <= 0.01
+        assert res["validation"]["success"]
+
+
+def test_invoice_coherence():
+    for i in range(400):
+        row = gen_page(i)
+        if row["_kind"] != "invoice_page":
+            continue
+        res = extract_document(row["url"], row["html"])
+        inv = res["fields"]["invoice"]
+        assert inv["invoice_number"] and inv["total_amount"] > 0
+        s = sum(li["line_total"] for li in inv["line_items"])
+        assert abs(s - inv["total_amount"]) <= 0.01
+        assert 0.0 <= inv["confidence_score"] <= 1.0
+
+
+def test_docx_math_to_latex():
+    for i in range(400):
+        row = gen_page(i)
+        if row["_kind"] != "docx_doc":
+            continue
+        res = extract_document(row["url"], row["html"])
+        assert res["status"] == "ok"
+        assert "$\\frac{" in res["extracted_text"]  # inline math O2/O4
+        assert "$$" in res["extracted_text"]        # block math O3
+        break
+
+
+# -- determinism ---------------------------------------------------------------
+
+def test_extraction_deterministic_and_order_independent():
+    rows = gen_pages(50)
+    a = [extract_document(r["url"], r["html"]) for r in rows]
+    b = [extract_document(r["url"], r["html"])
+         for r in reversed(rows)][::-1]
+    for ra, rb in zip(a, b):
+        assert ra["extracted_text"] == rb["extracted_text"]
+        assert ra["spans"] == rb["spans"]
+        assert ra["title"] == rb["title"]
+
+
+def test_fixture_generation_deterministic():
+    h1 = hashlib.sha256()
+    h2 = hashlib.sha256()
+    for i in range(100):
+        h1.update(gen_page(i)["html"])
+    for i in range(100):
+        h2.update(gen_page(i)["html"])
+    assert h1.hexdigest() == h2.hexdigest()
+
+
+def test_spans_index_into_text():
+    for i in range(100):
+        row = gen_page(i)
+        res = extract_document(row["url"], row["html"])
+        text = res["extracted_text"]
+        prev_end = -2
+        for s in res["spans"]:
+            assert 0 <= s["start"] < s["end"] <= len(text)
+            assert s["start"] >= prev_end + 2  # blank-line separated
+            prev_end = s["end"]
