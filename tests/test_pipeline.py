@@ -1,0 +1,147 @@
+"""End-to-end Spark pipeline tests: read → extract → write → verify,
+byte-identical text vs goldens THROUGH the distributed path, exact
+resume after a mid-job kill, lineage/manifest integrity, and
+parallelism-independence of results."""
+
+import hashlib
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from extract_kit_spark.fixtures import write_pages_parquet, gen_pages
+from extract_kit_spark.pipeline import (read_extractions, run_extraction)
+
+N_ROWS = 400
+
+GOLDEN_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "golden", "goldens.json")
+
+
+@pytest.fixture(scope="module")
+def pages_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("pages") / "pages.parquet"
+    write_pages_parquet(str(p), N_ROWS)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, pages_path, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out") / "extractions")
+    summary = run_extraction(spark, pages_path, out, job_id="e2e",
+                             n_buckets=8, commit_group_size=4)
+    return out, summary
+
+
+def test_summary_complete(extracted):
+    _, summary = extracted
+    assert summary["complete"]
+    assert summary["n_rows"] == N_ROWS  # E5 cardinality invariant
+    assert summary["n_ok"] > 0.9 * N_ROWS
+
+
+def test_output_schema_and_rows(spark, extracted):
+    out, _ = extracted
+    df = read_extractions(spark, out)
+    assert df.count() == N_ROWS
+    assert df.select("url").distinct().count() == N_ROWS
+    names = set(df.columns)
+    assert {"url", "warc_ts", "doc_kind", "title", "extracted_text",
+            "spans", "fields", "validation", "metadata", "status",
+            "p_bucket", "bytes_in"} <= names
+
+
+def test_byte_identical_vs_goldens_through_spark(spark, extracted):
+    out, _ = extracted
+    with open(GOLDEN_PATH) as f:
+        goldens = json.load(f)
+    df = read_extractions(spark, out)
+    got = {r["url"]: (r["extracted_text"], r["title"], r["status"])
+           for r in df.select("url", "extracted_text", "title", "status")
+           .collect()}
+    checked = 0
+    for url, g in goldens.items():
+        if url not in got:
+            continue
+        text, title, status = got[url]
+        sha = hashlib.sha256(text.encode("utf-8")).hexdigest()
+        assert sha == g["text_sha256"], f"drift via Spark for {url}"
+        assert title == g["title"] and status == g["status"]
+        checked += 1
+    assert checked >= 100
+
+
+def test_quarantine_rows_not_dropped(spark, extracted):
+    out, _ = extracted
+    df = read_extractions(spark, out)
+    bad = df.where(F.col("status") != "ok")
+    assert bad.count() > 0  # broken fixtures exist
+    # every quarantine row carries a taxonomy code and failed validation
+    for r in bad.select("status", "validation").collect():
+        assert r["status"] != "ok"
+        assert r["validation"]["success"] is False
+
+
+def test_lineage_counts_match(spark, extracted):
+    out, summary = extracted
+    lineage = spark.read.parquet(os.path.join(out, "lineage", "*"))
+    agg = lineage.agg(F.sum("n_rows").alias("n"),
+                      F.sum("n_ok").alias("ok")).collect()[0]
+    assert agg["n"] == N_ROWS
+    assert agg["ok"] == summary["n_ok"]
+    assert lineage.select("p_bucket").distinct().count() == \
+        summary["n_buckets"]
+
+
+def test_exact_resume_after_kill(spark, pages_path, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("resume") / "extractions")
+    with pytest.raises(RuntimeError, match="test hook"):
+        run_extraction(spark, pages_path, out, job_id="resume-job",
+                       n_buckets=8, commit_group_size=2,
+                       fail_after_groups=2)
+    # partial state: some buckets committed, not all
+    from extract_kit_spark.manifest import Manifest
+    m = Manifest(out, "resume-job")
+    done_before = m.committed_buckets()
+    assert 0 < len(done_before) < 8
+    # resume: same job_id → only remaining buckets run
+    summary = run_extraction(spark, pages_path, out, job_id="resume-job",
+                             n_buckets=8, commit_group_size=2)
+    assert summary["complete"]
+    df = read_extractions(spark, out)
+    assert df.count() == N_ROWS               # no loss
+    assert df.select("url").distinct().count() == N_ROWS  # no dups
+
+
+def test_results_independent_of_parallelism(spark, pages_path,
+                                            tmp_path_factory):
+    """Same input at different bucket counts → same (url, text) set.
+    This is the single-machine proxy for N vs 4N cluster equivalence."""
+    out_a = str(tmp_path_factory.mktemp("pa") / "x")
+    out_b = str(tmp_path_factory.mktemp("pb") / "x")
+    run_extraction(spark, pages_path, out_a, job_id="a", n_buckets=2,
+                   commit_group_size=2)
+    run_extraction(spark, pages_path, out_b, job_id="b", n_buckets=13,
+                   commit_group_size=13)
+    ha = (read_extractions(spark, out_a)
+          .select(F.md5(F.concat_ws("\x00", "url", "extracted_text"))
+                  .alias("h")))
+    hb = (read_extractions(spark, out_b)
+          .select(F.md5(F.concat_ws("\x00", "url", "extracted_text"))
+                  .alias("h")))
+    assert ha.subtract(hb).count() == 0
+    assert hb.subtract(ha).count() == 0
+
+
+def test_oversize_cap_quarantines_without_parse(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("big") / "pages.parquet"
+    write_pages_parquet(str(p), 60, oversize_every=7)  # kind 'broken'
+    out = str(tmp_path_factory.mktemp("bigout") / "x")
+    run_extraction(spark, str(p), out, job_id="cap", n_buckets=2,
+                   max_doc_bytes=1024 * 1024)
+    df = read_extractions(spark, out)
+    too_large = df.where(F.col("status") == "FILE_TOO_LARGE")
+    assert too_large.count() >= 1
+    assert df.count() == 60
