@@ -1,0 +1,566 @@
+"""The engine's query registry: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable, each with (where SQL-expressible)
+an exact DuckDB oracle twin in ORACLES. The driver compares row count,
+schema, and order-insensitive value hashes — so every computed column is
+aliased identically on both sides, doubles are rounded identically, and
+integer widths are cast to match.
+
+Extraction queries run over the deterministic synthetic pages table
+(fixtures.py), materialized once to a shared path that BOTH engines
+read; dedup/similarity/text/multimodal/relational queries run over the
+driver-provided documents/embeddings/events/TPC-H-ish tables.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import types as T
+
+from .fixtures import write_pages_parquet
+from .ops import dedup, multimodal, similarity, textstats
+
+# -- shared pages table -------------------------------------------------------
+
+N_PAGES = 1200
+PAGES_PATH = f"/tmp/ekspark_pages_v1_{N_PAGES}.parquet"
+
+
+def ensure_pages(path: str = PAGES_PATH, n: int = N_PAGES) -> str:
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        write_pages_parquet(tmp, n)
+        os.replace(tmp, path)
+    return path
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# magic prefixes as hex (cross-engine comparable via hex(substring(...)))
+_HEX_PDF = b"%PDF-".hex().upper()
+_HEX_ZIP = b"PK\x03\x04".hex().upper()
+_HEX_PNG = b"\x89PNG".hex().upper()
+_HEX_HTML = b"<!DO".hex().upper()
+
+
+# -- extraction queries -------------------------------------------------------
+
+_FLAGSHIP_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("doc_kind", T.StringType()),
+    T.StructField("status", T.StringType()),
+    T.StructField("title", T.StringType()),
+    T.StructField("text_len", T.LongType()),
+    T.StructField("n_spans", T.LongType()),
+    T.StructField("ok", T.BooleanType()),
+])
+
+
+def _extract_flagship_batches(batches: Iterator[pd.DataFrame]) \
+        -> Iterator[pd.DataFrame]:
+    from .kernels.extract import extract_document
+    for pdf in batches:
+        rows = []
+        for url, payload in zip(pdf["url"].tolist(),
+                                pdf["html"].tolist()):
+            r = extract_document(url, payload)
+            rows.append({
+                "url": url,
+                "doc_kind": r["doc_kind"],
+                "status": r["status"],
+                "title": r["title"],
+                "text_len": len(r["extracted_text"]),
+                "n_spans": len(r["spans"]),
+                "ok": r["validation"]["success"],
+            })
+        yield pd.DataFrame(rows)
+
+
+def q_ext_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full extraction pipeline (detect → parse → boilerplate →
+    serialize → validate) over the synthetic pages table."""
+    ensure_pages()
+    pages = spark.read.parquet(PAGES_PATH).select("url", "html")
+    return (pages.repartition(8, F.xxhash64("url"))
+            .mapInPandas(_extract_flagship_batches,
+                         schema=_FLAGSHIP_SCHEMA))
+
+
+def _pages_with_kind(spark: SparkSession) -> DataFrame:
+    ensure_pages()
+    pages = spark.read.parquet(PAGES_PATH)
+    h5 = F.hex(F.substring("html", 1, 5))
+    kind = (F.when(F.length("html") == 0, "empty")
+            .when(h5 == _HEX_PDF, "pdf")
+            .when(h5.startswith(_HEX_ZIP), "zip")
+            .when(h5.startswith(_HEX_PNG), "png")
+            .when(h5.startswith(_HEX_HTML), "html")
+            .otherwise("other"))
+    return pages.withColumn("kind", kind)
+
+
+def q_ext_detect_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized magic-byte sniff (D1) as plan-side expressions —
+    whole-stage codegen, no Python."""
+    return _pages_with_kind(spark).select("url", "kind")
+
+
+_ORACLE_DETECT = f"""
+SELECT url,
+       CASE WHEN octet_length(html) = 0 THEN 'empty'
+            WHEN starts_with(hex(html), '{_HEX_PDF}') THEN 'pdf'
+            WHEN starts_with(hex(html), '{_HEX_ZIP}') THEN 'zip'
+            WHEN starts_with(hex(html), '{_HEX_PNG}') THEN 'png'
+            WHEN starts_with(hex(html), '{_HEX_HTML}') THEN 'html'
+            ELSE 'other' END AS kind
+FROM read_parquet('{PAGES_PATH}')
+"""
+
+
+def q_ext_title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Title rule O6's regexp half over raw html (plan-side regexp —
+    the kernel path is validated separately against goldens)."""
+    df = _pages_with_kind(spark).where(F.col("kind") == "html")
+    s = F.decode(F.col("html"), "UTF-8")
+    return df.select(
+        "url",
+        F.regexp_extract(s, "<h1>([^<]*)</h1>", 1).alias("h1_title"),
+        F.regexp_extract(s, "<title>([^<]*)</title>", 1)
+        .alias("head_title"))
+
+
+_ORACLE_TITLE = f"""
+WITH p AS (SELECT url, decode(html) AS s FROM
+           read_parquet('{PAGES_PATH}')
+           WHERE starts_with(hex(html), '{_HEX_HTML}'))
+SELECT url,
+       coalesce(regexp_extract(s, '<h1>([^<]*)</h1>', 1), '')
+           AS h1_title,
+       coalesce(regexp_extract(s, '<title>([^<]*)</title>', 1), '')
+           AS head_title
+FROM p
+"""
+
+
+def q_ext_link_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-density raw signals (O16/§2.7) as pure expressions:
+    anchor count and html length per page."""
+    df = _pages_with_kind(spark).where(F.col("kind") == "html")
+    s = F.decode(F.col("html"), "UTF-8")
+    n_links = ((F.length(s) - F.length(F.regexp_replace(
+        s, "<a href", ""))) / F.lit(7)).cast("long")
+    return df.select("url", n_links.alias("n_links"),
+                     F.length(s).alias("html_chars"))
+
+
+_ORACLE_LINK_STATS = f"""
+WITH p AS (SELECT url, decode(html) AS s FROM
+           read_parquet('{PAGES_PATH}')
+           WHERE starts_with(hex(html), '{_HEX_HTML}'))
+SELECT url,
+       ((length(s) - length(replace(s, '<a href', ''))) // 7)::BIGINT
+           AS n_links,
+       length(s)::BIGINT AS html_chars
+FROM p
+"""
+
+
+def q_ext_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine/metrics rollup (the reference's I6 fold as a real
+    aggregation): rows per (doc_kind, status)."""
+    return (q_ext_flagship(spark, sf_dir)
+            .groupBy("doc_kind", "status")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("text_len")).alias("total_text_chars")))
+
+
+# -- text analysis -------------------------------------------------------------
+
+_STOP_EN = ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS)
+_STOP_FR = ", ".join(f"'{w}'" for w in textstats.FR_STOPWORDS)
+
+
+def q_ts_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return textstats.with_text_stats(docs).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+        "quality_score", "fingerprint", "lang_pred")
+
+
+_ORACLE_TS_STATS = f"""
+WITH b AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+         END AS n_tokens,
+         len(regexp_split_to_array(text, '[.,!?;:]')) - 1 AS n_punct,
+         length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+         END AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         len(list_filter(toks, w -> w IN ({_STOP_EN}))) AS en,
+         len(list_filter(toks, w -> w IN ({_STOP_FR}))) AS fr,
+         round(CASE WHEN n_chars > 0
+                    THEN n_punct::DOUBLE / n_chars ELSE 0.0 END, 6)
+             AS punct_ratio,
+         text
+  FROM b),
+d AS (
+  SELECT doc_id, n_tokens, punct_ratio, en, fr,
+         round(CASE WHEN n_tokens > 0
+                    THEN (en + fr)::DOUBLE / n_tokens ELSE 0.0 END, 6)
+             AS stopword_ratio,
+         text
+  FROM c)
+SELECT doc_id,
+       n_tokens::INTEGER AS n_tokens,
+       punct_ratio,
+       stopword_ratio,
+       round(least(1.0, n_tokens / 50.0)
+             * (1.0 - least(1.0, punct_ratio * 5))
+             * (1.0 - least(1.0, stopword_ratio)), 6) AS quality_score,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+           AS fingerprint,
+       CASE WHEN fr > en THEN 'fr' WHEN en > fr THEN 'en'
+            ELSE 'und' END AS lang_pred
+FROM d
+"""
+
+
+# -- dedup ----------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return dedup.exact_duplicates(docs)
+
+
+_ORACLE_DEDUP_EXACT = """
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+           AS fingerprint,
+       min(doc_id)::BIGINT AS canonical_id,
+       count(*)::BIGINT AS n_docs
+FROM documents GROUP BY 1
+"""
+
+JACCARD_T = 0.82
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return dedup.jaccard_pairs(docs, threshold=JACCARD_T, n=3)
+
+
+_ORACLE_JACCARD = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(len(toks) - 1, 1)),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+             AS grams
+  FROM t),
+e AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
+sz AS (SELECT doc_id, len(grams) AS sh_size FROM g),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+j AS (
+  SELECT id_a, id_b,
+         round(shared::DOUBLE
+               / (sa.sh_size + sb.sh_size - shared), 6) AS jaccard
+  FROM shared
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, jaccard
+FROM j WHERE jaccard >= {JACCARD_T}
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return dedup.minhash_lsh_pairs(docs, threshold=JACCARD_T)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return dedup.simhash_pairs(docs, max_hamming=3)
+
+
+COSINE_T = 0.45
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return dedup.embedding_near_dup_pairs(emb, threshold=COSINE_T)
+
+
+_ORACLE_EMB_PAIRS = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 6) >= {COSINE_T}
+"""
+
+N_ANN_QUERIES = 20
+ANN_K = 5
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < N_ANN_QUERIES)
+    return similarity.cosine_topk(emb, queries, k=ANN_K)
+
+
+_ORACLE_ANN = f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {N_ANN_QUERIES}),
+c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (SELECT qid, nid,
+             round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+      FROM q, c WHERE nid != qid),
+r AS (SELECT qid, nid, cosine,
+             row_number() OVER (ORDER BY cosine DESC, nid ASC)
+                 AS g_rank,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, nid ASC) AS rank
+      FROM s)
+SELECT qid::BIGINT AS query_id, nid::BIGINT AS neighbor_id, cosine,
+       rank::INTEGER AS rank
+FROM r WHERE rank <= {ANN_K}
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < N_ANN_QUERIES)
+    return similarity.ann_lsh_topk(emb, queries, k=ANN_K)
+
+
+# -- multimodal -----------------------------------------------------------------
+
+def q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (spark.read.parquet(_t(sf_dir, "documents"))
+            .select("doc_id", F.encode("text", "UTF-8").alias("payload")))
+    return multimodal.media_metadata_sql(docs, "doc_id", "payload")
+
+
+_ORACLE_MM_META = """
+WITH p AS (SELECT doc_id, text, encode(text) AS b FROM documents)
+SELECT doc_id::BIGINT AS media_id,
+       octet_length(b)::BIGINT AS n_bytes,
+       substring(hex(b), 1, 8) AS magic_hex,
+       md5(text) AS content_hash,  -- md5(BLOB) unsupported; same bytes
+       (octet_length(b) % 1920)::INTEGER AS fake_width,
+       ((octet_length(b) // 1920) % 1080)::INTEGER AS fake_height
+FROM p
+"""
+
+FRAME_STRIDE = 64
+
+
+def q_mm_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (spark.read.parquet(_t(sf_dir, "documents"))
+            .select("doc_id", F.encode("text", "UTF-8").alias("payload")))
+    return multimodal.frame_sample_plan(docs, "doc_id", "payload",
+                                        frame_stride=FRAME_STRIDE)
+
+
+_ORACLE_MM_FRAMES = f"""
+WITH p AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n
+           FROM documents)
+SELECT doc_id::BIGINT AS media_id, n AS n_bytes,
+       CASE WHEN n > 0 THEN range(0, n, {FRAME_STRIDE})
+            ELSE []::BIGINT[] END AS frame_offsets,
+       CASE WHEN n > 0 THEN len(range(0, n, {FRAME_STRIDE}))
+            ELSE 0 END::INTEGER AS n_frames
+FROM p
+"""
+
+
+# -- events / relational ----------------------------------------------------------
+
+SESSION_GAP_S = 1800
+
+
+def q_evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap session breaks per user — the window-
+    function pattern a training pipeline uses for event grouping."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(
+        F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    return (ev.withColumn("new_s", new_s)
+            .groupBy("user_id")
+            .agg(F.sum("new_s").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value")))
+
+
+_ORACLE_SESSIONIZE = f"""
+WITH x AS (
+  SELECT user_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts)
+                      > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id::BIGINT AS user_id,
+       sum(new_s)::BIGINT AS n_sessions,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS total_value
+FROM x GROUP BY user_id
+"""
+
+
+def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style aggregation (hash agg with map-side partials)."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return (li.where(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2)
+                 .alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+_ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)
+           AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_rel_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style join + agg + top-N; the small dimension side
+    (customer filter) is broadcast explicitly."""
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    building = cust.where(F.col("c_mktsegment") == "BUILDING") \
+        .select("c_custkey")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(building),
+                  orders.o_custkey == F.col("c_custkey"))
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+            .limit(10))
+
+
+_ORACLE_TOP_REVENUE = """
+SELECT o_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_rel_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-by-key via window row_number (the resume/dedup-by-url
+    pattern from SURVEY.md §2.11)."""
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (orders.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("o_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice"))
+
+
+_ORACLE_LATEST_ORDER = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders)
+WHERE rn = 1
+"""
+
+
+# -- registry --------------------------------------------------------------------
+
+QUERIES = {
+    "ext_flagship": q_ext_flagship,
+    "ext_detect_kind": q_ext_detect_kind,
+    "ext_title": q_ext_title,
+    "ext_link_stats": q_ext_link_stats,
+    "ext_status_counts": q_ext_status_counts,
+    "ts_stats": q_ts_stats,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_topk": q_ann_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "mm_media_meta": q_mm_media_meta,
+    "mm_frame_plan": q_mm_frame_plan,
+    "evt_sessionize": q_evt_sessionize,
+    "rel_pricing_summary": q_rel_pricing_summary,
+    "rel_top_revenue": q_rel_top_revenue,
+    "rel_latest_order": q_rel_latest_order,
+}
+
+# queries WITHOUT oracle entries (non-SQL-expressible / approximate):
+#   ext_flagship, ext_status_counts — full kernel extraction (DOM walk,
+#       boilerplate scoring); validated against committed byte goldens
+#       in tests/test_goldens.py + tests/test_pipeline.py instead.
+#   dedup_minhash_lsh — approximate-by-design; recall vs the exact
+#       jaccard oracle is asserted in tests/test_ops.py.
+#   dedup_simhash — 64-bit signature banding; properties tested.
+#   ann_lsh_topk — approximate; recall vs ann_topk tested.
+ORACLES = {
+    "ext_detect_kind": _ORACLE_DETECT,
+    "ext_title": _ORACLE_TITLE,
+    "ext_link_stats": _ORACLE_LINK_STATS,
+    "ts_stats": _ORACLE_TS_STATS,
+    "dedup_exact": _ORACLE_DEDUP_EXACT,
+    "dedup_jaccard": _ORACLE_JACCARD,
+    "dedup_embedding": _ORACLE_EMB_PAIRS,
+    "ann_topk": _ORACLE_ANN,
+    "mm_media_meta": _ORACLE_MM_META,
+    "mm_frame_plan": _ORACLE_MM_FRAMES,
+    "evt_sessionize": _ORACLE_SESSIONIZE,
+    "rel_pricing_summary": _ORACLE_PRICING,
+    "rel_top_revenue": _ORACLE_TOP_REVENUE,
+    "rel_latest_order": _ORACLE_LATEST_ORDER,
+}

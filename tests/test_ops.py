@@ -1,0 +1,83 @@
+"""Property tests for the approximate (non-oracle-able) operators:
+MinHash-LSH recall vs exact Jaccard, hyperplane-LSH ANN recall vs exact
+top-k, SimHash behavior on near-identical docs."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from extract_kit_spark.ops import dedup, similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_minhash_lsh_recall_and_precision(spark, docs):
+    t = 0.82
+    exact = {(r["id_a"], r["id_b"])
+             for r in dedup.jaccard_pairs(docs, threshold=t).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in dedup.minhash_lsh_pairs(docs, threshold=t).collect()}
+    # precision is 1.0 by construction (candidates are exact-verified)
+    assert lsh <= exact
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.8, f"minhash recall {recall:.2f}"
+
+
+def test_minhash_identical_docs_always_pair(spark):
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "totally different words here nothing shared at all")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.minhash_lsh_pairs(df, threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"])
+            for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_simhash_near_identical(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep dark forest tonight")
+    rows = [(1, base), (2, base), (3, base + " extra"),
+            (4, "completely unrelated vocabulary cluster zone")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_pairs(df, max_hamming=6).collect()}
+    assert pairs.get((1, 2)) == 0          # identical → distance 0
+    assert (1, 3) in pairs or (2, 3) in pairs  # one extra token: close
+    assert (1, 4) not in pairs
+
+
+def test_ann_lsh_recall(spark, emb):
+    exact = dedup  # noqa: F841 (readability)
+    ex = {(r["query_id"], r["neighbor_id"])
+          for r in similarity.cosine_topk(
+              emb, emb.where(F.col("vec_id") < 20), k=5).collect()}
+    ap = {(r["query_id"], r["neighbor_id"])
+          for r in similarity.ann_lsh_topk(
+              emb, emb.where(F.col("vec_id") < 20), k=5).collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.75, f"ann lsh recall {recall:.2f}"
+
+
+def test_dedup_exact_keeps_one_per_group(spark):
+    rows = [(1, "same text"), (2, "same  TEXT "), (3, "other")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = sorted(r["doc_id"]
+                  for r in dedup.dedup_exact(df).collect())
+    assert kept == [1, 3]  # normalized equality collapses 1 and 2
+
+
+def test_embedding_pairs_symmetric_free(spark, emb):
+    pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.45)
+    bad = pairs.where(F.col("id_a") >= F.col("id_b")).count()
+    assert bad == 0
