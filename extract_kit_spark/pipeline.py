@@ -128,11 +128,14 @@ def run_extraction(spark: SparkSession,
                    DEFAULT_TARGET_PARTITION_BYTES,
                    max_doc_bytes: int = MAX_DOC_BYTES,
                    resume: bool = True,
-                   fail_after_groups: int | None = None) -> dict:
+                   fail_after_groups: int | None = None,
+                   fail_before_commit_group: int | None = None) -> dict:
     """Run (or resume) the extraction job. Returns a summary dict.
 
-    ``fail_after_groups`` is a test hook: raise after k committed groups
-    to exercise kill-and-resume semantics.
+    Test hooks: ``fail_after_groups`` raises after k committed groups;
+    ``fail_before_commit_group`` raises after group k's DATA write but
+    before its manifest commit (the crash window where idempotent
+    re-writes matter).
     """
     job_id = job_id or f"extract-{uuid.uuid4().hex[:8]}"
     manifest = Manifest(output_dir, job_id)
@@ -170,9 +173,18 @@ def run_extraction(spark: SparkSession,
         shuffled = part.repartition(len(group), "p_bucket")
         extracted = shuffled.mapInPandas(extract_batch,
                                          schema=STAGE_SCHEMA)
-        # deterministic output file contents: sort within partition
+        # deterministic output file contents: sort within partition.
+        # dynamic partition OVERWRITE (not append) makes the group write
+        # idempotent: a crash between write and manifest-commit leaves
+        # orphan bucket data that the resume run simply replaces.
         (extracted.sortWithinPartitions("url")
-         .write.mode("append").partitionBy("p_bucket").parquet(data_dir))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("p_bucket").parquet(data_dir))
+        if fail_before_commit_group is not None \
+                and gi == fail_before_commit_group:
+            raise RuntimeError(
+                f"test hook: killed before commit of group {gi}")
 
         # lineage from the written columns (cheap column-pruned re-scan,
         # avoids caching MB-size text)

@@ -115,6 +115,24 @@ def test_exact_resume_after_kill(spark, pages_path, tmp_path_factory):
     assert df.select("url").distinct().count() == N_ROWS  # no dups
 
 
+def test_resume_after_crash_before_commit(spark, pages_path,
+                                          tmp_path_factory):
+    """Crash in the window between a group's data write and its manifest
+    commit: the rerun must overwrite the orphan bucket data, not
+    duplicate it."""
+    out = str(tmp_path_factory.mktemp("crashwin") / "x")
+    with pytest.raises(RuntimeError, match="before commit"):
+        run_extraction(spark, pages_path, out, job_id="crash-win",
+                       n_buckets=8, commit_group_size=2,
+                       fail_before_commit_group=1)
+    summary = run_extraction(spark, pages_path, out, job_id="crash-win",
+                             n_buckets=8, commit_group_size=2)
+    assert summary["complete"]
+    df = read_extractions(spark, out)
+    assert df.count() == N_ROWS
+    assert df.select("url").distinct().count() == N_ROWS
+
+
 def test_results_independent_of_parallelism(spark, pages_path,
                                             tmp_path_factory):
     """Same input at different bucket counts → same (url, text) set.
