@@ -439,14 +439,9 @@ def gen_pages(n: int, seed: int = SEED, oversize_every: int = 0):
     return [gen_page(i, seed, oversize_every) for i in range(n)]
 
 
-def write_pages_parquet(path: str, n: int, seed: int = SEED,
-                        oversize_every: int = 0) -> None:
-    """Write the pages table as parquet with pyarrow (no Spark needed —
-    used by tests and by bench pre-generation)."""
+def _rows_to_arrow(rows: list[dict]):
     import pyarrow as pa
-    import pyarrow.parquet as pq
-    rows = gen_pages(n, seed, oversize_every)
-    table = pa.table({
+    return pa.table({
         "url": [r["url"] for r in rows],
         "warc_ts": pa.array([r["warc_ts"] for r in rows],
                             type=pa.timestamp("us")),
@@ -454,4 +449,31 @@ def write_pages_parquet(path: str, n: int, seed: int = SEED,
         "text": [r["text"] for r in rows],
         "lang": [r["lang"] for r in rows],
     })
-    pq.write_table(table, path)
+
+
+def write_pages_parquet(path: str, n: int, seed: int = SEED,
+                        oversize_every: int = 0) -> None:
+    """Write the pages table as ONE parquet file with pyarrow (no Spark
+    needed — used by tests)."""
+    import pyarrow.parquet as pq
+    pq.write_table(_rows_to_arrow(gen_pages(n, seed, oversize_every)),
+                   path)
+
+
+def write_pages_dir(path: str, n: int, n_files: int = 8,
+                    seed: int = SEED) -> None:
+    """Write the pages table as a DIRECTORY of parquet part files, so a
+    no-shuffle scan parallelizes across files (one task per file)."""
+    import os
+    import pyarrow.parquet as pq
+    os.makedirs(path, exist_ok=True)
+    per = -(-n // n_files)
+    for f in range(n_files):
+        lo, hi = f * per, min((f + 1) * per, n)
+        if lo >= hi:
+            break
+        rows = [gen_page(i, seed) for i in range(lo, hi)]
+        for r in rows:
+            r.pop("_kind")
+        pq.write_table(_rows_to_arrow(rows),
+                       os.path.join(path, f"part-{f:04d}.parquet"))

@@ -363,3 +363,13 @@ run_extraction = run_extraction_bucketed  # back-compat alias for tests
 
 def read_extractions(spark: SparkSession, output_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(output_dir, "data"))
+
+
+def filter_not_done(pages: DataFrame, done: DataFrame) -> DataFrame:
+    """URL-level resume filter (SURVEY.md §2.11 joins row): left_anti
+    join of the input against already-extracted urls. Used when the
+    completed set is NOT aligned to manifest groups (e.g. merging
+    outputs of a prior partial job from another layout). The done side
+    is a single pruned column; Spark broadcasts it when small, and AQE
+    picks SMJ when it isn't."""
+    return pages.join(done.select("url"), on="url", how="left_anti")

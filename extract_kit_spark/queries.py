@@ -21,19 +21,21 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
-from .fixtures import write_pages_parquet
+from .fixtures import write_pages_dir
 from .ops import dedup, multimodal, similarity, textstats
 
-# -- shared pages table -------------------------------------------------------
+# -- shared pages table (a DIRECTORY of part files so the no-shuffle
+# scan parallelizes; the DuckDB oracle reads the same files via glob) --------
 
 N_PAGES = 1200
-PAGES_PATH = f"/tmp/ekspark_pages_v1_{N_PAGES}.parquet"
+PAGES_PATH = f"/tmp/ekspark_pages_v2_{N_PAGES}"
+PAGES_GLOB = f"{PAGES_PATH}/*.parquet"
 
 
 def ensure_pages(path: str = PAGES_PATH, n: int = N_PAGES) -> str:
-    if not os.path.exists(path):
+    if not os.path.isdir(path):
         tmp = path + ".tmp"
-        write_pages_parquet(tmp, n)
+        write_pages_dir(tmp, n, n_files=8)
         os.replace(tmp, path)
     return path
 
@@ -84,12 +86,13 @@ def _extract_flagship_batches(batches: Iterator[pd.DataFrame]) \
 
 def q_ext_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full extraction pipeline (detect → parse → boilerplate →
-    serialize → validate) over the synthetic pages table."""
+    serialize → validate) over the synthetic pages table — the
+    no-shuffle scan plan (scan → mapInPandas), same dataflow as
+    pipeline.run_extraction_scan."""
     ensure_pages()
     pages = spark.read.parquet(PAGES_PATH).select("url", "html")
-    return (pages.repartition(8, F.xxhash64("url"))
-            .mapInPandas(_extract_flagship_batches,
-                         schema=_FLAGSHIP_SCHEMA))
+    return pages.mapInPandas(_extract_flagship_batches,
+                             schema=_FLAGSHIP_SCHEMA)
 
 
 def _pages_with_kind(spark: SparkSession) -> DataFrame:
@@ -119,7 +122,7 @@ SELECT url,
             WHEN starts_with(hex(html), '{_HEX_PNG}') THEN 'png'
             WHEN starts_with(hex(html), '{_HEX_HTML}') THEN 'html'
             ELSE 'other' END AS kind
-FROM read_parquet('{PAGES_PATH}')
+FROM read_parquet('{PAGES_GLOB}')
 """
 
 
@@ -137,7 +140,7 @@ def q_ext_title(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_TITLE = f"""
 WITH p AS (SELECT url, decode(html) AS s FROM
-           read_parquet('{PAGES_PATH}')
+           read_parquet('{PAGES_GLOB}')
            WHERE starts_with(hex(html), '{_HEX_HTML}'))
 SELECT url,
        coalesce(regexp_extract(s, '<h1>([^<]*)</h1>', 1), '')
@@ -161,7 +164,7 @@ def q_ext_link_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_LINK_STATS = f"""
 WITH p AS (SELECT url, decode(html) AS s FROM
-           read_parquet('{PAGES_PATH}')
+           read_parquet('{PAGES_GLOB}')
            WHERE starts_with(hex(html), '{_HEX_HTML}'))
 SELECT url,
        ((length(s) - length(replace(s, '<a href', ''))) // 7)::BIGINT
@@ -339,8 +342,6 @@ s AS (SELECT qid, nid,
                       * sqrt(list_dot_product(cv, cv))), 6) AS cosine
       FROM q, c WHERE nid != qid),
 r AS (SELECT qid, nid, cosine,
-             row_number() OVER (ORDER BY cosine DESC, nid ASC)
-                 AS g_rank,
              row_number() OVER (PARTITION BY qid
                                 ORDER BY cosine DESC, nid ASC) AS rank
       FROM s)
@@ -413,7 +414,7 @@ _ORACLE_DOMAIN_STATS = f"""
 SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS domain,
        count(*)::BIGINT AS n_pages,
        sum(octet_length(html))::BIGINT AS total_bytes
-FROM read_parquet('{PAGES_PATH}')
+FROM read_parquet('{PAGES_GLOB}')
 GROUP BY 1
 """
 
