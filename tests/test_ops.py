@@ -58,7 +58,6 @@ def test_simhash_near_identical(spark):
 
 
 def test_ann_lsh_recall(spark, emb):
-    exact = dedup  # noqa: F841 (readability)
     ex = {(r["query_id"], r["neighbor_id"])
           for r in similarity.cosine_topk(
               emb, emb.where(F.col("vec_id") < 20), k=5).collect()}
@@ -81,3 +80,30 @@ def test_embedding_pairs_symmetric_free(spark, emb):
     pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.45)
     bad = pairs.where(F.col("id_a") >= F.col("id_b")).count()
     assert bad == 0
+
+
+def test_multimodal_stub_matches_sql_path(spark, docs):
+    """The Python decode stub and the pure-SQL metadata stage must
+    produce identical rows — the contract that lets the expensive
+    decode stage be gated behind SQL-side filtering."""
+    from extract_kit_spark.ops import multimodal
+    payloads = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    via_sql = multimodal.media_metadata_sql(payloads, "doc_id",
+                                            "payload")
+    via_py = multimodal.decode_images(payloads, "doc_id", "payload")
+    assert via_sql.subtract(via_py).count() == 0
+    assert via_py.subtract(via_sql).count() == 0
+
+
+def test_frame_plan_offsets(spark, docs):
+    from extract_kit_spark.ops import multimodal
+    payloads = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    plan = multimodal.frame_sample_plan(payloads, "doc_id", "payload",
+                                        frame_stride=64)
+    row = plan.where(F.col("n_bytes") > 128).first()
+    offs = row["frame_offsets"]
+    assert offs[0] == 0 and all(b - a == 64
+                                for a, b in zip(offs, offs[1:]))
+    assert row["n_frames"] == len(offs)
