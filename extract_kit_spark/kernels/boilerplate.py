@@ -55,30 +55,38 @@ def _is_chrome_named(node: Node) -> bool:
     return bool(_CHROME_RE.search(blob))
 
 
-def _protected(node: Node) -> bool:
+def _protected(node: Node, text: str) -> bool:
     """Blocks that must survive regardless of link density."""
     if node.find(*_KEEP_TAGS) is not None:
         return True
-    return len(node.text_content().strip()) >= LONG_TEXT_CHARS
+    return len(text) >= LONG_TEXT_CHARS
 
 
 def classify_block(node: Node) -> bool:
-    """True if the block is boilerplate (should be removed)."""
+    """True if the block is boilerplate (should be removed).
+
+    The subtree's text is materialized ONCE and threaded through the
+    density/protection checks — text_content() walks dominate the
+    classifier's cost on chrome-heavy pages otherwise."""
     if node.tag in _STRIP_TAGS:
         return True
     if node.tag in ("header", "footer") and node.parent is not None \
             and node.parent.tag in ("body", "html", "#document", "div"):
         return True
-    if _is_chrome_named(node) and not _protected(node):
-        return True
     text = node.text_content().strip()
+    if _is_chrome_named(node) and not _protected(node, text):
+        return True
     if not text:
         # keep empty containers holding structural content (img, hr)
         return node.find("img", "hr", "table") is None
-    ld = link_density(node)
-    if ld > LINK_DENSITY_MAX and not _protected(node):
+    total = len(text)
+    anchor = sum(len(a.text_content().strip())
+                 for a in node.find_all("a"))
+    ld = min(1.0, anchor / total)
+    if ld > LINK_DENSITY_MAX and not _protected(node, text):
         return True
-    if len(text) < SHORT_TEXT_CHARS and ld > 0.25 and not _protected(node):
+    if total < SHORT_TEXT_CHARS and ld > 0.25 \
+            and not _protected(node, text):
         return True
     return False
 

@@ -183,6 +183,89 @@ def q_ext_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("text_len")).alias("total_text_chars")))
 
 
+_INVOICE_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("invoice_number", T.StringType()),
+    T.StructField("invoice_date", T.StringType()),
+    T.StructField("currency", T.StringType()),
+    T.StructField("total_amount", T.DoubleType()),
+    T.StructField("n_line_items", T.IntegerType()),
+    T.StructField("sum_line_totals", T.DoubleType()),
+    T.StructField("coherent", T.BooleanType()),
+])
+
+
+def _extract_invoice_batches(batches: Iterator[pd.DataFrame]) \
+        -> Iterator[pd.DataFrame]:
+    from .kernels.extract import extract_document
+    for pdf in batches:
+        rows = []
+        for url, payload in zip(pdf["url"].tolist(),
+                                pdf["html"].tolist()):
+            r = extract_document(url, payload, profile="invoice")
+            inv = r["fields"]["invoice"] or {}
+            items = inv.get("line_items") or []
+            s = round(sum(li["line_total"] or 0.0 for li in items), 2)
+            total = inv.get("total_amount")
+            rows.append({
+                "url": url,
+                "invoice_number": inv.get("invoice_number"),
+                "invoice_date": inv.get("invoice_date"),
+                "currency": inv.get("currency"),
+                "total_amount": total,
+                "n_line_items": len(items),
+                "sum_line_totals": s,
+                "coherent": (total is not None
+                             and abs(s - total) <= 0.01),
+            })
+        yield pd.DataFrame(rows)
+
+
+def q_ext_invoice_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured invoice extraction (the Q6 analogue's typed output):
+    the KERNEL parses the DOM and fills ComprehensiveInvoiceSchema
+    fields; the oracle re-derives the same fields with independent SQL
+    regexes over the raw html — a true dual implementation of the
+    extraction semantics, incl. the V4 coherence check."""
+    ensure_pages()
+    pages = spark.read.parquet(PAGES_PATH)
+    s = F.decode(F.col("html"), "UTF-8")
+    invoices = (_pages_with_kind(spark)
+                .where((F.col("kind") == "html")
+                       & s.contains("Invoice Number:"))
+                .select("url", "html"))
+    return invoices.mapInPandas(_extract_invoice_batches,
+                                schema=_INVOICE_SCHEMA)
+
+
+_ORACLE_INVOICE = f"""
+WITH p AS (
+  SELECT url, decode(html) AS s
+  FROM read_parquet('{PAGES_GLOB}')
+  WHERE starts_with(hex(html), '{_HEX_HTML}')
+    AND contains(decode(html), 'Invoice Number:')),
+f AS (
+  SELECT url,
+         regexp_extract(s, 'Invoice Number: (\\S+?)<', 1)
+             AS invoice_number,
+         regexp_extract(s, 'Invoice Date: ([0-9-]+)', 1)
+             AS invoice_date,
+         regexp_extract(s, 'Currency: ([A-Z]{{3}})', 1) AS currency,
+         CAST(regexp_extract(s, 'Total: ([0-9.]+)', 1) AS DOUBLE)
+             AS total_amount,
+         list_transform(
+             regexp_extract_all(s, '<td>([0-9.]+)</td></tr>', 1),
+             x -> CAST(x AS DOUBLE)) AS line_totals
+  FROM p)
+SELECT url, invoice_number, invoice_date, currency, total_amount,
+       len(line_totals)::INTEGER AS n_line_items,
+       round(list_sum(line_totals), 2) AS sum_line_totals,
+       abs(round(list_sum(line_totals), 2) - total_amount) <= 0.01
+           AS coherent
+FROM f
+"""
+
+
 # -- text analysis -------------------------------------------------------------
 
 _STOP_EN = ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS)
@@ -546,6 +629,7 @@ QUERIES = {
     "ext_title": q_ext_title,
     "ext_link_stats": q_ext_link_stats,
     "ext_status_counts": q_ext_status_counts,
+    "ext_invoice_fields": q_ext_invoice_fields,
     "ts_stats": q_ts_stats,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -575,6 +659,7 @@ ORACLES = {
     "ext_detect_kind": _ORACLE_DETECT,
     "ext_title": _ORACLE_TITLE,
     "ext_link_stats": _ORACLE_LINK_STATS,
+    "ext_invoice_fields": _ORACLE_INVOICE,
     "ts_stats": _ORACLE_TS_STATS,
     "dedup_exact": _ORACLE_DEDUP_EXACT,
     "dedup_jaccard": _ORACLE_JACCARD,

@@ -306,6 +306,55 @@ def test_docx_math_to_latex():
         break
 
 
+# -- fast parser ≡ stdlib parser -------------------------------------------------
+
+def _tree_repr(node):
+    if node.is_text:
+        return ("#text", node.text)
+    return (node.tag, tuple(sorted(node.attrs.items())),
+            tuple(_tree_repr(c) for c in node.children))
+
+
+def test_fast_parser_equivalent_to_stdlib_on_all_fixtures():
+    from extract_kit_spark.kernels.html_dom import (parse_html,
+                                                    parse_html_stdlib)
+    from extract_kit_spark.kernels.docx import docx_to_html
+    checked = 0
+    for i in range(400):
+        row = gen_page(i)
+        kind = row["_kind"]
+        if kind in ("pdf_doc", "broken"):
+            continue
+        if kind == "docx_doc":
+            html = docx_to_html(row["html"])
+        else:
+            html = row["html"].decode("utf-8")
+        fast = _tree_repr(parse_html(html))
+        std = _tree_repr(parse_html_stdlib(html))
+        assert fast == std, f"parser divergence at row {i} ({kind})"
+        checked += 1
+    assert checked > 300
+
+
+def test_fast_parser_edge_cases():
+    from extract_kit_spark.kernels.html_dom import (parse_html,
+                                                    parse_html_stdlib)
+    cases = [
+        "<p>unclosed <p>implicit close</p>",
+        "<ul><li>a<li>b</ul>",
+        "<table><tr><td>x<td>y<tr><td>z</table>",
+        "<!-- comment --><p>after &amp; entity &#65;</p>",
+        "<a href='s q'>q</a><img src=bare alt=\"a&quot;b\"/>",
+        "<div class=\"x\"><script>var a = '<p>';</script>kept</div>",
+        "text only, no tags",
+        "<p>dangling",
+        "",
+    ]
+    for html in cases:
+        assert _tree_repr(parse_html(html)) == \
+            _tree_repr(parse_html_stdlib(html)), html
+
+
 # -- determinism ---------------------------------------------------------------
 
 def test_extraction_deterministic_and_order_independent():
