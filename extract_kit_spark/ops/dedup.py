@@ -83,17 +83,51 @@ def shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def _shingle_postings(df: DataFrame, n: int, id_col: str,
+                      text_col: str) -> DataFrame:
+    """(id, shingle, sh_size) exploded postings via a pandas stage —
+    Spark's higher-order functions evaluate interpreted per element, so
+    building shingles plan-side costs more than the join it feeds;
+    plain Python string slicing is ~10× faster per doc. The shingle
+    STRINGS are identical to shingles() / the SQL oracle."""
+    out_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("shingle", T.StringType()),
+        T.StructField("sh_size", T.IntegerType()),
+    ])
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, shs, szs = [], [], []
+            for did, text in zip(pdf[id_col].tolist(),
+                                 pdf[text_col].tolist()):
+                toks = (text or "").lower().split()
+                if len(toks) < n:
+                    continue
+                grams = {" ".join(toks[i:i + n])
+                         for i in range(len(toks) - n + 1)}
+                k = len(grams)
+                for g in grams:
+                    ids.append(did)
+                    shs.append(g)
+                    szs.append(k)
+            yield pd.DataFrame({"id": ids, "shingle": shs,
+                                "sh_size": szs})
+
+    return (df.select(F.col(id_col).cast("long").alias(id_col),
+                      text_col)
+            .mapInPandas(compute, schema=out_schema))
+
+
 def jaccard_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3,
                   id_col: str = "doc_id", text_col: str = "text",
                   max_df: int | None = None) -> DataFrame:
     """Exact n-gram-Jaccard similar pairs (id_a < id_b, jaccard ≥ t)
     via the shingle inverted index. ``max_df`` caps shingle document
     frequency (skew guard; None = off for small data)."""
-    sh = (df.select(F.col(id_col).alias("id"),
-                    shingles(F.col(text_col), n).alias("sh"))
-          .withColumn("sh_size", F.size("sh")))
-    sizes = sh.select("id", "sh_size")
-    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    postings = _shingle_postings(df, n, id_col, text_col)
+    sizes = postings.select("id", "sh_size").distinct()
+    inv = postings.select("id", "shingle")
     if max_df is not None:
         hot = (inv.groupBy("shingle").count()
                .where(F.col("count") > max_df).select("shingle"))
@@ -321,13 +355,25 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.45,
     """Exact cosine-threshold pairs (brute-force self-join). Correctness
     baseline / verification path — at scale, candidates come from the
     hyperplane-LSH buckets in similarity.py and this join runs only
-    within buckets."""
+    within buckets.
+
+    Vectors are L2-normalized BEFORE the join (O(n) work), so the O(n²)
+    pair stage evaluates a single zip_with/aggregate dot product instead
+    of three — higher-order functions are interpreted per element, so
+    shaving HOFs off the quadratic stage is a ~3× win."""
     e = df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("v"))
-    return (e.alias("a").join(e.alias("b"),
-                              F.col("a.id") < F.col("b.id"))
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col("v"), lambda x: x * x),
+        F.lit(0.0), lambda acc, x: acc + x))
+    en = e.select("id", F.transform(
+        "v", lambda x: x / norm).alias("nv"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a.nv"), F.col("b.nv"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (en.alias("a").join(en.alias("b"),
+                               F.col("a.id") < F.col("b.id"))
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"),
-                    F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
-                    .alias("cosine"))
+                    F.round(dot, 6).alias("cosine"))
             .where(F.col("cosine") >= threshold))

@@ -338,11 +338,14 @@ FROM documents GROUP BY 1
 """
 
 JACCARD_T = 0.82
+JACCARD_MAX_DF = 100  # skew guard: drop shingles in >100 docs (mirrored
+#                       in the oracle, so results stay comparable)
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(_t(sf_dir, "documents"))
-    return dedup.jaccard_pairs(docs, threshold=JACCARD_T, n=3)
+    return dedup.jaccard_pairs(docs, threshold=JACCARD_T, n=3,
+                               max_df=JACCARD_MAX_DF)
 
 
 _ORACLE_JACCARD = f"""
@@ -357,7 +360,11 @@ g AS (
              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
              AS grams
   FROM t),
-e AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
+e0 AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
+hot AS (SELECT shingle FROM e0 GROUP BY shingle
+        HAVING count(*) > {JACCARD_MAX_DF}),
+e AS (SELECT doc_id, shingle FROM e0
+      WHERE shingle NOT IN (SELECT shingle FROM hot)),
 sz AS (SELECT doc_id, len(grams) AS sh_size FROM g),
 shared AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
@@ -393,16 +400,18 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_pairs(emb, threshold=COSINE_T)
 
 
+# NOTE: normalize-then-dot, in the SAME operation order as the Spark
+# side, so the 6-dp rounding sees bit-identical doubles
 _ORACLE_EMB_PAIRS = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                 AS nv
+      FROM e)
 SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
-       round(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v))
-                * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v))
-               * sqrt(list_dot_product(b.v, b.v))), 6) >= {COSINE_T}
+       round(list_dot_product(a.nv, b.nv), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.nv, b.nv), 6) >= {COSINE_T}
 """
 
 N_ANN_QUERIES = 20
