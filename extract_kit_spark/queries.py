@@ -44,6 +44,43 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _ensure_importable(spark: SparkSession) -> None:
+    """Module-level UDF functions pickle BY REFERENCE, so executor
+    Python workers must be able to import extract_kit_spark. When the
+    hosting process didn't put the repo on the workers' path (e.g. a
+    driver running from another cwd), ship the package via addPyFile —
+    the same mechanism spark-submit --py-files uses."""
+    if getattr(spark, "_ekspark_pyfiles", False):
+        return
+    try:
+        import extract_kit_spark  # noqa: F401
+        probe = spark.sparkContext.parallelize([0], 1).map(
+            lambda _: __import__("extract_kit_spark").__name__)
+        probe.collect()
+        spark._ekspark_pyfiles = True
+        return
+    except Exception:
+        pass
+    import zipfile
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = "/tmp/ekspark_pkg.zip"
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(
+                        "extract_kit_spark",
+                        os.path.relpath(full, pkg_dir))
+                    z.write(full, rel)
+        os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    spark._ekspark_pyfiles = True
+
+
 # magic prefixes as hex (cross-engine comparable via hex(substring(...)))
 _HEX_PDF = b"%PDF-".hex().upper()
 _HEX_ZIP = b"PK\x03\x04".hex().upper()
@@ -89,6 +126,7 @@ def q_ext_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialize → validate) over the synthetic pages table — the
     no-shuffle scan plan (scan → mapInPandas), same dataflow as
     pipeline.run_extraction_scan."""
+    _ensure_importable(spark)
     ensure_pages()
     pages = spark.read.parquet(PAGES_PATH).select("url", "html")
     return pages.mapInPandas(_extract_flagship_batches,
@@ -227,6 +265,7 @@ def q_ext_invoice_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     fields; the oracle re-derives the same fields with independent SQL
     regexes over the raw html — a true dual implementation of the
     extraction semantics, incl. the V4 coherence check."""
+    _ensure_importable(spark)
     ensure_pages()
     pages = spark.read.parquet(PAGES_PATH)
     s = F.decode(F.col("html"), "UTF-8")
@@ -343,6 +382,7 @@ JACCARD_MAX_DF = 100  # skew guard: drop shingles in >100 docs (mirrored
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_importable(spark)
     docs = spark.read.parquet(_t(sf_dir, "documents"))
     return dedup.jaccard_pairs(docs, threshold=JACCARD_T, n=3,
                                max_df=JACCARD_MAX_DF)
@@ -383,11 +423,13 @@ FROM j WHERE jaccard >= {JACCARD_T}
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_importable(spark)
     docs = spark.read.parquet(_t(sf_dir, "documents"))
     return dedup.minhash_lsh_pairs(docs, threshold=JACCARD_T)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_importable(spark)
     docs = spark.read.parquet(_t(sf_dir, "documents"))
     return dedup.simhash_pairs(docs, max_hamming=3)
 
@@ -444,6 +486,7 @@ FROM r WHERE rank <= {ANN_K}
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_importable(spark)
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < N_ANN_QUERIES)
     return similarity.ann_lsh_topk(emb, queries, k=ANN_K)
