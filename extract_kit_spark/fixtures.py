@@ -292,7 +292,7 @@ def _docx_doc(rng: random.Random) -> bytes:
 # PDF builder (minimal valid PDF 1.4, uncompressed text content streams)
 # ---------------------------------------------------------------------------
 
-def _pdf_doc(rng: random.Random) -> bytes:
+def _pdf_doc(rng: random.Random, compress: bool = False) -> bytes:
     n_pages = rng.randint(1, 3)
     page_streams = []
     for p in range(n_pages):
@@ -325,9 +325,16 @@ def _pdf_doc(rng: random.Random) -> bytes:
         return len(objs)
 
     font = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
-    content_ids = [
-        add(b"<< /Length %d >>\nstream\n%s\nendstream"
-            % (len(s), s)) for s in page_streams]
+    if compress:
+        import zlib as _z
+        page_streams = [_z.compress(s, 6) for s in page_streams]
+        content_ids = [
+            add(b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s"
+                b"\nendstream" % (len(s), s)) for s in page_streams]
+    else:
+        content_ids = [
+            add(b"<< /Length %d >>\nstream\n%s\nendstream"
+                % (len(s), s)) for s in page_streams]
     page_ids = []
     pages_id = len(objs) + len(page_streams) + 1  # reserved after pages
     # simpler: two-pass — compute ids first
@@ -420,6 +427,10 @@ def gen_page(i: int, seed: int = SEED, oversize_every: int = 0,
     if kind == "broken":
         oversize = bool(oversize_every) and i % oversize_every == 0
         payload = _broken(rng, oversize_bytes if oversize else 0)
+    elif kind == "pdf_doc":
+        # every 3rd pdf uses FlateDecode streams (decided OUTSIDE the
+        # rng so the text content — and thus goldens — is unchanged)
+        payload = _pdf_doc(rng, compress=(i % 3 == 0))
     else:
         payload = _BUILDERS[kind](rng)
     return {

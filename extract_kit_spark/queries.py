@@ -28,7 +28,7 @@ from .ops import dedup, multimodal, similarity, textstats
 # scan parallelizes; the DuckDB oracle reads the same files via glob) --------
 
 N_PAGES = 1200
-PAGES_PATH = f"/tmp/ekspark_pages_v2_{N_PAGES}"
+PAGES_PATH = f"/tmp/ekspark_pages_v3_{N_PAGES}"
 PAGES_GLOB = f"{PAGES_PATH}/*.parquet"
 
 

@@ -46,6 +46,9 @@ for i in range(N):
         entry["full_text"] = res["extracted_text"]
         entry["spans"] = res["spans"]
         full_counts[row["_kind"]] = full_counts.get(row["_kind"], 0) + 1
+    # structured-field goldens (FIXTURES.md §2 expected_fields_json)
+    if row["_kind"] in ("invoice_page", "receipt_page", "table_page"):
+        entry["fields_json"] = json.dumps(res["fields"], sort_keys=True)
     goldens[row["url"]] = entry
 
 with open(out_path, "w") as f:

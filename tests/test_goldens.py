@@ -46,6 +46,20 @@ def test_byte_identical_text_per_url(goldens):
         assert len(res["spans"]) == g["n_spans"]
 
 
+def test_structured_fields_vs_goldens(goldens):
+    import json as _json
+    checked = 0
+    for url, g in goldens.items():
+        if "fields_json" not in g:
+            continue
+        row = gen_page(g["i"])
+        res = extract_document(url, row["html"])
+        got = _json.dumps(res["fields"], sort_keys=True)
+        assert got == g["fields_json"], f"fields drift for {url}"
+        checked += 1
+    assert checked >= 30
+
+
 def test_full_text_subset(goldens):
     checked = 0
     for url, g in goldens.items():
