@@ -38,7 +38,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="scan: no payload shuffle, file-group resume "
                         "(default); bucketed: url-hash bucketed output")
     p.add_argument("--n-groups", type=int, default=8,
-                   help="scan layout: commit groups")
+                   help="scan layout: UPPER BOUND on commit groups "
+                        "(actual = ceil(files / ceil(files/n)))")
     p.add_argument("--n-buckets", type=int, default=None)
     p.add_argument("--commit-group-size", type=int, default=8)
     p.add_argument("--target-partition-bytes", type=int,
@@ -61,6 +62,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
 
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
+    import os
+    if "://" not in args.input and not os.path.exists(args.input):
+        print(f"extract_kit_spark: error: --input path does not "
+              f"exist: {args.input}", file=sys.stderr)
+        return 2
     from .session import get_spark
     from .pipeline import run_extraction_bucketed, run_extraction_scan
     spark = get_spark(master=args.master, app_name="extract-kit-run")
