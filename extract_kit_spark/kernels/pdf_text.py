@@ -22,8 +22,9 @@ import zlib
 
 from .errors import ExtractError, INVALID_PDF
 
-_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream",
-                        re.DOTALL)
+_STREAM_HDR_RE = re.compile(rb"<<((?:[^<>]|<<[^>]*>>)*?)>>\s*stream\r?\n",
+                            re.DOTALL)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
 _PAGE_COUNT_RE = re.compile(rb"/Type\s*/Page(?![s/])")
 
 _TOKEN_RE = re.compile(
@@ -242,12 +243,24 @@ def extract_pdf_pages(payload: bytes) -> list[list[str]]:
     if not payload.startswith(b"%PDF-"):
         raise ExtractError(INVALID_PDF, "bad header", phase="pdf-parse")
     pages: list[list[str]] = []
-    for m in _STREAM_RE.finditer(payload):
-        params, raw = m.group(1), m.group(2)
-        if raw.endswith(b"\r\n"):
-            raw = raw[:-2]
-        elif raw.endswith(b"\n"):
-            raw = raw[:-1]
+    for m in _STREAM_HDR_RE.finditer(payload):
+        params = m.group(1)
+        start = m.end()
+        # trust /Length when present: binary (compressed) stream data
+        # can itself contain b"endstream" or end in b"\r", which a
+        # delimiter scan mis-handles; the exact byte count can't
+        lm = _LENGTH_RE.search(params)
+        if lm:
+            raw = payload[start:start + int(lm.group(1))]
+        else:
+            end = payload.find(b"endstream", start)
+            if end == -1:
+                continue
+            raw = payload[start:end]
+            if raw.endswith(b"\r\n"):
+                raw = raw[:-2]
+            elif raw.endswith(b"\n"):
+                raw = raw[:-1]
         if b"/FlateDecode" in params:
             try:
                 raw = zlib.decompress(raw)

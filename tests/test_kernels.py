@@ -228,6 +228,28 @@ def test_pdf_two_column_reading_order():
     assert pages == [["L1", "L2", "R1", "R2"]]
 
 
+def test_pdf_flate_length_slice_regression():
+    """Compressed content streams whose deflate bytes contain
+    endstream-like sequences or trailing CR bytes must decode via the
+    /Length slice, not a delimiter scan. Fixture indices 4413/20103/
+    36519 are seeds where the old scan lost pages."""
+    import random
+    from extract_kit_spark.fixtures import (_pdf_doc, _domain, _slug,
+                                            gen_page)
+    for i in (4413, 20103, 36519):
+        row = gen_page(i)
+        assert row["_kind"] == "pdf_doc" and b"/FlateDecode" in row["html"]
+        rng = random.Random(f"42:{i}")
+        rng.random()
+        _domain(rng)
+        _slug(rng)
+        plain = _pdf_doc(rng, compress=False)
+        a = extract_document(row["url"], row["html"])
+        b = extract_document(row["url"], plain)
+        assert a["extracted_text"] == b["extracted_text"]
+        assert a["extracted_text"]
+
+
 def test_pdf_invalid_raises_taxonomy():
     with pytest.raises(errors.ExtractError) as ei:
         extract_pdf_pages(b"not a pdf")
