@@ -35,13 +35,82 @@ _CHROME_RE = re.compile(
 _KEEP_TAGS = frozenset({"table", "pre", "h1"})
 
 
-def link_density(node: Node) -> float:
+_MEDIA_TAGS = frozenset({"img", "hr", "table"})
+
+
+def compute_stats(root: Node) -> dict:
+    """One post-order pass over the subtree computing, per element node:
+    ``(tlen, lead, trail, anchor, has_keep, has_media)`` where
+
+    - ``tlen``  = len of the concatenated descendant text,
+    - ``lead``/``trail`` = leading/trailing whitespace-run lengths of
+      that concatenation (so stripped length = tlen - lead - trail,
+      clamped at 0 for all-whitespace subtrees),
+    - ``anchor`` = Σ stripped text length over every descendant <a>
+      (self included; nested anchors double-count, matching
+      ``find_all("a")`` + per-anchor ``text_content().strip()``),
+    - ``has_keep``/``has_media`` = _KEEP_TAGS / img-hr-table anywhere
+      in the subtree, self included.
+
+    Makes classify_block O(1) per candidate: without it, nested
+    candidate blocks re-walk shared subtrees (quadratic in depth on
+    chrome-heavy pages — this was the classifier's dominant cost)."""
+    order: list[Node] = []
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        if n.tag != "#text":
+            order.append(n)
+            stack.extend(n.children)
+    stats: dict[int, tuple] = {}
+    for node in reversed(order):
+        tlen = lead = trail = anchor = 0
+        has_keep = node.tag in _KEEP_TAGS
+        has_media = node.tag in _MEDIA_TAGS
+        for c in node.children:
+            if c.tag == "#text":
+                s = c.text
+                ctlen = len(s)
+                clead = ctlen - len(s.lstrip())
+                ctrail = ctlen if clead == ctlen \
+                    else ctlen - len(s.rstrip())
+                canchor = 0
+                ckeep = cmedia = False
+            else:
+                (ctlen, clead, ctrail, canchor,
+                 ckeep, cmedia) = stats[id(c)]
+            if tlen == lead:          # everything so far is whitespace
+                lead = tlen + clead
+            if ctlen == clead:        # child is all-whitespace/empty
+                trail += ctlen
+            else:
+                trail = ctrail
+            tlen += ctlen
+            anchor += canchor
+            has_keep = has_keep or ckeep
+            has_media = has_media or cmedia
+        if node.tag == "a":
+            stripped = tlen - lead - trail
+            if stripped > 0:
+                anchor += stripped
+        stats[id(node)] = (tlen, lead, trail, anchor, has_keep, has_media)
+    return stats
+
+
+def _stripped_len(st: tuple) -> int:
+    s = st[0] - st[1] - st[2]
+    return s if s > 0 else 0
+
+
+def link_density(node: Node, stats: dict | None = None) -> float:
     """anchor-text chars / total text chars of a subtree (0 if no text)."""
-    total = len(node.text_content().strip())
+    if stats is None:
+        stats = compute_stats(node)
+    st = stats[id(node)]
+    total = _stripped_len(st)
     if total == 0:
         return 0.0
-    anchor = sum(len(a.text_content().strip()) for a in node.find_all("a"))
-    return min(1.0, anchor / total)
+    return min(1.0, st[3] / total)
 
 
 def text_density(node: Node) -> float:
@@ -55,38 +124,31 @@ def _is_chrome_named(node: Node) -> bool:
     return bool(_CHROME_RE.search(blob))
 
 
-def _protected(node: Node, text: str) -> bool:
-    """Blocks that must survive regardless of link density."""
-    if node.find(*_KEEP_TAGS) is not None:
-        return True
-    return len(text) >= LONG_TEXT_CHARS
-
-
-def classify_block(node: Node) -> bool:
+def classify_block(node: Node, stats: dict | None = None) -> bool:
     """True if the block is boilerplate (should be removed).
 
-    The subtree's text is materialized ONCE and threaded through the
-    density/protection checks — text_content() walks dominate the
-    classifier's cost on chrome-heavy pages otherwise."""
+    Density/protection signals come from a precomputed stats table
+    (``compute_stats``); callers classifying many blocks of one tree
+    pass the table so shared subtrees are measured exactly once."""
     if node.tag in _STRIP_TAGS:
         return True
     if node.tag in ("header", "footer") and node.parent is not None \
             and node.parent.tag in ("body", "html", "#document", "div"):
         return True
-    text = node.text_content().strip()
-    if _is_chrome_named(node) and not _protected(node, text):
+    if stats is None:
+        stats = compute_stats(node)
+    st = stats[id(node)]
+    total = _stripped_len(st)
+    protected = st[4] or total >= LONG_TEXT_CHARS
+    if _is_chrome_named(node) and not protected:
         return True
-    if not text:
+    if total == 0:
         # keep empty containers holding structural content (img, hr)
-        return node.find("img", "hr", "table") is None
-    total = len(text)
-    anchor = sum(len(a.text_content().strip())
-                 for a in node.find_all("a"))
-    ld = min(1.0, anchor / total)
-    if ld > LINK_DENSITY_MAX and not _protected(node, text):
+        return not st[5]
+    ld = min(1.0, st[3] / total)
+    if ld > LINK_DENSITY_MAX and not protected:
         return True
-    if total < SHORT_TEXT_CHARS and ld > 0.25 \
-            and not _protected(node, text):
+    if total < SHORT_TEXT_CHARS and ld > 0.25 and not protected:
         return True
     return False
 
@@ -102,7 +164,10 @@ def strip_boilerplate(root: Node) -> Node:
 
     Walks top-down; a removed subtree is never re-visited. Children of a
     kept container are still candidates (nested sidebars inside content
-    wrappers are caught)."""
+    wrappers are caught). Stats are computed once up-front: a node is
+    always classified before anything below it is pruned, so the
+    pre-pruning stats equal what an on-the-spot walk would measure."""
+    stats = compute_stats(root)
 
     def prune(node: Node) -> None:
         kept: list[Node] = []
@@ -110,7 +175,8 @@ def strip_boilerplate(root: Node) -> Node:
             if child.is_text:
                 kept.append(child)
                 continue
-            if child.tag in _CANDIDATE_TAGS and classify_block(child):
+            if child.tag in _CANDIDATE_TAGS and \
+                    classify_block(child, stats):
                 continue
             prune(child)
             kept.append(child)

@@ -190,6 +190,48 @@ def test_boilerplate_keeps_link_dense_main_content():
     assert "link text 0" in body.text_content()
 
 
+def test_compute_stats_matches_direct_definitions():
+    """The one-pass stats table must equal the per-subtree definitions
+    (stripped text length, nested-anchor sum, keep/media flags) on every
+    element of every html fixture — this is what makes the O(1)
+    classify_block exactly equivalent to the old re-walking one."""
+    from extract_kit_spark.kernels.boilerplate import (
+        compute_stats, _stripped_len, _KEEP_TAGS, _MEDIA_TAGS)
+    checked = 0
+    for i in range(200):
+        row = gen_page(i)
+        if row["_kind"] in ("docx_doc", "pdf_doc", "broken"):
+            continue
+        root = parse_html(row["html"].decode("utf-8", "replace"))
+        stats = compute_stats(root)
+        for node in root.iter():
+            st = stats[id(node)]
+            assert _stripped_len(st) == len(node.text_content().strip())
+            assert st[3] == sum(len(a.text_content().strip())
+                                for a in node.find_all("a"))
+            assert st[4] == (node.find(*_KEEP_TAGS) is not None)
+            assert st[5] == (node.find(*_MEDIA_TAGS) is not None)
+            checked += 1
+    assert checked > 1000
+
+
+def test_boilerplate_deep_nested_chrome():
+    # 60-deep nested wrappers each carrying a link list: linear-time
+    # pruning must drop every list and keep the buried content paragraph
+    deep = "<body>"
+    for d in range(60):
+        deep += (f'<div class="wrap{d}"><ul>'
+                 + "".join(f'<li><a href="/x{j}">link {j}</a></li>'
+                           for j in range(8)) + "</ul>")
+    deep += ("<p>" + "real content word " * 200 + "</p>"
+             + "</div>" * 60 + "</body>")
+    body = body_of(parse_html(deep))
+    strip_boilerplate(body)
+    text = body.text_content()
+    assert "real content word" in text
+    assert "link 0" not in text
+
+
 def test_title_rules():
     body = body_of(parse_html("<body><h1> A  Title </h1></body>"))
     assert extract_title(body, "https://x/y.html") == "A Title"
