@@ -219,51 +219,74 @@ _TOKEN_RE = re.compile(
 _RAWTEXT = {"script", "style", "noscript"}
 
 
+_LOWER_MEMO: dict = {}
+
+
 def parse_html(html: str) -> Node:
     """Parse HTML into a Node tree rooted at '#document'. script/style/
     noscript subtrees are dropped during parse (serializer preprocess O7,
-    `utils/html-to-markdown.ts:347-359`, fused into the parse)."""
+    `utils/html-to-markdown.ts:347-359`, fused into the parse).
+
+    Hot-loop details (this is ~45% of per-doc extraction CPU): token
+    dispatch by ``m.lastindex`` (comment/doctype have no groups, end tag
+    sets group 1, start tag groups 2+3); tag names lowercased through a
+    process-wide memo (real pages reuse a few dozen names); the current
+    parent is tracked in ``top`` instead of re-indexing ``stack[-1]``;
+    text-append is inlined at both call sites."""
     root = Node("#document", {})
     stack = [root]
+    top = root
     pos = 0
     n = len(html)
     search = _TOKEN_RE.search
-
-    def add_text(s: str) -> None:
-        if not s:
-            return
-        if "&" in s:
-            s = unescape(s)
-        top = stack[-1]
-        kids = top.children
-        if kids and kids[-1].tag == "#text":
-            kids[-1].text += s
-        else:
-            node = Node("#text", {}, text=s)
-            node.parent = top
-            kids.append(node)
+    lc = _LOWER_MEMO
 
     while pos < n:
         m = search(html, pos)
         if m is None:
-            add_text(html[pos:])
+            s = html[pos:]
+            if s:
+                if "&" in s:
+                    s = unescape(s)
+                kids = top.children
+                if kids and kids[-1].tag == "#text":
+                    kids[-1].text += s
+                else:
+                    node = Node("#text", {}, text=s)
+                    node.parent = top
+                    kids.append(node)
             break
-        if m.start() > pos:
-            add_text(html[pos:m.start()])
+        start = m.start()
+        if start > pos:
+            s = html[pos:start]
+            if "&" in s:
+                s = unescape(s)
+            kids = top.children
+            if kids and kids[-1].tag == "#text":
+                kids[-1].text += s
+            else:
+                node = Node("#text", {}, text=s)
+                node.parent = top
+                kids.append(node)
         pos = m.end()
-        end_name = m.group(1)
-        if end_name is not None:
-            name = end_name.lower()
+        li = m.lastindex
+        if li is None:
+            continue  # comment / doctype
+        if li == 1:  # end tag
+            raw_name = m.group(1)
+            name = lc.get(raw_name)
+            if name is None:
+                name = lc[raw_name] = raw_name.lower()
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].tag == name:
                     del stack[i:]
                     break
+            top = stack[-1]
             continue
-        start_name = m.group(2)
-        if start_name is None:
-            continue  # comment / doctype
-        name = start_name.lower()
-        raw = m.group(3)
+        raw_name, raw = m.group(2, 3)
+        name = lc.get(raw_name)
+        if name is None:
+            name = lc[raw_name] = raw_name.lower()
         if name in _RAWTEXT:
             # skip raw content up to the matching close tag (O7)
             close = html.find("</" + name, pos)
@@ -273,14 +296,15 @@ def parse_html(html: str) -> Node:
             pos = n if pos == -1 else pos + 1
             continue
         closers = _IMPLICIT_CLOSE.get(name)
-        if closers and stack[-1].tag in closers:
+        if closers and top.tag in closers:
             stack.pop()
+            top = stack[-1]
         node = Node(name, None, rawattrs=raw)
-        top = stack[-1]
         node.parent = top
         top.children.append(node)
         if name not in VOID_ELEMENTS and not raw.endswith("/"):
             stack.append(node)
+            top = node
     return root
 
 
