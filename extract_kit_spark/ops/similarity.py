@@ -10,6 +10,14 @@
   ``bands`` signature segments (multi-band = multi-probe recall boost);
   exact cosine re-ranks candidates only. Equality joins + window — no
   all-pairs stage, so it survives a 100× corpus.
+- ``train_ivf_centroids`` + ``ann_ivf_topk``: the second scale path —
+  IVF (inverted-file) coarse quantization as in FAISS IVFFlat: a
+  spherical k-means codebook trained driver-side on a deterministic
+  bounded sample (exactly how IVF quantizers are trained at scale),
+  centroids broadcast, every corpus vector assigned to its nearest
+  centroid in one vectorized scan (no shuffle), queries probe their
+  ``nprobe`` nearest cells, and exact cosine re-ranks only the probed
+  cells' members — candidate volume ≈ nprobe/n_centroids of the corpus.
 """
 
 from __future__ import annotations
@@ -106,6 +114,117 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     q = queries.select(F.col(id_col).alias("qid"),
                        F.col(vec_col).cast("array<double>").alias("qv"))
     scored = (cand.join(c, "nid").join(F.broadcast(q), "qid")
+              .select("qid", "nid",
+                      F.round(cosine(F.col("qv"), F.col("cv")), 6)
+                      .alias("cosine")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("qid").alias("query_id"),
+                    F.col("nid").alias("neighbor_id"),
+                    "cosine", "rank"))
+
+
+# -- IVF (inverted-file) ANN ---------------------------------------------------
+
+
+def train_ivf_centroids(corpus: DataFrame, n_centroids: int = 16,
+                        n_iters: int = 10, seed: int = 42,
+                        train_cap: int = 4096, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Spherical k-means codebook trained on a DETERMINISTIC sample:
+    every (n // train_cap)-th id, so reruns and different partitionings
+    see the same training set. Returns (n_centroids, dim) unit-norm
+    float64 centroids. Driver-side numpy — a coarse quantizer is tiny
+    and IVF training on a bounded sample is the standard scale recipe
+    (the 100 TB corpus never participates in training)."""
+    n = corpus.count()
+    step = max(1, n // train_cap)
+    sample = (corpus
+              .select(F.col(id_col).cast("long").alias("id"), vec_col)
+              .where(F.pmod(F.col("id"), F.lit(step)) == 0)
+              .orderBy("id").limit(train_cap).collect())
+    mat = np.array([r[1] for r in sample], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    k = min(n_centroids, mat.shape[0])
+    cent = mat[rng.choice(mat.shape[0], size=k, replace=False)]
+    for _ in range(n_iters):
+        assign = (mat @ cent.T).argmax(axis=1)
+        for ci in range(k):
+            members = mat[assign == ci]
+            if len(members):  # empty cell keeps its old centroid
+                m = members.mean(axis=0)
+                cent[ci] = m / np.linalg.norm(m)
+    return cent
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               nprobe: int = 1) -> DataFrame:
+    """(id, cluster, v) with each vector assigned to its ``nprobe``
+    nearest centroids (corpus uses nprobe=1; queries probe several).
+    One vectorized pandas stage over the scan — no shuffle."""
+    cent = centroids.copy()
+
+    out_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("v", T.ArrayType(T.DoubleType())),
+    ])
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms) @ cent.T
+            ids = pdf[id_col].astype("int64").tolist()
+            vs = pdf[vec_col].tolist()
+            if nprobe == 1:
+                cl = sims.argmax(axis=1)
+                yield pd.DataFrame({
+                    "id": ids, "cluster": cl.astype("int32"),
+                    "v": [list(map(float, v)) for v in vs]})
+            else:
+                p = min(nprobe, cent.shape[0])
+                # top-p cells, ordered (argsort desc) — deterministic
+                probes = np.argsort(-sims, axis=1, kind="stable")[:, :p]
+                out_ids, out_cl, out_v = [], [], []
+                for i, vid in enumerate(ids):
+                    lv = [float(x) for x in vs[i]]
+                    for c in probes[i]:
+                        out_ids.append(vid)
+                        out_cl.append(int(c))
+                        out_v.append(lv)
+                yield pd.DataFrame({"id": out_ids,
+                                    "cluster": pd.array(out_cl,
+                                                        dtype="int32"),
+                                    "v": out_v})
+
+    return (df.select(F.col(id_col).cast("long").alias(id_col), vec_col)
+            .mapInPandas(compute, schema=out_schema))
+
+
+def ann_ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 n_centroids: int = 16, nprobe: int = 4,
+                 seed: int = 42, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k via IVF: candidates = members of each query's
+    nprobe nearest cells; exact cosine re-rank on candidates only.
+    Same output shape as cosine_topk; recall measured in tests."""
+    cent = train_ivf_centroids(corpus, n_centroids, seed=seed,
+                               id_col=id_col, vec_col=vec_col)
+    cassign = (ivf_assign(corpus, cent, id_col, vec_col, nprobe=1)
+               .select(F.col("id").alias("nid"), "cluster",
+                       F.col("v").alias("cv")))
+    qassign = (ivf_assign(queries, cent, id_col, vec_col, nprobe=nprobe)
+               .select(F.col("id").alias("qid"), "cluster",
+                       F.col("v").alias("qv")))
+    scored = (cassign.join(F.broadcast(qassign), "cluster")
+              .where(F.col("nid") != F.col("qid"))
               .select("qid", "nid",
                       F.round(cosine(F.col("qv"), F.col("cv")), 6)
                       .alias("cosine")))

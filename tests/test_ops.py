@@ -68,6 +68,22 @@ def test_ann_lsh_recall(spark, emb):
     assert recall >= 0.75, f"ann lsh recall {recall:.2f}"
 
 
+def test_ann_ivf_recall_and_determinism(spark, emb):
+    q = emb.where(F.col("vec_id") < 20)
+    ex = {(r["query_id"], r["neighbor_id"])
+          for r in similarity.cosine_topk(emb, q, k=5).collect()}
+    got1 = similarity.ann_ivf_topk(emb, q, k=5, n_centroids=32,
+                                   nprobe=12).collect()
+    ap = {(r["query_id"], r["neighbor_id"]) for r in got1}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.7, f"ann ivf recall {recall:.2f}"
+    # fixed seed + deterministic sample → identical rerun
+    got2 = similarity.ann_ivf_topk(emb, q, k=5, n_centroids=32,
+                                   nprobe=12).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(got1, key=key) == sorted(got2, key=key)
+
+
 def test_dedup_exact_keeps_one_per_group(spark):
     rows = [(1, "same text"), (2, "same  TEXT "), (3, "other")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
