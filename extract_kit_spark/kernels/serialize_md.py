@@ -34,7 +34,13 @@ HEADING_TAGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
 
 
 def _norm_ws(s: str) -> str:
-    """Collapse runs of whitespace to single spaces (HTML inline rule)."""
+    """Collapse runs of whitespace to single spaces (HTML inline rule).
+    Fast path: when no tab/newline/CR/double-space exists, every
+    whitespace run is already a single space and the regex would be an
+    identity — skip it (hot: called once per text node)."""
+    if ("\n" not in s and "  " not in s and "\t" not in s
+            and "\r" not in s):
+        return s
     return _WS_RE.sub(" ", s)
 
 

@@ -154,32 +154,35 @@ def jaccard_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3,
     """Exact n-gram-Jaccard similar pairs (id_a < id_b, jaccard ≥ t)
     via the shingle inverted index. ``max_df`` caps shingle document
     frequency (skew guard; None = off for small data)."""
-    postings = _shingle_postings(df, n, id_col, text_col)
-    sizes = postings.select("id", "sh_size").distinct()
-    inv = postings.select("id", "shingle")
+    # join key = xxhash64(shingle): long keys shuffle/compare far
+    # cheaper than the shingle strings; a 64-bit collision would need
+    # ~2^32 distinct shingles per partition to matter (set sizes are
+    # NOT affected — they're counted before hashing)
+    postings = (_shingle_postings(df, n, id_col, text_col)
+                .select("id", "sh_size",
+                        F.xxhash64("shingle").alias("sh")))
     if max_df is not None:
-        hot = (inv.groupBy("shingle").count()
-               .where(F.col("count") > max_df).select("shingle"))
-        inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
-    a = inv.alias("a")
-    b = inv.alias("b")
-    shared = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+        hot = (postings.groupBy("sh").count()
+               .where(F.col("count") > max_df).select("sh"))
+        postings = postings.join(F.broadcast(hot), "sh", "left_anti")
+    a = postings.alias("a")
+    b = postings.alias("b")
+    # sh_size rides along on each posting, so the per-pair sizes come
+    # out of the same groupBy (first/any_value) — no extra sizes joins
+    shared = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
                      & (F.col("a.id") < F.col("b.id")))
               .groupBy(F.col("a.id").alias("id_a"),
                        F.col("b.id").alias("id_b"))
-              .agg(F.count(F.lit(1)).alias("shared")))
-    out = (shared
-           .join(sizes.withColumnRenamed("id", "id_a")
-                 .withColumnRenamed("sh_size", "size_a"), "id_a")
-           .join(sizes.withColumnRenamed("id", "id_b")
-                 .withColumnRenamed("sh_size", "size_b"), "id_b")
-           .withColumn("jaccard", F.round(
-               F.col("shared").cast("double")
-               / (F.col("size_a") + F.col("size_b") - F.col("shared")),
-               6))
-           .where(F.col("jaccard") >= threshold)
-           .select("id_a", "id_b", "jaccard"))
-    return out
+              .agg(F.count(F.lit(1)).alias("shared"),
+                   F.first(F.col("a.sh_size")).alias("size_a"),
+                   F.first(F.col("b.sh_size")).alias("size_b")))
+    return (shared
+            .withColumn("jaccard", F.round(
+                F.col("shared").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("shared")),
+                6))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
 
 
 # ---------------------------------------------------------------------------

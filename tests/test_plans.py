@@ -77,7 +77,11 @@ def test_scan_extraction_plan_has_no_shuffle(spark):
     assert "MapInPandas" in plan
 
 
-def test_ann_topk_broadcasts_queries(spark):
+def test_ann_topk_scores_mapside_no_join(spark):
+    # queries are captured by the vectorized scorer (map-side broadcast
+    # by construction): the corpus is never joined, the only exchange
+    # is the tiny candidate shuffle feeding the final top-k window
     plan = _plan(QUERIES["ann_topk"](spark, SF_DIR))
-    assert "BroadcastNestedLoopJoin" in plan or \
-        "BroadcastHashJoin" in plan
+    assert "Join" not in plan
+    assert "MapInPandas" in plan
+    assert "Window" in plan
