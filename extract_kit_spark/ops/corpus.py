@@ -1,0 +1,69 @@
+"""Corpus-curation primitives for training-data pipelines.
+
+- ``deterministic_split``: train/val/test assignment by hashed-id
+  bucket. The bucket is the first 8 hex chars of md5(salt || id) read
+  as an integer, mod 10_000 — a pure function of the row key, so the
+  assignment is reproducible across runs, engines, partitionings and
+  cluster sizes (never ``rand()``: resampling on retry would leak val
+  rows into train). Changing ``salt`` re-draws the whole split.
+  Expression-only (whole-stage codegen) and embarrassingly parallel.
+- ``curate``: the composed curation pass a pretraining corpus goes
+  through — quality/language gate (ops/textstats.py signals), exact
+  near-dup removal keeping the smallest id per normalized-text
+  fingerprint (one hash-shuffle on uniform md5 keys), then the
+  deterministic split. One scan, one shuffle, no UDF.
+
+Both have exact DuckDB oracle twins in queries.py (md5 and hex→int
+arithmetic agree across engines — verified bit-exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .textstats import fingerprint, with_text_stats
+
+SPLIT_MOD = 10_000
+
+# (name, cumulative upper bucket bound): train [0,8000) val [8000,9000)
+# test [9000,10000)
+DEFAULT_SPLITS = (("train", 8000), ("val", 9000), ("test", SPLIT_MOD))
+
+
+def split_bucket(key: Column, salt: str = "split-v1:") -> Column:
+    """Deterministic bucket in [0, SPLIT_MOD) from a row key."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+                  F.lit(SPLIT_MOD))
+
+
+def deterministic_split(df: DataFrame, key_col: str = "doc_id",
+                        salt: str = "split-v1:",
+                        splits=DEFAULT_SPLITS) -> DataFrame:
+    """Adds ``bucket`` and ``split`` columns keyed on ``key_col``."""
+    bucket = split_bucket(F.col(key_col), salt)
+    expr = None
+    for name, upper in splits:
+        cond = bucket < upper
+        expr = F.when(cond, name) if expr is None \
+            else expr.when(cond, name)
+    return (df.withColumn("bucket", bucket)
+            .withColumn("split", expr))
+
+
+def curate(df: DataFrame, min_quality: float = 0.5,
+           langs: tuple[str, ...] = ("en",), id_col: str = "doc_id",
+           text_col: str = "text",
+           salt: str = "split-v1:") -> DataFrame:
+    """Quality/lang gate → exact dedup (min id per fingerprint) →
+    deterministic split. Returns one row per surviving document:
+    (id, n_tokens, quality_score, lang_pred, bucket, split)."""
+    stats = with_text_stats(df, text_col)
+    kept = stats.where((F.col("quality_score") >= min_quality)
+                       & F.col("lang_pred").isin(*langs))
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    deduped = (kept.withColumn("rn", F.row_number().over(w))
+               .where(F.col("rn") == 1))
+    return (deterministic_split(deduped, id_col, salt)
+            .select(F.col(id_col), "n_tokens", "quality_score",
+                    "lang_pred", "bucket", "split"))

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
 from .fixtures import write_pages_dir
-from .ops import dedup, multimodal, similarity, textstats
+from .ops import corpus, dedup, multimodal, similarity, textstats
 
 # -- shared pages table (a DIRECTORY of part files so the no-shuffle
 # scan parallelizes; the DuckDB oracle reads the same files via glob) --------
@@ -358,6 +358,56 @@ SELECT doc_id,
        CASE WHEN fr > en THEN 'fr' WHEN en > fr THEN 'en'
             ELSE 'und' END AS lang_pred
 FROM d
+"""
+
+
+# -- corpus curation ------------------------------------------------------------
+
+MIN_QUALITY = 0.5
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hashed-id train/val/test assignment (never rand():
+    reproducible across runs, engines and cluster sizes)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return corpus.deterministic_split(docs).select(
+        "doc_id", "bucket", "split")
+
+
+_SPLIT_SQL = """
+    (('0x' || substring(md5('split-v1:' || doc_id::VARCHAR), 1, 8))
+         ::BIGINT % 10000)"""
+
+_ORACLE_SPLIT = f"""
+WITH b AS (
+  SELECT doc_id, {_SPLIT_SQL} AS bucket FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+FROM b
+"""
+
+
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pass (quality/lang gate → exact dedup
+    keep-min-id → deterministic split) — one scan, one shuffle."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return corpus.curate(docs, min_quality=MIN_QUALITY, langs=("en",))
+
+
+_ORACLE_CURATE = f"""
+WITH s AS ({_ORACLE_TS_STATS}),
+k AS (SELECT * FROM s
+      WHERE quality_score >= {MIN_QUALITY} AND lang_pred IN ('en')),
+d AS (SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                   ORDER BY doc_id ASC) AS rn FROM k),
+b AS (SELECT doc_id, n_tokens, quality_score, lang_pred,
+             {_SPLIT_SQL} AS bucket
+      FROM d WHERE rn = 1)
+SELECT doc_id, n_tokens, quality_score, lang_pred, bucket,
+       CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+FROM b
 """
 
 
@@ -698,6 +748,8 @@ QUERIES = {
     "ext_status_counts": q_ext_status_counts,
     "ext_invoice_fields": q_ext_invoice_fields,
     "ts_stats": q_ts_stats,
+    "corpus_split": q_corpus_split,
+    "corpus_curate": q_corpus_curate,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -730,6 +782,8 @@ ORACLES = {
     "ext_link_stats": _ORACLE_LINK_STATS,
     "ext_invoice_fields": _ORACLE_INVOICE,
     "ts_stats": _ORACLE_TS_STATS,
+    "corpus_split": _ORACLE_SPLIT,
+    "corpus_curate": _ORACLE_CURATE,
     "dedup_exact": _ORACLE_DEDUP_EXACT,
     "dedup_jaccard": _ORACLE_JACCARD,
     "dedup_embedding": _ORACLE_EMB_PAIRS,

@@ -84,6 +84,41 @@ def test_ann_ivf_recall_and_determinism(spark, emb):
     assert sorted(got1, key=key) == sorted(got2, key=key)
 
 
+def test_corpus_split_deterministic_and_disjoint(spark, docs):
+    from extract_kit_spark.ops import corpus
+    a = corpus.deterministic_split(docs).select(
+        "doc_id", "bucket", "split").collect()
+    b = corpus.deterministic_split(docs.repartition(7)).select(
+        "doc_id", "bucket", "split").collect()
+    key = lambda r: r["doc_id"]  # noqa: E731
+    # partitioning-independent, rerun-stable assignment
+    assert sorted(a, key=key) == sorted(b, key=key)
+    frac = {}
+    for r in a:
+        frac[r["split"]] = frac.get(r["split"], 0) + 1
+    n = len(a)
+    assert 0.75 <= frac["train"] / n <= 0.85
+    assert 0.05 <= frac["val"] / n <= 0.15
+    assert 0.05 <= frac["test"] / n <= 0.15
+
+
+def test_corpus_curate_filters_and_dedups(spark):
+    from extract_kit_spark.ops import corpus
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 8),
+        (2, "THE  quick brown fox jumps over the lazy dog " * 8),
+        (3, "!!! ,,, ... ;;; :::"),  # punctuation soup → low quality
+        (4, "le chat est sur la table et la porte est ouverte " * 8),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = corpus.curate(df, min_quality=0.5, langs=("en",)).collect()
+    ids = sorted(r["doc_id"] for r in got)
+    # 2 dedups onto 1 (same normalized text), 3 fails quality,
+    # 4 is french
+    assert ids == [1]
+    assert got[0]["split"] in ("train", "val", "test")
+
+
 def test_dedup_exact_keeps_one_per_group(spark):
     rows = [(1, "same text"), (2, "same  TEXT "), (3, "other")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
