@@ -69,6 +69,19 @@ STAGE_SCHEMA_SCAN = T.StructType(_STAGE_COMMON + [
 DEFAULT_TARGET_PARTITION_BYTES = 64 * 1024 * 1024
 
 
+def _group_checksum() -> F.Column:
+    """Order-independent content checksum for a lineage group: XOR of
+    per-row xxhash64("url:crc32(extracted_text)"). Commutative and
+    associative → map-side partial aggregation, constant memory, any
+    row order; equal row multisets ⇔ equal checksum (urls are unique
+    within a group, so XOR self-cancellation cannot occur). Replaces a
+    sort_array(collect_list(...)) formulation that materialized every
+    row of the group in one reducer — fine at test scale, an OOM at
+    10^12 rows."""
+    return F.bit_xor(F.xxhash64(F.concat_ws(
+        ":", F.col("url"), F.crc32("extracted_text")))).cast("string")
+
+
 def _make_extract_batch(profile: str, max_doc_bytes: int,
                         passthrough: str) -> Callable:
     """Build the mapInPandas function; ``passthrough`` is the layout
@@ -214,11 +227,7 @@ def run_extraction_bucketed(spark: SparkSession,
                  F.sum(F.when(F.col("status") != "ok", 1)
                        .otherwise(0)).alias("n_failed"),
                  F.sum("bytes_in").alias("bytes_in"),
-                 F.md5(F.concat_ws(
-                     "|", F.sort_array(F.collect_list(
-                         F.concat_ws(":", F.col("url"),
-                                     F.crc32("extracted_text")))))
-                 ).alias("checksum"))
+                 _group_checksum().alias("checksum"))
             .withColumn("job_id", F.lit(job_id)))
         lineage_rows = lineage.collect()
         (lineage.write.mode("append")
@@ -316,11 +325,7 @@ def run_extraction_scan(spark: SparkSession,
                  F.sum(F.when(F.col("status") != "ok", 1)
                        .otherwise(0)).alias("n_failed"),
                  F.sum("bytes_in").alias("bytes_in"),
-                 F.md5(F.concat_ws(
-                     "|", F.sort_array(F.collect_list(
-                         F.concat_ws(":", F.col("url"),
-                                     F.crc32("extracted_text")))))
-                 ).alias("checksum"))
+                 _group_checksum().alias("checksum"))
             .withColumn("job_id", F.lit(job_id))
             .withColumn("group_id", F.lit(gi)))
         rows = lineage.collect()

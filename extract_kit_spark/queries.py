@@ -44,6 +44,20 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _read_parallel(spark: SparkSession, path: str) -> DataFrame:
+    """Tiny-scan fan-out guard: a single-row-group parquet file scans
+    as ONE task, serializing every downstream map stage onto one core.
+    When the natural split count is below the session's parallelism,
+    round-robin repartition (the payload is by definition small — one
+    row group); at real scale the file splits already provide
+    parallelism and this is a no-op."""
+    df = spark.read.parquet(path)
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(p, 32):
+        df = df.repartition(min(p, 32))
+    return df
+
+
 def _ensure_importable(spark: SparkSession) -> None:
     """Module-level UDF functions pickle BY REFERENCE, so executor
     Python workers must be able to import extract_kit_spark. When the
@@ -312,7 +326,7 @@ _STOP_FR = ", ".join(f"'{w}'" for w in textstats.FR_STOPWORDS)
 
 
 def q_ts_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_parallel(spark, _t(sf_dir, "documents"))
     return textstats.with_text_stats(docs).select(
         "doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
         "quality_score", "fingerprint", "lang_pred")
@@ -369,7 +383,7 @@ MIN_QUALITY = 0.5
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hashed-id train/val/test assignment (never rand():
     reproducible across runs, engines and cluster sizes)."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_parallel(spark, _t(sf_dir, "documents"))
     return corpus.deterministic_split(docs).select(
         "doc_id", "bucket", "split")
 
@@ -391,7 +405,7 @@ FROM b
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pass (quality/lang gate → exact dedup
     keep-min-id → deterministic split) — one scan, one shuffle."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_parallel(spark, _t(sf_dir, "documents"))
     return corpus.curate(docs, min_quality=MIN_QUALITY, langs=("en",))
 
 
@@ -414,7 +428,7 @@ FROM b
 # -- dedup ----------------------------------------------------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_parallel(spark, _t(sf_dir, "documents"))
     return dedup.exact_duplicates(docs)
 
 
@@ -433,7 +447,7 @@ JACCARD_MAX_DF = 100  # skew guard: drop shingles in >100 docs (mirrored
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_importable(spark)
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_parallel(spark, _t(sf_dir, "documents"))
     return dedup.jaccard_pairs(docs, threshold=JACCARD_T, n=3,
                                max_df=JACCARD_MAX_DF)
 
@@ -474,13 +488,13 @@ FROM j WHERE jaccard >= {JACCARD_T}
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_importable(spark)
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_parallel(spark, _t(sf_dir, "documents"))
     return dedup.minhash_lsh_pairs(docs, threshold=JACCARD_T)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_importable(spark)
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_parallel(spark, _t(sf_dir, "documents"))
     return dedup.simhash_pairs(docs, max_hamming=3)
 
 
@@ -488,7 +502,7 @@ COSINE_T = 0.45
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    emb = _read_parallel(spark, _t(sf_dir, "embeddings"))
     return dedup.embedding_near_dup_pairs(emb, threshold=COSINE_T)
 
 
@@ -511,7 +525,7 @@ ANN_K = 5
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    emb = _read_parallel(spark, _t(sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < N_ANN_QUERIES)
     return similarity.cosine_topk(emb, queries, k=ANN_K)
 
@@ -537,7 +551,7 @@ FROM r WHERE rank <= {ANN_K}
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_importable(spark)
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    emb = _read_parallel(spark, _t(sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < N_ANN_QUERIES)
     return similarity.ann_lsh_topk(emb, queries, k=ANN_K)
 
@@ -547,7 +561,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     spherical-kmeans cells + nprobe probing + exact re-rank.
     Approximate by design — recall vs ann_topk asserted in tests."""
     _ensure_importable(spark)
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    emb = _read_parallel(spark, _t(sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < N_ANN_QUERIES)
     # 32 cells / 12 probes: recall 0.82 vs exact on the synthetic
     # (near-isotropic) embeddings while scanning ~38% of the corpus;
@@ -560,7 +574,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- multimodal -----------------------------------------------------------------
 
 def q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = (spark.read.parquet(_t(sf_dir, "documents"))
+    docs = (_read_parallel(spark, _t(sf_dir, "documents"))
             .select("doc_id", F.encode("text", "UTF-8").alias("payload")))
     return multimodal.media_metadata_sql(docs, "doc_id", "payload")
 
@@ -580,7 +594,7 @@ FRAME_STRIDE = 64
 
 
 def q_mm_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = (spark.read.parquet(_t(sf_dir, "documents"))
+    docs = (_read_parallel(spark, _t(sf_dir, "documents"))
             .select("doc_id", F.encode("text", "UTF-8").alias("payload")))
     return multimodal.frame_sample_plan(docs, "doc_id", "payload",
                                         frame_stride=FRAME_STRIDE)
