@@ -35,20 +35,52 @@ BLOCK_TAGS = frozenset({
 })
 
 
-_ATTR_RE = re.compile(
-    r"""([a-zA-Z_:][-\w:.]*)\s*(?:=\s*(?:"([^"]*)"|'([^']*)'|"""
-    r"""([^\s"'>]+)))?""")
+# reuse the stdlib parser's own tolerant lexemes so the fast path's
+# attribute semantics match html.parser by construction (bare attr →
+# None, quote stripping, entity unescape, duplicate → last wins)
+from html.parser import attrfind_tolerant as _ATTRFIND  # noqa: E402
+
+_ATTR_LEAD_RE = re.compile(r"(?:\s|/(?!>))*")
 
 
 def _parse_attrs(raw: str) -> dict:
+    """Mirror of html.parser's parse_starttag attribute loop over the
+    raw tag body (the text between the tag name and '>')."""
     attrs = {}
-    for m in _ATTR_RE.finditer(raw):
-        name = m.group(1).lower()
-        val = m.group(2) or m.group(3) or m.group(4) or ""
-        if "&" in val:
-            val = unescape(val)
-        attrs[name] = val
+    k = _ATTR_LEAD_RE.match(raw).end()
+    n = len(raw)
+    while k < n:
+        m = _ATTRFIND.match(raw, k)
+        if not m:
+            break
+        name, rest, val = m.group(1, 2, 3)
+        if not rest:
+            val = None
+        else:
+            if val[:1] == "'" == val[-1:] or val[:1] == '"' == val[-1:]:
+                val = val[1:-1]
+            if val and "&" in val:
+                val = unescape(val)
+        attrs[name.lower()] = val
+        k = m.end()
     return attrs
+
+
+def _is_self_closing(raw: str) -> bool:
+    """True iff the raw tag body ends in a self-closing slash AFTER
+    attribute lexing (html.parser semantics: in ``<a href=/x/>`` the
+    slash belongs to the unquoted value, not to ``/>``). The '>' is
+    re-appended so attrfind's ``/(?!>)`` trailing consumer sees the
+    same context it does in the full document."""
+    s = raw + ">"
+    k = _ATTR_LEAD_RE.match(s).end()
+    n = len(s)
+    while k < n:
+        m = _ATTRFIND.match(s, k)
+        if not m:
+            break
+        k = m.end()
+    return s[k:].strip() == "/>"
 
 
 class Node:
@@ -86,7 +118,10 @@ class Node:
         self.children.append(child)
 
     def get(self, name: str, default: str = "") -> str:
-        return self.attrs.get(name, default)
+        # a bare attribute (no value) is stored as None per html.parser
+        # semantics; consumers see the default ("") instead
+        v = self.attrs.get(name, default)
+        return default if v is None else v
 
     def text_content(self) -> str:
         if self.is_text:
@@ -210,11 +245,47 @@ def parse_html_stdlib(html: str) -> Node:
 # stdlib builder over every fixture document.
 
 _TOKEN_RE = re.compile(
-    r"<!--.*?-->"                       # comment
-    r"|<![^>]*>"                        # doctype / declaration
-    r"|</\s*([a-zA-Z][-\w]*)[^>]*>"     # end tag     -> group 1
-    r"|<([a-zA-Z][-\w]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>",  # start
+    r"<!--.*?-->"                       # comment (terminated)
+    r"|<!\[.*?\]\s*>"                   # marked section <![ ... ]>
+    r"|<!(?!--)(?!\[)[^>]*>"            # doctype / declaration
+    r"|<\?[^>]*>"                       # processing instruction
+    # end tags mirror html.parser's two-step lexing: the strict form
+    # (endtagfind) tolerates surrounding whitespace; the tolerant form
+    # requires the name immediately after "</" but allows junk before
+    # ">"; anything else "</..." is a bogus end tag, dropped like
+    # html.parser's bogus comment. tag NAME charsets mirror
+    # tagfind_tolerant (a letter, then anything but whitespace / '/' /
+    # '>' / NUL — so "<p<p>" is one tag named "p<p").
+    r"|</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>"      # strict end -> g1
+    r"|</([a-zA-Z][^\t\n\r\f />\x00]*)[^>]*>"    # tolerant end -> g2
+    r"|</[^>]*>"                                 # bogus end — dropped
+    # start tags, two alternatives with provably equal extent:
+    #  FAST (groups 3+4): body with no quote chars — the tag ends at
+    #   the first '>', exactly where stdlib ends it when no quoted
+    #   value can span a '>'. This is ~95% of real-web tags and avoids
+    #   the structured body machinery below.
+    #  TOLERANT (groups 5+6): replicates stdlib
+    #   locatestarttagend_tolerant — quotes quote only in attr-VALUE
+    #   position (so <p a='x<b>y'> is one tag, but a stray quote inside
+    #   an attr NAME never opens a quoted span). Space-eaters are
+    #   possessive (*+): retrying shorter space runs can never turn a
+    #   failed tag into a match, and possessiveness prevents
+    #   pathological backtracking on adversarial soup.
+    r"|<([a-zA-Z][^\t\n\r\f />\x00]*)([^>\"']*)>"
+    r"|<([a-zA-Z][^\t\n\r\f />\x00]*)"
+    r"((?:[\s/]*+(?:(?<=['\"\s/])[^\s/>][^\s/=>]*"
+    r"(?:\s*=+\s*(?:'[^']*'|\"[^\"]*\"|(?!['\"])[^>\s]*)(?:\s*,)*)?"
+    r"(?:\s|/(?!>))*+)*)?\s*+/?)>",
     re.DOTALL)
+
+# stdlib html.parser recovers from an UNTERMINATED construct — a
+# comment without '-->', a marked section without ']>', or a start tag
+# whose quoted attribute never closes — by emitting everything from the
+# opener through the first '>' as data (to EOF when there is no '>')
+# and resuming after it. If one of these openers survives inside a
+# text run, its terminated form must be absent: a well-formed construct
+# would have been the leftmost token-regex match.
+_BUFFERED_OPEN_RE = re.compile(r"<!--|<!\[|<[a-zA-Z]")
 
 _RAWTEXT = {"script", "style", "noscript"}
 
@@ -259,6 +330,13 @@ def parse_html(html: str) -> Node:
         start = m.start()
         if start > pos:
             s = html[pos:start]
+            buffered = _BUFFERED_OPEN_RE.search(s)
+            if buffered is not None:
+                # unterminated <!-- / <![ : data through the first '>'
+                # after the opener (stdlib recovery), then re-parse
+                op = pos + buffered.start()
+                g = html.find(">", op)
+                s = html[pos:] if g == -1 else html[pos:g + 1]
             if "&" in s:
                 s = unescape(s)
             kids = top.children
@@ -268,12 +346,17 @@ def parse_html(html: str) -> Node:
                 node = Node("#text", {}, text=s)
                 node.parent = top
                 kids.append(node)
+            if buffered is not None:
+                if g == -1:
+                    break
+                pos = g + 1
+                continue
         pos = m.end()
         li = m.lastindex
         if li is None:
-            continue  # comment / doctype
-        if li == 1:  # end tag
-            raw_name = m.group(1)
+            continue  # comment / doctype / PI / bogus end tag
+        if li <= 2:  # end tag (strict or tolerant form)
+            raw_name = m.group(li)
             name = lc.get(raw_name)
             if name is None:
                 name = lc[raw_name] = raw_name.lower()
@@ -283,7 +366,7 @@ def parse_html(html: str) -> Node:
                     break
             top = stack[-1]
             continue
-        raw_name, raw = m.group(2, 3)
+        raw_name, raw = m.group(3, 4) if li == 4 else m.group(5, 6)
         name = lc.get(raw_name)
         if name is None:
             name = lc[raw_name] = raw_name.lower()
@@ -302,7 +385,8 @@ def parse_html(html: str) -> Node:
         node = Node(name, None, rawattrs=raw)
         node.parent = top
         top.children.append(node)
-        if name not in VOID_ELEMENTS and not raw.endswith("/"):
+        if name not in VOID_ELEMENTS and not (
+                raw.endswith("/") and _is_self_closing(raw)):
             stack.append(node)
             top = node
     return root

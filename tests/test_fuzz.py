@@ -1,0 +1,90 @@
+"""Hypothesis fuzz for the pure-Python kernels: the extraction
+orchestrator NEVER raises and keeps its invariants on arbitrary bytes
+(the E5 cardinality contract the Spark stage relies on), and the fast
+tokenizer parser stays node-for-node equivalent to the stdlib
+html.parser builder on adversarial tag soup — not just on fixtures.
+
+derandomize=True: the same example corpus every run (CI-stable); the
+generators themselves cover the adversarial space.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from extract_kit_spark.kernels.extract import extract_document
+from extract_kit_spark.kernels.html_dom import (parse_html,
+                                                parse_html_stdlib)
+
+# realistic-web tag soup ingredients: unclosed/implicitly-closed/
+# misnested tags, entities, comments, quotes, script payloads
+_FRAGMENTS = [
+    "<p>", "</p>", "<div>", "</div>", "<ul><li>a<li>b", "</ul>",
+    "<table><tr><td>x<td>y", "</table>", "<tr>", "</td>",
+    "<h1>T</h1>", "<h2>", "</h3>", "<br>", "<hr/>", "<img src=x>",
+    "<a href='u v'>t</a>", "<a href=\"j:alert(1)\">x</a>", "</a>",
+    "<b><i>mis</b>nested</i>", "<em>", "<strong>s</strong>",
+    "<!-- c -->", "<!-- unterminated", "<!DOCTYPE html>",
+    "<!-->", "<?pi ?>", "<![CDATA[x]]>", "<![CDATA[a>b]]>",
+    "<script>var a='<p>';</script>", "<style>p{color:red}</style>",
+    "<noscript>n</noscript>", "<script>open",
+    "&amp;", "&#65;", "&#x41;", "&nbsp;", "&nosuch;", "& loose",
+    "<span class=\"x y\">", "</span>", "<td colspan=2>",
+    "<P>UPPER</P>", "<A HREF=Z>u</A>", "<p  a = 'q\"r' b=c>",
+    "text ", "  \n\t", "|pipe|", "$x$", "$$y$$", "<", ">", "<>",
+    "<p", "<div class='unterminated",
+]
+
+_soup = st.lists(
+    st.one_of(st.sampled_from(_FRAGMENTS),
+              st.text(alphabet=st.characters(
+                  categories=("L", "N", "P", "Zs")), max_size=12)),
+    max_size=25).map("".join)
+
+
+def _tree_repr(node):
+    if node.is_text:
+        return ("#text", node.text)
+    return (node.tag, tuple(sorted(node.attrs.items())),
+            tuple(_tree_repr(c) for c in node.children))
+
+
+@settings(max_examples=400, deadline=None, derandomize=True)
+@given(html=_soup)
+def test_fuzz_fast_parser_equivalent_to_stdlib(html):
+    assert _tree_repr(parse_html(html)) == \
+        _tree_repr(parse_html_stdlib(html))
+
+
+_payloads = st.one_of(
+    st.binary(max_size=400),
+    _soup.map(lambda s: ("<!DOCTYPE html><html><body>" + s).encode(
+        "utf-8", "ignore")),
+    st.sampled_from([b"%PDF-", b"%PDF-1.4 garbage", b"PK\x03\x04junk",
+                     b"\x89PNG\r\n", b"", b"\x00" * 64]),
+)
+
+_REQUIRED_KEYS = {"url", "doc_kind", "title", "extracted_text", "spans",
+                  "fields", "validation", "metadata", "status"}
+
+
+@settings(max_examples=400, deadline=None, derandomize=True)
+@given(payload=_payloads)
+def test_fuzz_extract_never_raises_and_keeps_invariants(payload):
+    r = extract_document("https://fuzz.test/doc", payload)
+    assert set(r) == _REQUIRED_KEYS
+    text = r["extracted_text"]
+    assert isinstance(text, str)
+    prev_end = 0
+    for s in r["spans"]:
+        # spans index into the text, ordered and non-overlapping
+        assert 0 <= s["start"] <= s["end"] <= len(text)
+        assert s["start"] >= prev_end
+        prev_end = s["end"]
+    assert isinstance(r["validation"]["success"], bool)
+    # determinism: same bytes → same result (modulo wall-clock metadata)
+    r2 = extract_document("https://fuzz.test/doc", payload)
+    for d in (r, r2):
+        d["metadata"] = {k: v for k, v in d["metadata"].items()
+                         if k != "processing_time_ms"}
+    assert r == r2

@@ -413,6 +413,14 @@ def test_fast_parser_edge_cases():
         "text only, no tags",
         "<p>dangling",
         "",
+        # stdlib buffers unterminated comments/marked sections to EOF
+        # and flushes them as data; PIs consume to the first '>'
+        "<!-- unterminated<p>",
+        "<!-->", "<!--->", "<!---->",
+        "<?php echo ?>", "<?x",
+        "<![CDATA[a]]>", "<![CDATA[a>b]]>", "<![CDATA[a <p>x",
+        "&amp;<!-- t<p>",
+        "pre<!DOC <p>post",
     ]
     for html in cases:
         assert _tree_repr(parse_html(html)) == \
