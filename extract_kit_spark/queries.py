@@ -752,6 +752,85 @@ WHERE rn = 1
 """
 
 
+def q_rel_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style multi-way join: revenue per nation inside one
+    region and year, with the local-supplier condition (customer and
+    supplier share a nation). The whole dimension chain
+    (region→nation, customer, supplier) is broadcast — only the
+    lineitem⋈orders fact join shuffles."""
+    region = spark.read.parquet(_t(sf_dir, "region"))
+    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    supp = spark.read.parquet(_t(sf_dir, "supplier"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    dims = (nation
+            .join(F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+                  nation.n_regionkey == F.col("r_regionkey")))
+    return (li
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .where(F.col("c_nationkey") == F.col("s_nationkey"))
+            .join(F.broadcast(dims),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .where((F.col("o_orderdate") >= "1996-01-01")
+                   & (F.col("o_orderdate") < "1997-01-01"))
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("n_name")))
+
+
+_ORACLE_REGION_REVENUE = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2)
+           AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def q_rel_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-style conditional-aggregate ratio: share of revenue
+    from PROMO parts in one month; part side broadcast."""
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li
+            .where((F.col("l_shipdate") >= "1996-03-01")
+                   & (F.col("l_shipdate") < "1996-04-01"))
+            .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .agg(F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                        .otherwise(F.lit(0.0)))
+                / F.sum(rev), 4).alias("promo_revenue_pct")))
+
+
+_ORACLE_PROMO_SHARE = """
+SELECT round(100.0
+             * sum(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4)
+           AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+
 # -- registry --------------------------------------------------------------------
 
 QUERIES = {
@@ -779,6 +858,8 @@ QUERIES = {
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_top_revenue": q_rel_top_revenue,
     "rel_latest_order": q_rel_latest_order,
+    "rel_region_revenue": q_rel_region_revenue,
+    "rel_promo_share": q_rel_promo_share,
 }
 
 # queries WITHOUT oracle entries (non-SQL-expressible / approximate):
@@ -809,4 +890,6 @@ ORACLES = {
     "rel_pricing_summary": _ORACLE_PRICING,
     "rel_top_revenue": _ORACLE_TOP_REVENUE,
     "rel_latest_order": _ORACLE_LATEST_ORDER,
+    "rel_region_revenue": _ORACLE_REGION_REVENUE,
+    "rel_promo_share": _ORACLE_PROMO_SHARE,
 }

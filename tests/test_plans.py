@@ -77,6 +77,13 @@ def test_scan_extraction_plan_has_no_shuffle(spark):
     assert "MapInPandas" in plan
 
 
+def test_region_revenue_broadcasts_dim_chain(spark):
+    # the only shuffle join is the lineitem⋈orders fact join; every
+    # dimension (region→nation, customer, supplier) is broadcast
+    plan = _plan(QUERIES["rel_region_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
 def test_ann_topk_scores_mapside_no_join(spark):
     # queries are captured by the vectorized scorer (map-side broadcast
     # by construction): the corpus is never joined, the only exchange
