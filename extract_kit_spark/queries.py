@@ -670,6 +670,37 @@ FROM x GROUP BY user_id
 """
 
 
+def q_evt_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event windows per type (the batch analogue of a
+    streaming windowed aggregation) + JSON prop extraction from the
+    `props` column — window() and get_json_object stay whole-stage
+    codegen; one shuffle on (window, type)."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev
+            .withColumn("k", k)
+            .groupBy(F.window("ts", "1 hour").getField("start")
+                     .alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value"),
+                 F.round(F.avg("k"), 6).alias("avg_k"))
+            .select(F.date_format("w", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"),
+                    "event_type", "n_events", "total_value", "avg_k"))
+
+
+_ORACLE_EVT_WINDOWS = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS total_value,
+       round(avg(json_extract(props, '$.k')::INTEGER), 6) AS avg_k
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-style aggregation (hash agg with map-side partials)."""
     li = spark.read.parquet(_t(sf_dir, "lineitem"))
@@ -855,6 +886,7 @@ QUERIES = {
     "mm_frame_plan": q_mm_frame_plan,
     "web_domain_stats": q_web_domain_stats,
     "evt_sessionize": q_evt_sessionize,
+    "evt_hourly_windows": q_evt_hourly_windows,
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_top_revenue": q_rel_top_revenue,
     "rel_latest_order": q_rel_latest_order,
@@ -887,6 +919,7 @@ ORACLES = {
     "mm_frame_plan": _ORACLE_MM_FRAMES,
     "web_domain_stats": _ORACLE_DOMAIN_STATS,
     "evt_sessionize": _ORACLE_SESSIONIZE,
+    "evt_hourly_windows": _ORACLE_EVT_WINDOWS,
     "rel_pricing_summary": _ORACLE_PRICING,
     "rel_top_revenue": _ORACLE_TOP_REVENUE,
     "rel_latest_order": _ORACLE_LATEST_ORDER,

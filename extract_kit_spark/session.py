@@ -40,6 +40,8 @@ def get_spark(master: str | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(ARROW_BATCH_ROWS))
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # byte-identical outputs must not depend on cluster-node TZ
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
