@@ -76,3 +76,64 @@ def run_extraction_stream(spark: SparkSession, input_dir: str,
     if await_termination:
         query.awaitTermination()
     return query
+
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def run_event_window_stream(spark: SparkSession, input_dir: str,
+                            output_dir: str,
+                            window_duration: str = "1 hour",
+                            watermark_delay: str = "2 hours",
+                            max_files_per_trigger: int | None = None,
+                            await_termination: bool = True):
+    """Watermarked tumbling-window aggregation over a growing events
+    directory — the stateful-streaming counterpart to the batch
+    ``evt_hourly_windows`` query.
+
+    - ``withWatermark(ts, delay)`` bounds state: a window is FINALIZED
+      (emitted to the append-mode parquet sink, exactly once) when the
+      watermark passes its end; later rows for it are late data and are
+      dropped, so state size is O(open windows), not O(history).
+    - ``availableNow`` drains what is present and stops; still-open
+      windows persist in checkpointed state and are emitted by a later
+      run once newer events advance the watermark — results converge to
+      the batch computation window by window.
+    """
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        # smaller microbatches advance the watermark WITHIN one
+        # availableNow run (the watermark moves between batches, so a
+        # single-batch drain would finalize nothing until the next run)
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    ev = reader.load(input_dir)
+    agg = (ev.withWatermark("ts", watermark_delay)
+           .groupBy(F.window("ts", window_duration).alias("w"),
+                    "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value"))
+           .select(F.date_format(F.col("w.start"),
+                                 "yyyy-MM-dd HH:mm:ss")
+                   .alias("window_start"),
+                   "event_type", "n_events", "total_value"))
+    query = (agg.writeStream
+             .format("parquet")
+             .option("path", os.path.join(output_dir, "data"))
+             .option("checkpointLocation",
+                     os.path.join(output_dir, "_checkpoint"))
+             .trigger(availableNow=True)
+             .outputMode("append")
+             .start())
+    if await_termination:
+        query.awaitTermination()
+    return query

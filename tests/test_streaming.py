@@ -46,3 +46,75 @@ def test_streaming_incremental_exactly_once(spark, tmp_path_factory):
 
     ok = df3.where(F.col("status") == "ok").count()
     assert ok > 180
+
+
+def _write_events(spark, path, start_hour, end_hour, fname):
+    """Deterministic events: 4 per hour (2 types) at fixed minutes."""
+    import datetime as dt
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for h in range(start_hour, end_hour):
+        for i, (etype, minute) in enumerate(
+                [("click", 5), ("view", 20), ("click", 35), ("view", 50)]):
+            rows.append((h * 10 + i,
+                         base + dt.timedelta(hours=h, minutes=minute),
+                         h, etype, float(h) + i / 10.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    # the file-stream source lists FLAT files: write to a temp dir and
+    # move the single part file into place
+    import glob
+    import shutil
+    tmp = path + ".tmp-" + fname
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(tmp + "/part-*.parquet")[0]
+    shutil.move(part, path + "/" + fname + ".parquet")
+    shutil.rmtree(tmp)
+
+
+def test_streaming_watermarked_windows_converge_to_batch(
+        spark, tmp_path_factory):
+    import os
+    from pyspark.sql import functions as F
+    from extract_kit_spark.streaming import run_event_window_stream
+
+    src = str(tmp_path_factory.mktemp("evsrc") / "events")
+    out = str(tmp_path_factory.mktemp("evout") / "w")
+    os.makedirs(src, exist_ok=True)
+    _write_events(spark, src, 0, 5, "b1a")
+    _write_events(spark, src, 5, 10, "b1b")
+
+    # one-file microbatches: the watermark advances between batches,
+    # so windows from the first file finalize within this run
+    run_event_window_stream(spark, src, out, max_files_per_trigger=1)
+    got1 = spark.read.parquet(os.path.join(out, "data"))
+    n1 = got1.count()
+    # watermark after file 1 = 05:50 - 2h: hours 0..2 finalized;
+    # 10 hours x 2 types = 20 total windows, recent ones held in state
+    assert 0 < n1 < 20
+
+    # newer events advance the watermark; held windows flush
+    _write_events(spark, src, 10, 20, "b2")
+    run_event_window_stream(spark, src, out, max_files_per_trigger=1)
+    got2 = spark.read.parquet(os.path.join(out, "data"))
+    assert got2.count() > n1
+    # exactly-once: each (window, type) emitted at most once
+    assert got2.groupBy("window_start", "event_type").count() \
+        .where(F.col("count") > 1).count() == 0
+
+    # every finalized window matches the batch ground truth
+    ev = spark.read.parquet(src)
+    truth = (ev.groupBy(
+        F.date_format(F.window("ts", "1 hour").getField("start"),
+                      "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("total_value")))
+    joined = got2.alias("g").join(
+        truth.alias("t"), ["window_start", "event_type"], "inner")
+    assert joined.count() == got2.count()
+    mismatches = joined.where(
+        (F.col("g.n_events") != F.col("t.n_events"))
+        | (F.col("g.total_value") != F.col("t.total_value"))).count()
+    assert mismatches == 0
