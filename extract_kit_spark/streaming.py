@@ -137,3 +137,112 @@ def run_event_window_stream(spark: SparkSession, input_dir: str,
     if await_termination:
         query.awaitTermination()
     return query
+
+
+SESSION_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.TimestampType()),
+    T.StructField("session_end", T.TimestampType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("total_value", T.DoubleType()),
+])
+
+_SESSION_STATE_SCHEMA = T.StructType([
+    T.StructField("start_ms", T.LongType()),
+    T.StructField("last_ms", T.LongType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("total", T.DoubleType()),
+])
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def run_session_stream(spark: SparkSession, input_dir: str,
+                       output_dir: str,
+                       gap_ms: int = SESSION_GAP_MS,
+                       watermark_delay: str = "2 hours",
+                       max_files_per_trigger: int | None = None,
+                       await_termination: bool = True):
+    """CUSTOM STATEFUL streaming operator (applyInPandasWithState):
+    per-user sessionization with a 30-min inactivity gap — the
+    streaming twin of the batch ``evt_sessionize`` window query, and
+    the pattern for any operator Spark's built-in windowed aggs can't
+    express (per-key custom state machines).
+
+    State per user = (session_start, last_seen, n, total) as an Arrow
+    row; each microbatch folds that user's new events in event-time
+    order, EMITS every session closed by a gap, and arms an event-time
+    timeout at last_seen+gap so the watermark closes idle sessions
+    without new data for that key. Emissions are exactly-once into the
+    append-mode parquet sink; state is bounded at one row per open
+    session."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+    import pandas as pd
+
+    def sessionize(key, pdfs, state: GroupState):
+        uid = key[0]
+        out = []
+        if state.hasTimedOut:
+            start_ms, last_ms, n, total = state.get
+            out.append((uid, start_ms, last_ms, n, total))
+            state.remove()
+        else:
+            rows = []
+            for pdf in pdfs:
+                for ts, v in zip(pdf["ts"], pdf["value"]):
+                    rows.append((int(pd.Timestamp(ts).value // 10**6),
+                                 float(v)))
+            rows.sort()
+            if state.exists:
+                start_ms, last_ms, n, total = state.get
+            else:
+                start_ms = last_ms = None
+                n, total = 0, 0.0
+            for ms, v in rows:
+                if start_ms is None:
+                    start_ms = last_ms = ms
+                elif ms - last_ms > gap_ms:
+                    out.append((uid, start_ms, last_ms, n, total))
+                    start_ms = ms
+                    n, total = 0, 0.0
+                last_ms = max(last_ms, ms)
+                n += 1
+                total += v
+            if start_ms is not None:
+                state.update((start_ms, last_ms, n, round(total, 6)))
+                state.setTimeoutTimestamp(last_ms + gap_ms)
+        if out:
+            yield pd.DataFrame(
+                {"user_id": [r[0] for r in out],
+                 "session_start": [pd.Timestamp(r[1], unit="ms")
+                                   for r in out],
+                 "session_end": [pd.Timestamp(r[2], unit="ms")
+                                 for r in out],
+                 "n_events": [r[3] for r in out],
+                 "total_value": [round(r[4], 6) for r in out]})
+
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    ev = (reader.load(input_dir)
+          .withWatermark("ts", watermark_delay)
+          .select("ts", "user_id", "value"))
+    sessions = (ev.groupBy("user_id")
+                .applyInPandasWithState(
+                    sessionize, SESSION_OUT_SCHEMA,
+                    _SESSION_STATE_SCHEMA, "append",
+                    GroupStateTimeout.EventTimeTimeout))
+    query = (sessions.writeStream
+             .format("parquet")
+             .option("path", os.path.join(output_dir, "data"))
+             .option("checkpointLocation",
+                     os.path.join(output_dir, "_checkpoint"))
+             .trigger(availableNow=True)
+             .outputMode("append")
+             .start())
+    if await_termination:
+        query.awaitTermination()
+    return query

@@ -118,3 +118,61 @@ def test_streaming_watermarked_windows_converge_to_batch(
         (F.col("g.n_events") != F.col("t.n_events"))
         | (F.col("g.total_value") != F.col("t.total_value"))).count()
     assert mismatches == 0
+
+
+def test_streaming_stateful_sessionize(spark, tmp_path_factory):
+    """applyInPandasWithState sessionizer: gap-closed sessions emitted
+    in-batch; idle sessions closed by the event-time timeout when the
+    watermark advances; totals match hand-computed ground truth."""
+    import datetime as dt
+    import os
+    from pyspark.sql import functions as F
+    from extract_kit_spark.streaming import run_session_stream
+
+    src = str(tmp_path_factory.mktemp("sesssrc") / "events")
+    out = str(tmp_path_factory.mktemp("sessout") / "s")
+    os.makedirs(src, exist_ok=True)
+    base = dt.datetime(2024, 1, 1)
+
+    def write(rows, fname):
+        import glob
+        import shutil
+        df = spark.createDataFrame(
+            [(i, base + dt.timedelta(minutes=m), uid, "e", v, "{}")
+             for i, (uid, m, v) in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string")
+        tmp = src + ".tmp-" + fname
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0],
+                    src + "/" + fname + ".parquet")
+        shutil.rmtree(tmp)
+
+    # user 1: two sessions separated by a >30min gap (second session
+    # closed only by timeout later); user 2: one session
+    write([(1, 0, 1.0), (1, 10, 2.0), (1, 20, 3.0),
+           (1, 120, 4.0), (2, 5, 5.0)], "b1")
+    run_session_stream(spark, src, out)
+    got1 = spark.read.parquet(os.path.join(out, "data"))
+    rows1 = {(r["user_id"], r["session_start"].minute): r
+             for r in got1.collect()}
+    # user 1's FIRST session closed by the in-batch gap: 3 events, 6.0
+    assert (1, 0) in rows1
+    assert rows1[(1, 0)]["n_events"] == 3
+    assert abs(rows1[(1, 0)]["total_value"] - 6.0) < 1e-9
+
+    # much-later events advance the watermark past every open
+    # session's timeout → user 1's second session and user 2's close
+    write([(3, 600, 9.0)], "b2")
+    run_session_stream(spark, src, out)
+    got2 = spark.read.parquet(os.path.join(out, "data"))
+    sessions = {(r["user_id"],
+                 r["session_start"].hour * 60 + r["session_start"].minute,
+                 r["n_events"], r["total_value"])
+                for r in got2.collect()}
+    assert (1, 0, 3, 6.0) in sessions
+    assert (1, 120, 1, 4.0) in sessions
+    assert (2, 5, 1, 5.0) in sessions
+    # exactly-once
+    assert got2.groupBy("user_id", "session_start").count() \
+        .where(F.col("count") > 1).count() == 0
