@@ -33,6 +33,7 @@ _CHROME_RE = re.compile(
     r"promo|footer|header|social|share|cookie|subscribe|related|widget)\b",
     re.IGNORECASE)
 _KEEP_TAGS = frozenset({"table", "pre", "h1"})
+_WS_ANY_RE = re.compile(r"\s+")
 
 
 _MEDIA_TAGS = frozenset({"img", "hr", "table"})
@@ -172,7 +173,7 @@ def strip_boilerplate(root: Node) -> Node:
     def prune(node: Node) -> None:
         kept: list[Node] = []
         for child in node.children:
-            if child.is_text:
+            if child.tag == "#text":
                 kept.append(child)
                 continue
             if child.tag in _CANDIDATE_TAGS and \
@@ -191,7 +192,7 @@ def extract_title(root: Node, url: str = "") -> str | None:
     else url basename minus extension; None when neither yields text."""
     h1 = root.find("h1")
     if h1 is not None:
-        text = re.sub(r"\s+", " ", h1.text_content()).strip()
+        text = _WS_ANY_RE.sub(" ", h1.text_content()).strip()
         if text:
             return text
     if url:

@@ -24,10 +24,11 @@ from .html_dom import Node
 from .serialize_md import render_inline
 
 _NUM_RE = r"(-?\d+(?:\.\d+)?)"
+_WS_ANY_RE = re.compile(r"\s+")
 
 
 def _text(node: Node) -> str:
-    return re.sub(r"\s+", " ", node.text_content()).strip()
+    return _WS_ANY_RE.sub(" ", node.text_content()).strip()
 
 
 def _leaf_text(root: Node) -> str:
@@ -77,7 +78,7 @@ def extract_tables(root: Node) -> dict:
 
 
 def _text_cell(c: Node) -> str:
-    return re.sub(r"\s+", " ", render_inline(c)).strip()
+    return _WS_ANY_RE.sub(" ", render_inline(c)).strip()
 
 
 # ---------------------------------------------------------------------------

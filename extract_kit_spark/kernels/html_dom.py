@@ -124,13 +124,13 @@ class Node:
         return default if v is None else v
 
     def text_content(self) -> str:
-        if self.is_text:
+        if self.tag == "#text":
             return self.text
         out: list[str] = []
         stack = list(reversed(self.children))
         while stack:
             n = stack.pop()
-            if n.is_text:
+            if n.tag == "#text":
                 out.append(n.text)
             else:
                 stack.extend(reversed(n.children))
@@ -141,19 +141,37 @@ class Node:
         stack = [self]
         while stack:
             n = stack.pop()
-            if not n.is_text:
+            if n.tag != "#text":
                 yield n
                 stack.extend(reversed(n.children))
 
+    # find/find_all use direct stack loops (not iter()): generator
+    # resumption was a measurable share of kernel CPU. Text nodes never
+    # match (want holds element tags) and have no children, so no
+    # is_text test is needed at all.
     def find_all(self, *tags: str):
         want = set(tags)
-        return [n for n in self.iter() if n.tag in want]
+        out: list[Node] = []
+        stack = [self]
+        while stack:
+            n = stack.pop()
+            if n.tag in want:
+                out.append(n)
+            kids = n.children
+            if kids:
+                stack.extend(reversed(kids))
+        return out
 
     def find(self, *tags: str):
         want = set(tags)
-        for n in self.iter():
+        stack = [self]
+        while stack:
+            n = stack.pop()
             if n.tag in want:
                 return n
+            kids = n.children
+            if kids:
+                stack.extend(reversed(kids))
         return None
 
     def __repr__(self) -> str:  # pragma: no cover - debug aid

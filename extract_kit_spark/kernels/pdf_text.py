@@ -36,6 +36,9 @@ _TOKEN_RE = re.compile(
       | [A-Za-z'"*]+              # operator
     """, re.VERBOSE)
 
+_NUM_TOKEN_RE = re.compile(r"[-+]?\d*\.?\d+")
+_WS_B_RE = re.compile(r"\s")
+
 _ESCAPES = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
             "(": "(", ")": ")", "\\": "\\"}
 
@@ -76,7 +79,7 @@ def _decode_literal(tok: str) -> str:
 
 
 def _decode_hex(tok: str) -> str:
-    hexstr = re.sub(r"\s", "", tok[1:-1])
+    hexstr = _WS_B_RE.sub("", tok[1:-1])
     if len(hexstr) % 2:
         hexstr += "0"
     try:
@@ -119,7 +122,7 @@ def _interpret_text_ops(content: str) -> list[_TextRun]:
             else:
                 stack.append(val)
             continue
-        if re.fullmatch(r"[-+]?\d*\.?\d+", tok):
+        if _NUM_TOKEN_RE.fullmatch(tok):
             num = float(tok)
             if in_array is not None:
                 in_array.append(num)

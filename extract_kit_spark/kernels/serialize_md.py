@@ -85,7 +85,7 @@ def render_inline(node: Node, in_li: bool = False) -> str:
     """Serialize inline content of an element to markdown text."""
     out: list[str] = []
     for child in node.children:
-        if child.is_text:
+        if child.tag == "#text":
             out.append(_norm_ws(child.text))
             continue
         tag = child.tag
@@ -184,7 +184,7 @@ def render_list(lst: Node, depth: int = 0) -> str:
         for ch in li.children:
             if ch.tag in ("ul", "ol"):
                 nested.append(ch)
-            elif ch.is_text:
+            elif ch.tag == "#text":
                 inline_parts.append(_norm_ws(ch.text))
             elif ch.tag == "p":
                 inline_parts.append(render_inline(ch, in_li=True))
@@ -248,7 +248,7 @@ def serialize_blocks(root: Node) -> list[tuple[str, str]]:
                 pending_inline.clear()
 
         for child in node.children:
-            if child.is_text:
+            if child.tag == "#text":
                 if child.text.strip():
                     pending_inline.append(_norm_ws(child.text))
                 continue

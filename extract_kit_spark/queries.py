@@ -612,6 +612,39 @@ FROM p
 """
 
 
+def q_web_kind_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-kind page/byte rollup WITH grand total via SQL ROLLUP —
+    exercises the spark.sql surface and grouping-sets planning
+    (partial aggregation per grouping set, one shuffle)."""
+    _pages_with_kind(spark).createOrReplaceTempView("pages_kinds")
+    return spark.sql("""
+        SELECT coalesce(kind, 'ALL') AS kind,
+               grouping(kind)::INT AS is_total,
+               count(*) AS n_pages,
+               sum(length(html)) AS total_bytes
+        FROM pages_kinds
+        GROUP BY ROLLUP(kind)
+    """)
+
+
+_ORACLE_KIND_ROLLUP = f"""
+WITH p AS (
+  SELECT CASE WHEN octet_length(html) = 0 THEN 'empty'
+              WHEN starts_with(hex(html), '{_HEX_PDF}') THEN 'pdf'
+              WHEN starts_with(hex(html), '{_HEX_ZIP}') THEN 'zip'
+              WHEN starts_with(hex(html), '{_HEX_PNG}') THEN 'png'
+              WHEN starts_with(hex(html), '{_HEX_HTML}') THEN 'html'
+              ELSE 'other' END AS kind,
+         octet_length(html) AS n_bytes
+  FROM read_parquet('{PAGES_GLOB}'))
+SELECT coalesce(kind, 'ALL') AS kind,
+       grouping(kind)::INTEGER AS is_total,
+       count(*)::BIGINT AS n_pages,
+       sum(n_bytes)::BIGINT AS total_bytes
+FROM p GROUP BY ROLLUP(kind)
+"""
+
+
 # -- web-corpus stats (salted skew-safe aggregation) ------------------------------
 
 def q_web_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -885,6 +918,7 @@ QUERIES = {
     "mm_media_meta": q_mm_media_meta,
     "mm_frame_plan": q_mm_frame_plan,
     "web_domain_stats": q_web_domain_stats,
+    "web_kind_rollup": q_web_kind_rollup,
     "evt_sessionize": q_evt_sessionize,
     "evt_hourly_windows": q_evt_hourly_windows,
     "rel_pricing_summary": q_rel_pricing_summary,
@@ -918,6 +952,7 @@ ORACLES = {
     "mm_media_meta": _ORACLE_MM_META,
     "mm_frame_plan": _ORACLE_MM_FRAMES,
     "web_domain_stats": _ORACLE_DOMAIN_STATS,
+    "web_kind_rollup": _ORACLE_KIND_ROLLUP,
     "evt_sessionize": _ORACLE_SESSIONIZE,
     "evt_hourly_windows": _ORACLE_EVT_WINDOWS,
     "rel_pricing_summary": _ORACLE_PRICING,
