@@ -215,7 +215,7 @@ def write_bench_md(extraction: dict, scaling: dict,
         "~2–5 s/page for its AI-vision PDF path and ~80 ms/doc "
         "single-threaded DOCX→Markdown (~12.5 docs/sec). This "
         "engine's deterministic kernels run the full mixed corpus at "
-        "~550+ docs/sec/core and parallelize linearly at low "
+        "~1,000 docs/sec/core and parallelize linearly at low "
         "contention.",
         "",
         "## Per-query seconds (sf dir: %s, best of 2 runs — "
