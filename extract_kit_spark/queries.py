@@ -734,6 +734,47 @@ GROUP BY 1, 2
 """
 
 
+def q_evt_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type — a HOLISTIC
+    aggregate (sort-based, cannot partial-aggregate map-side). Exact is
+    the correctness baseline the oracle can check; at 100 TB the same
+    query swaps F.percentile for F.approx_percentile (t-digest-style
+    mergeable sketch, map-side combinable) — the evt_user_reach_approx
+    query demonstrates that sketch path for distinct counts."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.percentile("value", F.lit(0.5)), 6)
+                 .alias("p50"),
+                 F.round(F.percentile("value", F.lit(0.95)), 6)
+                 .alias("p95"),
+                 F.round(F.percentile("value", F.lit(0.99)), 6)
+                 .alias("p99")))
+
+
+_ORACLE_EVT_QUANTILES = """
+SELECT event_type, count(*)::BIGINT AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def q_evt_user_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via HyperLogLog++ sketch
+    (approx_count_distinct, 2% target rsd) next to the exact count —
+    the mergeable-sketch pattern that replaces exact distinct at
+    100 TB (the sketch partial-aggregates map-side; exact distinct
+    needs a full shuffle of the distinct pairs). Approximate by design
+    → no SQL oracle; relative error asserted in tests."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return (ev.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", rsd=0.02)
+                 .alias("approx_users"),
+                 F.countDistinct("user_id").alias("exact_users")))
+
+
 def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-style aggregation (hash agg with map-side partials)."""
     li = spark.read.parquet(_t(sf_dir, "lineitem"))
@@ -921,6 +962,8 @@ QUERIES = {
     "web_kind_rollup": q_web_kind_rollup,
     "evt_sessionize": q_evt_sessionize,
     "evt_hourly_windows": q_evt_hourly_windows,
+    "evt_value_quantiles": q_evt_value_quantiles,
+    "evt_user_reach_approx": q_evt_user_reach_approx,
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_top_revenue": q_rel_top_revenue,
     "rel_latest_order": q_rel_latest_order,
@@ -937,6 +980,8 @@ QUERIES = {
 #   dedup_simhash — 64-bit signature banding; properties tested.
 #   ann_lsh_topk, ann_ivf_topk — approximate; recall vs ann_topk
 #       tested.
+#   evt_user_reach_approx — HLL++ sketch distinct; relative error vs
+#       the exact count asserted in tests.
 ORACLES = {
     "ext_detect_kind": _ORACLE_DETECT,
     "ext_title": _ORACLE_TITLE,
@@ -955,6 +1000,7 @@ ORACLES = {
     "web_kind_rollup": _ORACLE_KIND_ROLLUP,
     "evt_sessionize": _ORACLE_SESSIONIZE,
     "evt_hourly_windows": _ORACLE_EVT_WINDOWS,
+    "evt_value_quantiles": _ORACLE_EVT_QUANTILES,
     "rel_pricing_summary": _ORACLE_PRICING,
     "rel_top_revenue": _ORACLE_TOP_REVENUE,
     "rel_latest_order": _ORACLE_LATEST_ORDER,

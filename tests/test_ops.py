@@ -119,6 +119,16 @@ def test_corpus_curate_filters_and_dedups(spark):
     assert got[0]["split"] in ("train", "val", "test")
 
 
+def test_evt_user_reach_approx_error_bound(spark):
+    from extract_kit_spark.queries import q_evt_user_reach_approx
+    rows = q_evt_user_reach_approx(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        err = abs(r["approx_users"] - r["exact_users"]) \
+            / max(1, r["exact_users"])
+        assert err <= 0.05, (r["event_type"], err)
+
+
 def test_dedup_exact_keeps_one_per_group(spark):
     rows = [(1, "same text"), (2, "same  TEXT "), (3, "other")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
