@@ -242,11 +242,14 @@ def write_bench_md(extraction: dict, scaling: dict,
         f.write("\n".join(lines))
 
 
-HEADLINE = ("ts_stats", "corpus_split", "corpus_curate",
+HEADLINE = ("ext_invoice_fields", "web_domain_stats",
+            "web_kind_rollup", "ts_stats",
+            "corpus_split", "corpus_curate",
             "dedup_exact", "dedup_jaccard",
             "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
             "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "mm_media_meta",
             "evt_sessionize", "evt_hourly_windows",
+            "evt_value_quantiles",
             "rel_pricing_summary", "rel_top_revenue",
             "rel_latest_order", "rel_region_revenue", "rel_promo_share")
 
@@ -294,7 +297,7 @@ def main() -> None:
         # this sandbox's throughput varies ~2x run-to-run (hypervisor
         # neighbors): take BEST of R interleaved repetitions per core
         # count — max ≈ the least-interference estimate of the machine
-        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
         log(f"== scaling runs (N vs 4N cores, best of {reps}) ==")
         runs: dict = {}
         for rep in range(reps):
