@@ -249,7 +249,7 @@ HEADLINE = ("ext_invoice_fields", "web_domain_stats",
             "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
             "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "mm_media_meta",
             "evt_sessionize", "evt_hourly_windows",
-            "evt_value_quantiles",
+            "evt_asof_click", "evt_value_quantiles",
             "rel_pricing_summary", "rel_top_revenue",
             "rel_latest_order", "rel_region_revenue", "rel_promo_share")
 

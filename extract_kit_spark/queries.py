@@ -734,6 +734,52 @@ GROUP BY 1, 2
 """
 
 
+def q_evt_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each purchase event matched to the same user's most
+    recent click at-or-before it. Expressed the scale-out way — union
+    both sides, one window per user ordered by event time, carry the
+    last click forward with last(ignorenulls) — ONE shuffle on
+    user_id, no per-key loops, no range explosion; the DuckDB oracle
+    uses its native ASOF JOIN, so the two formulations check each
+    other. Clicks sort before purchases at equal timestamps, matching
+    ASOF's inclusive (>=) semantics."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    clicks = ev.where(F.col("event_type") == "click")
+    purch = ev.where(F.col("event_type") == "purchase")
+    u = (clicks.select("user_id", "ts", "event_id",
+                       F.lit(0).alias("is_p"))
+         .unionByName(purch.select("user_id", "ts", "event_id",
+                                   F.lit(1).alias("is_p"))))
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "is_p", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    click_ts = F.when(F.col("is_p") == 0, F.col("ts"))
+    out = (u.withColumn("asof_click_ts",
+                        F.last(click_ts, ignorenulls=True).over(w))
+           .where(F.col("is_p") == 1)
+           .select(F.col("event_id").alias("purchase_id"),
+                   "user_id",
+                   F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                   .alias("purchase_ts"),
+                   F.coalesce(
+                       F.date_format("asof_click_ts",
+                                     "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+                       F.lit("NONE")).alias("asof_click_ts")))
+    return out
+
+
+_ORACLE_ASOF = """
+SELECT p.event_id AS purchase_id,
+       p.user_id AS user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       coalesce(strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f'), 'NONE')
+           AS asof_click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 def q_evt_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event type — a HOLISTIC
     aggregate (sort-based, cannot partial-aggregate map-side). Exact is
@@ -962,6 +1008,7 @@ QUERIES = {
     "web_kind_rollup": q_web_kind_rollup,
     "evt_sessionize": q_evt_sessionize,
     "evt_hourly_windows": q_evt_hourly_windows,
+    "evt_asof_click": q_evt_asof_click,
     "evt_value_quantiles": q_evt_value_quantiles,
     "evt_user_reach_approx": q_evt_user_reach_approx,
     "rel_pricing_summary": q_rel_pricing_summary,
@@ -1000,6 +1047,7 @@ ORACLES = {
     "web_kind_rollup": _ORACLE_KIND_ROLLUP,
     "evt_sessionize": _ORACLE_SESSIONIZE,
     "evt_hourly_windows": _ORACLE_EVT_WINDOWS,
+    "evt_asof_click": _ORACLE_ASOF,
     "evt_value_quantiles": _ORACLE_EVT_QUANTILES,
     "rel_pricing_summary": _ORACLE_PRICING,
     "rel_top_revenue": _ORACLE_TOP_REVENUE,
