@@ -54,11 +54,6 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalized(col))
 
 
-def _count_in(arr: Column, words: tuple[str, ...]) -> Column:
-    return F.size(F.filter(
-        arr, lambda w: w.isin(*[F.lit(x) for x in words])))
-
-
 def _stopword_count(padded: Column, words: tuple[str, ...]) -> Column:
     """Count of tokens exactly equal to one of ``words`` in a padded
     single-space-normalized lowered string (``" w1 w2 … "``).

@@ -84,6 +84,19 @@ def test_ann_ivf_recall_and_determinism(spark, emb):
     assert sorted(got1, key=key) == sorted(got2, key=key)
 
 
+def test_shingle_sets_match_plan_side_shingles(spark, docs):
+    """The pandas shingle stage must produce exactly the shingle SETS
+    of the plan-side shingles() expression (the executable spec the
+    oracle SQL mirrors)."""
+    from pyspark.sql import functions as F
+    sample = docs.limit(50)
+    plan = {r["doc_id"]: set(r["sh"]) for r in sample.select(
+        "doc_id", dedup.shingles(F.col("text"), 3).alias("sh")).collect()}
+    pandas_sets = {r["id"]: set(r["sh"]) for r in dedup._shingle_sets(
+        sample, 3, "doc_id", "text").collect()}
+    assert plan == pandas_sets
+
+
 def test_corpus_split_deterministic_and_disjoint(spark, docs):
     from extract_kit_spark.ops import corpus
     a = corpus.deterministic_split(docs).select(
