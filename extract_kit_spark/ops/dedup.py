@@ -402,7 +402,8 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.45,
     BLAS matmul, whose pairwise summation could flip a 6-dp rounding),
     and the final round/threshold runs JVM-side via F.round (Java
     BigDecimal HALF_UP) with only a conservative raw-value prefilter
-    (threshold − 1e-9) applied inside the UDF."""
+    (threshold − 1e-6, safely below the 6-dp HALF_UP round-up band of
+    [threshold − 5e-7, threshold)) applied inside the UDF."""
     e = df.select(F.col(id_col).cast("long").alias("id"),
                   F.col(vec_col).cast("array<double>").alias("v"),
                   F.pmod(F.col(id_col).cast("long"),
@@ -426,7 +427,11 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.45,
         T.StructField("id_b", T.LongType()),
         T.StructField("cosine_raw", T.DoubleType()),
     ])
-    margin = threshold - 1e-9
+    # prefilter must keep any raw value that HALF_UP-rounds to >= threshold
+    # at 6 dp: raw values in [threshold - 5e-7, threshold) round up, so the
+    # margin must sit below that band (1e-6 for safety); the final JVM-side
+    # round+filter removes the extra candidates exactly
+    margin = threshold - 1e-6
 
     def _seq_normalize(mat: np.ndarray) -> np.ndarray:
         # strictly sequential sum of squares over dims (bit-stable)

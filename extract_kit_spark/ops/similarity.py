@@ -200,7 +200,9 @@ def train_ivf_centroids(corpus: DataFrame, n_centroids: int = 16,
               .where(F.pmod(F.col("id"), F.lit(step)) == 0)
               .orderBy("id").limit(train_cap).collect())
     mat = np.array([r[1] for r in sample], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0  # zero vectors stay zero, not NaN (mirrors ivf_assign)
+    mat /= norms
     rng = np.random.RandomState(seed)
     k = min(n_centroids, mat.shape[0])
     cent = mat[rng.choice(mat.shape[0], size=k, replace=False)]

@@ -71,7 +71,10 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     quality_score, fingerprint, lang_pred. Pure built-ins, all
     whole-stage-codegen-able (see module docstring)."""
     c = F.col(text_col)
-    norm = F.regexp_replace(F.trim(c), r"\s+", " ")
+    # collapse-then-trim, matching normalized(): trim strips only ASCII
+    # spaces, so trim-then-collapse would keep a leading/trailing space
+    # for text edged with \t/\n and break the fingerprint contract
+    norm = F.trim(F.regexp_replace(c, r"\s+", " "))
     lnorm = F.lower(norm)
     padded = F.concat(F.lit(" "), lnorm, F.lit(" "))
     n_tok = F.when(norm == "", F.lit(0)) \
@@ -100,7 +103,8 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("punct_ratio", punct_ratio)
             .withColumn("stopword_ratio", stop_ratio)
             .withColumn("quality_score", quality)
-            # md5(lnorm) == fingerprint(c) (trim/replace commute); the
-            # lnorm spelling lets CSE share the normalization work
+            # md5(lnorm) == fingerprint(c) by construction (same
+            # collapse-then-trim order); the lnorm spelling lets CSE
+            # share the normalization work
             .withColumn("fingerprint", F.md5(lnorm))
             .withColumn("lang_pred", lang_pred))

@@ -148,10 +148,8 @@ SESSION_OUT_SCHEMA = T.StructType([
 ])
 
 _SESSION_STATE_SCHEMA = T.StructType([
-    T.StructField("start_ms", T.LongType()),
-    T.StructField("last_ms", T.LongType()),
-    T.StructField("n", T.LongType()),
-    T.StructField("total", T.DoubleType()),
+    T.StructField("ts_ms", T.ArrayType(T.LongType())),
+    T.StructField("vals", T.ArrayType(T.DoubleType())),
 ])
 
 SESSION_GAP_MS = 30 * 60 * 1000
@@ -169,24 +167,51 @@ def run_session_stream(spark: SparkSession, input_dir: str,
     the pattern for any operator Spark's built-in windowed aggs can't
     express (per-key custom state machines).
 
-    State per user = (session_start, last_seen, n, total) as an Arrow
-    row; each microbatch folds that user's new events in event-time
-    order, EMITS every session closed by a gap, and arms an event-time
-    timeout at last_seen+gap so the watermark closes idle sessions
-    without new data for that key. Emissions are exactly-once into the
-    append-mode parquet sink; state is bounded at one row per open
-    session."""
+    WATERMARK-FINAL semantics: events are buffered in state (arrays of
+    (ts_ms, value)) and a session is emitted only once the watermark
+    has passed session_end + gap — at that point no event the watermark
+    still admits can extend, split, or merge it, so every emitted
+    session is EXACTLY the batch ``evt_sessionize`` answer even when
+    in-watermark events arrive out of order across microbatches (a
+    late event can retroactively merge two provisional spans because
+    nothing has been emitted yet). An event-time timeout at
+    last_seen + gap lets the watermark flush idle users with no new
+    data. Emissions are exactly-once into the append-mode parquet
+    sink; state is bounded by the watermark delay: only events from
+    not-yet-final sessions (age < delay + gap) are retained."""
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import (GroupState,
                                              GroupStateTimeout)
     import pandas as pd
 
+    def _sessions(rows):
+        """Split sorted (ms, v) rows into gap-delimited sessions:
+        (start, end, n, total) with total accumulated in ts order."""
+        sess = []
+        start = last = None
+        n, total = 0, 0.0
+        for ms, v in rows:
+            if start is None:
+                start = last = ms
+            elif ms - last > gap_ms:
+                sess.append((start, last, n, total))
+                start = ms
+                n, total = 0, 0.0
+            last = ms
+            n += 1
+            total += v
+        if start is not None:
+            sess.append((start, last, n, total))
+        return sess
+
     def sessionize(key, pdfs, state: GroupState):
         uid = key[0]
         out = []
         if state.hasTimedOut:
-            start_ms, last_ms, n, total = state.get
-            out.append((uid, start_ms, last_ms, n, total))
+            ts_ms, vals = state.get
+            for start, last, n, total in _sessions(
+                    sorted(zip(ts_ms, vals))):
+                out.append((uid, start, last, n, total))
             state.remove()
         else:
             rows = []
@@ -194,25 +219,28 @@ def run_session_stream(spark: SparkSession, input_dir: str,
                 for ts, v in zip(pdf["ts"], pdf["value"]):
                     rows.append((int(pd.Timestamp(ts).value // 10**6),
                                  float(v)))
-            rows.sort()
             if state.exists:
-                start_ms, last_ms, n, total = state.get
+                ts_ms, vals = state.get
+                rows.extend(zip(ts_ms, vals))
+            rows.sort()
+            wm = state.getCurrentWatermarkMs()
+            pending = []
+            for start, last, n, total in _sessions(rows):
+                if wm > last + gap_ms:  # final: no admissible event can touch it
+                    out.append((uid, start, last, n, total))
+                else:
+                    pending.append((start, last, n, total))
+            if pending:
+                keep = [(ms, v) for ms, v in rows
+                        if ms >= pending[0][0]]
+                state.update(([ms for ms, _ in keep],
+                              [v for _, v in keep]))
+                # fires once the watermark passes last+gap (must be
+                # strictly ahead of the current watermark)
+                state.setTimeoutTimestamp(
+                    max(keep[-1][0] + gap_ms, wm + 1))
             else:
-                start_ms = last_ms = None
-                n, total = 0, 0.0
-            for ms, v in rows:
-                if start_ms is None:
-                    start_ms = last_ms = ms
-                elif ms - last_ms > gap_ms:
-                    out.append((uid, start_ms, last_ms, n, total))
-                    start_ms = ms
-                    n, total = 0, 0.0
-                last_ms = max(last_ms, ms)
-                n += 1
-                total += v
-            if start_ms is not None:
-                state.update((start_ms, last_ms, n, round(total, 6)))
-                state.setTimeoutTimestamp(last_ms + gap_ms)
+                state.remove()
         if out:
             yield pd.DataFrame(
                 {"user_id": [r[0] for r in out],

@@ -181,3 +181,30 @@ def test_frame_plan_offsets(spark, docs):
     assert offs[0] == 0 and all(b - a == 64
                                 for a, b in zip(offs, offs[1:]))
     assert row["n_frames"] == len(offs)
+
+
+def test_fingerprint_whitespace_edged(spark):
+    """ADVICE r1 regression: trim strips only ASCII spaces, so the CSE'd
+    fingerprint in with_text_stats must collapse-then-trim (like
+    normalized()/the DuckDB oracle), or docs edged with \\t/\\n hash
+    differently from their space-trimmed twins."""
+    import duckdb
+    from extract_kit_spark.ops.textstats import (with_text_stats,
+                                                 fingerprint)
+    rows = [(1, "hello  world\n"), (2, "hello world"),
+            (3, "\thello world "), (4, "hello world\r\n")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["fingerprint"]
+           for r in with_text_stats(df).select("doc_id", "fingerprint")
+           .collect()}
+    # all four normalize to "hello world" → one fingerprint
+    assert len(set(got.values())) == 1
+    # matches the standalone fingerprint() column
+    ref = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")).collect()}
+    assert got == ref
+    # and matches the DuckDB oracle spelling bit-for-bit
+    oracle = duckdb.sql(
+        "SELECT md5(lower(trim(regexp_replace('hello  world' || chr(10),"
+        " '\\s+', ' ', 'g'))))").fetchone()[0]
+    assert got[1] == oracle

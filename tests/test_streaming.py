@@ -121,9 +121,11 @@ def test_streaming_watermarked_windows_converge_to_batch(
 
 
 def test_streaming_stateful_sessionize(spark, tmp_path_factory):
-    """applyInPandasWithState sessionizer: gap-closed sessions emitted
-    in-batch; idle sessions closed by the event-time timeout when the
-    watermark advances; totals match hand-computed ground truth."""
+    """applyInPandasWithState sessionizer, WATERMARK-FINAL semantics:
+    nothing is emitted until the watermark passes session_end + gap, so
+    a late-but-in-watermark event arriving in a LATER microbatch can
+    retroactively merge two provisional spans — the cross-batch
+    reordering case a fold-as-newest sessionizer gets wrong."""
     import datetime as dt
     import os
     from pyspark.sql import functions as F
@@ -148,31 +150,31 @@ def test_streaming_stateful_sessionize(spark, tmp_path_factory):
                     src + "/" + fname + ".parquet")
         shutil.rmtree(tmp)
 
-    # user 1: two sessions separated by a >30min gap (second session
-    # closed only by timeout later); user 2: one session
-    write([(1, 0, 1.0), (1, 10, 2.0), (1, 20, 3.0),
-           (1, 120, 4.0), (2, 5, 5.0)], "b1")
+    # user 1: minutes 0 and 40 — a PROVISIONAL >30min gap that a late
+    # event will close; user 2: one session. Watermark is still 0
+    # during this batch, so nothing may be emitted yet.
+    write([(1, 0, 1.0), (1, 40, 3.0), (2, 5, 5.0)], "b1")
     run_session_stream(spark, src, out)
-    got1 = spark.read.parquet(os.path.join(out, "data"))
-    rows1 = {(r["user_id"], r["session_start"].minute): r
-             for r in got1.collect()}
-    # user 1's FIRST session closed by the in-batch gap: 3 events, 6.0
-    assert (1, 0) in rows1
-    assert rows1[(1, 0)]["n_events"] == 3
-    assert abs(rows1[(1, 0)]["total_value"] - 6.0) < 1e-9
 
-    # much-later events advance the watermark past every open
-    # session's timeout → user 1's second session and user 2's close
-    write([(3, 600, 9.0)], "b2")
+    # batch 2 delivers a LATE event at minute 20 (admitted: watermark
+    # after b1 is max(40min) - 2h → 0) that merges user 1's spans, plus
+    # a far-future event that advances the watermark past every open
+    # session's timeout so the no-data batch flushes them.
+    write([(1, 20, 2.0), (3, 600, 9.0)], "b2")
     run_session_stream(spark, src, out)
     got2 = spark.read.parquet(os.path.join(out, "data"))
     sessions = {(r["user_id"],
                  r["session_start"].hour * 60 + r["session_start"].minute,
+                 r["session_end"].hour * 60 + r["session_end"].minute,
                  r["n_events"], r["total_value"])
                 for r in got2.collect()}
-    assert (1, 0, 3, 6.0) in sessions
-    assert (1, 120, 1, 4.0) in sessions
-    assert (2, 5, 1, 5.0) in sessions
+    # ONE merged session 0→40 with all three events — not two spans
+    assert (1, 0, 40, 3, 6.0) in sessions
+    assert (2, 5, 5, 1, 5.0) in sessions
+    # user 1 emitted exactly once (the provisional split never leaked)
+    assert got2.where(F.col("user_id") == 1).count() == 1
+    # user 3's session is still open (watermark hasn't passed it)
+    assert got2.where(F.col("user_id") == 3).count() == 0
     # exactly-once
     assert got2.groupBy("user_id", "session_start").count() \
         .where(F.col("count") > 1).count() == 0
