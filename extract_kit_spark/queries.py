@@ -112,11 +112,13 @@ _FLAGSHIP_SCHEMA = T.StructType([
     T.StructField("text_len", T.LongType()),
     T.StructField("n_spans", T.LongType()),
     T.StructField("ok", T.BooleanType()),
+    T.StructField("text_sha256", T.StringType()),
 ])
 
 
 def _extract_flagship_batches(batches: Iterator[pd.DataFrame]) \
         -> Iterator[pd.DataFrame]:
+    import hashlib
     from .kernels.extract import extract_document
     for pdf in batches:
         rows = []
@@ -131,6 +133,10 @@ def _extract_flagship_batches(batches: Iterator[pd.DataFrame]) \
                 "text_len": len(r["extracted_text"]),
                 "n_spans": len(r["spans"]),
                 "ok": r["validation"]["success"],
+                # the north-rule invariant (byte-identical extracted
+                # text per url), carried as a checkable column
+                "text_sha256": hashlib.sha256(
+                    r["extracted_text"].encode("utf-8")).hexdigest(),
             })
         yield pd.DataFrame(rows)
 
@@ -145,6 +151,31 @@ def q_ext_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = spark.read.parquet(PAGES_PATH).select("url", "html")
     return pages.mapInPandas(_extract_flagship_batches,
                              schema=_FLAGSHIP_SCHEMA)
+
+
+# Flagship oracle: the committed kernel-computed golden registry for all
+# N_PAGES fixture pages (tests/golden/flagship_1200.json, regenerated by
+# tests/gen_goldens.py WITHOUT Spark — a single-process loop over
+# gen_page → extract_document). DuckDB reads it directly, so the driver
+# gets a hard rows/schema/hash signal on the full pipeline, including
+# the byte-identity of extracted text via text_sha256.
+_FLAGSHIP_GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "golden", "flagship_1200.json")
+
+_ORACLE_FLAGSHIP = f"""
+SELECT url, doc_kind, status, title,
+       text_len::BIGINT AS text_len, n_spans::BIGINT AS n_spans,
+       ok, text_sha256
+FROM read_json('{_FLAGSHIP_GOLDEN}', format='array')
+"""
+
+_ORACLE_STATUS_COUNTS = f"""
+SELECT doc_kind, status, count(*)::BIGINT AS n,
+       sum(text_len)::BIGINT AS total_text_chars
+FROM read_json('{_FLAGSHIP_GOLDEN}', format='array')
+GROUP BY doc_kind, status
+"""
 
 
 def _pages_with_kind(spark: SparkSession) -> DataFrame:
@@ -596,16 +627,25 @@ FRAME_STRIDE = 64
 def q_mm_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (_read_parallel(spark, _t(sf_dir, "documents"))
             .select("doc_id", F.encode("text", "UTF-8").alias("payload")))
-    return multimodal.frame_sample_plan(docs, "doc_id", "payload",
+    plan = multimodal.frame_sample_plan(docs, "doc_id", "payload",
                                         frame_stride=FRAME_STRIDE)
+    # the list column is stringified for the oracle compare: the
+    # driver's canonicalizer sorts pandas frames, where Python lists
+    # are unhashable. concat_ws over a cast stays whole-stage-codegen
+    # (no HOF lambda — those are CodegenFallback).
+    return plan.select(
+        "media_id", "n_bytes",
+        F.concat_ws(",", F.col("frame_offsets").cast("array<string>"))
+        .alias("frame_offsets"),
+        "n_frames")
 
 
 _ORACLE_MM_FRAMES = f"""
 WITH p AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n
            FROM documents)
 SELECT doc_id::BIGINT AS media_id, n AS n_bytes,
-       CASE WHEN n > 0 THEN range(0, n, {FRAME_STRIDE})
-            ELSE []::BIGINT[] END AS frame_offsets,
+       CASE WHEN n > 0 THEN array_to_string(range(0, n, {FRAME_STRIDE}), ',')
+            ELSE '' END AS frame_offsets,
        CASE WHEN n > 0 THEN len(range(0, n, {FRAME_STRIDE}))
             ELSE 0 END::INTEGER AS n_frames
 FROM p
@@ -1019,9 +1059,6 @@ QUERIES = {
 }
 
 # queries WITHOUT oracle entries (non-SQL-expressible / approximate):
-#   ext_flagship, ext_status_counts — full kernel extraction (DOM walk,
-#       boilerplate scoring); validated against committed byte goldens
-#       in tests/test_goldens.py + tests/test_pipeline.py instead.
 #   dedup_minhash_lsh — approximate-by-design; recall vs the exact
 #       jaccard oracle is asserted in tests/test_ops.py.
 #   dedup_simhash — 64-bit signature banding; properties tested.
@@ -1030,6 +1067,8 @@ QUERIES = {
 #   evt_user_reach_approx — HLL++ sketch distinct; relative error vs
 #       the exact count asserted in tests.
 ORACLES = {
+    "ext_flagship": _ORACLE_FLAGSHIP,
+    "ext_status_counts": _ORACLE_STATUS_COUNTS,
     "ext_detect_kind": _ORACLE_DETECT,
     "ext_title": _ORACLE_TITLE,
     "ext_link_stats": _ORACLE_LINK_STATS,

@@ -54,3 +54,30 @@ for i in range(N):
 with open(out_path, "w") as f:
     json.dump(goldens, f, indent=1, sort_keys=True)
 print(f"wrote {len(goldens)} goldens to {out_path}")
+
+# -- flagship oracle registry: ALL fixture pages, exactly the flagship
+# query's columns (queries._FLAGSHIP_SCHEMA) + text_sha256, computed by
+# this single-process non-Spark loop. DuckDB reads this file as the
+# ext_flagship / ext_status_counts oracle, giving the driver a hard
+# byte-identity signal on the full extraction pipeline.
+from extract_kit_spark.queries import N_PAGES  # noqa: E402
+
+flagship = []
+for i in range(N_PAGES):
+    row = gen_page(i)
+    res = extract_document(row["url"], row["html"])
+    flagship.append({
+        "url": row["url"],
+        "doc_kind": res["doc_kind"],
+        "status": res["status"],
+        "title": res["title"],
+        "text_len": len(res["extracted_text"]),
+        "n_spans": len(res["spans"]),
+        "ok": res["validation"]["success"],
+        "text_sha256": hashlib.sha256(
+            res["extracted_text"].encode("utf-8")).hexdigest(),
+    })
+flagship_path = os.path.join(here, "golden", "flagship_1200.json")
+with open(flagship_path, "w") as f:
+    json.dump(flagship, f, indent=1, sort_keys=True)
+print(f"wrote {len(flagship)} flagship goldens to {flagship_path}")
