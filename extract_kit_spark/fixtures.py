@@ -317,7 +317,70 @@ def _pdf_doc(rng: random.Random, compress: bool = False) -> bytes:
                 y2 -= 16
         ops.append("ET")
         page_streams.append("\n".join(ops).encode("latin-1"))
+    return _pdf_assemble(page_streams, compress)
 
+
+def _pdf_from_lines(lines: list[str], compress: bool = False) -> bytes:
+    """Single-page PDF with one Tj per text line at x=72, descending y —
+    the structured-document (invoice/receipt) PDF layout."""
+    ops = ["BT", "/F1 12 Tf"]
+    y = 760
+    for line in lines:
+        ops.append(f"1 0 0 1 72 {y} Tm")
+        ops.append(f"({line}) Tj")
+        y -= 16
+    ops.append("ET")
+    return _pdf_assemble(["\n".join(ops).encode("latin-1")], compress)
+
+
+def _pdf_invoice(rng: random.Random) -> bytes:
+    """Invoice-as-PDF: the same field grammar as _invoice_page rendered
+    as PDF text lines. Always UNCOMPRESSED so the DuckDB oracle can
+    regex the content-stream literals (the compressed twin is covered by
+    kernel tests)."""
+    inv_no = f"INV-{rng.randint(0, 999999):06d}"
+    date = f"2025-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}"
+    seller = _words(rng, 2).title() + " GmbH"
+    buyer = _words(rng, 2).title() + " SARL"
+    currency = rng.choice(("EUR", "USD", "GBP"))
+    lines = [f"Invoice {inv_no}",
+             f"Invoice Number: {inv_no}",
+             f"Invoice Date: {date}",
+             f"Currency: {currency}",
+             f"Seller: {seller}",
+             f"Buyer: {buyer}"]
+    total_c = 0
+    for _ in range(rng.randint(2, 8)):
+        qty = rng.randint(1, 9)
+        unit_c = rng.randint(100, 99999)
+        line_c = qty * unit_c
+        total_c += line_c
+        lines.append(f"{_words(rng, 2)} x{qty} @ {unit_c / 100.0:.2f}"
+                     f" = {line_c / 100.0:.2f}")
+    lines.append(f"Total: {total_c / 100.0:.2f} {currency}")
+    return _pdf_from_lines(lines)
+
+
+def _pdf_receipt(rng: random.Random) -> bytes:
+    """Receipt-as-PDF (uncompressed, same grammar as _receipt_page)."""
+    merchant = _words(rng, 2).title() + " Store"
+    date = f"2025-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}"
+    lines = [merchant, f"Date: {date}"]
+    total_c = 0
+    for _ in range(rng.randint(1, 6)):
+        qty = rng.randint(1, 5)
+        price_c = rng.randint(50, 9999)
+        line_c = qty * price_c
+        total_c += line_c
+        lines.append(f"{_words(rng, 2)} x{qty} @ {price_c / 100.0:.2f}"
+                     f" = {line_c / 100.0:.2f}")
+    lines.append(f"Total: {total_c / 100.0:.2f}")
+    lines.append(f"Payment: {rng.choice(('card', 'cash', 'mobile'))}")
+    lines.append("Currency: EUR")
+    return _pdf_from_lines(lines)
+
+
+def _pdf_assemble(page_streams: list[bytes], compress: bool) -> bytes:
     objs: list[bytes] = []
 
     def add(body: bytes) -> int:
@@ -428,9 +491,17 @@ def gen_page(i: int, seed: int = SEED, oversize_every: int = 0,
         oversize = bool(oversize_every) and i % oversize_every == 0
         payload = _broken(rng, oversize_bytes if oversize else 0)
     elif kind == "pdf_doc":
-        # every 3rd pdf uses FlateDecode streams (decided OUTSIDE the
-        # rng so the text content — and thus goldens — is unchanged)
-        payload = _pdf_doc(rng, compress=(i % 3 == 0))
+        # variant decided OUTSIDE the rng (pure function of i): every
+        # 4th±1 pdf carries structured fields (invoice / receipt — the
+        # reference's extractInvoicePdf/extractReceiptPdf fixtures);
+        # plain pdfs alternate FlateDecode streams. Structured pdfs stay
+        # uncompressed so the DuckDB oracle can regex the literals.
+        if i % 4 == 1:
+            payload = _pdf_invoice(rng)
+        elif i % 4 == 3:
+            payload = _pdf_receipt(rng)
+        else:
+            payload = _pdf_doc(rng, compress=(i % 3 == 0))
     else:
         payload = _BUILDERS[kind](rng)
     return {

@@ -28,7 +28,9 @@ import time
 from . import detect, errors
 from .boilerplate import extract_title, strip_boilerplate
 from .docx import docx_to_html
-from .fields import extract_invoice, extract_receipt, extract_tables
+from .fields import (extract_invoice, extract_invoice_lines,
+                     extract_receipt, extract_receipt_lines,
+                     extract_tables, extract_tables_lines)
 from .html_dom import body_of, parse_html
 from .pdf_text import extract_pdf_pages, page_count
 from .serialize_md import assemble, serialize_blocks
@@ -121,11 +123,49 @@ def extract_html(url: str, payload: bytes, profile: str, t0: float,
                    schema_used=schema_used, optimizations=opts, t0=t0)
 
 
+def _select_profile_lines(requested: str, lines: list[str]) -> str:
+    """Schema-selection precedence for the PDF branch — same rules as
+    _select_profile but over reading-ordered text lines (Q1 analogue,
+    `core/vision/schema-selector.ts:20-58`)."""
+    if requested != "auto":
+        return requested
+    text = "\n".join(lines)
+    low = text.lower()
+    if "invoice number" in low or "facture n" in low:
+        return "invoice"
+    if " @ " in text and ("payment:" in low or "paiement" in low):
+        return "receipt"
+    if extract_tables_lines(lines)["table_count"] > 0:
+        return "tables"
+    return "generic"
+
+
+def _extract_fields_lines(profile: str,
+                          lines: list[str]) -> tuple[dict, list[str], str]:
+    """Line-based twin of _extract_fields — the deterministic analogue
+    of extractInvoicePdf / extractReceiptPdf / extractTablesPdf
+    (`pdf-processor/src/lib/index.ts:138-184`)."""
+    fields = _empty_fields()
+    val_errors: list[str] = []
+    if profile == "invoice":
+        fields["invoice"], val_errors = extract_invoice_lines(lines)
+        fields["tables"] = extract_tables_lines(lines)
+    elif profile == "receipt":
+        fields["receipt"], val_errors = extract_receipt_lines(lines)
+    elif profile == "tables":
+        fields["tables"] = extract_tables_lines(lines)
+        if fields["tables"]["table_count"] == 0:
+            val_errors = ["tables profile: no tables detected"]
+    return fields, val_errors, profile
+
+
 def extract_pdf(url: str, payload: bytes, profile: str, t0: float) -> dict:
     pages = extract_pdf_pages(payload)
     blocks: list[tuple[str, str]] = []
     title = None
+    flat_lines: list[str] = []
     for lines in pages:
+        flat_lines.extend(lines)
         for i, line in enumerate(lines):
             if title is None and line.strip():
                 title = line.strip()
@@ -134,8 +174,12 @@ def extract_pdf(url: str, payload: bytes, profile: str, t0: float) -> dict:
                 blocks.append(("para", line))
     text, spans = assemble(blocks)
     n_pages = page_count(payload) or len(pages)
+    chosen = _select_profile_lines(profile, flat_lines)
+    fields, val_errors, schema_used = _extract_fields_lines(chosen,
+                                                            flat_lines)
     return _result(url, detect.KIND_PDF, title=title, text=text,
-                   spans=spans, pages=n_pages, schema_used="generic",
+                   spans=spans, fields=fields, val_errors=val_errors,
+                   pages=n_pages, schema_used=schema_used,
                    optimizations=["pdf-layout-v1"], t0=t0)
 
 

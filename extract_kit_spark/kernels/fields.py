@@ -232,3 +232,134 @@ def extract_receipt(root: Node) -> tuple[dict, list[str]]:
 def _m1(pat: re.Pattern, text: str) -> str | None:
     m = pat.search(text)
     return m.group(1) if m else None
+
+
+# ---------------------------------------------------------------------------
+# line-based profiles (the PDF branch: reading-ordered text lines from
+# pdf_text.extract_pdf_pages instead of a DOM — the deterministic
+# analogue of extractInvoicePdf / extractReceiptPdf / extractTablesPdf,
+# `pdf-processor/src/lib/index.ts:138-184`)
+# ---------------------------------------------------------------------------
+
+_ITEM_FIELDS = ("description", "quantity", "unit_price", "line_total")
+
+
+def _item_lines(lines: list[str]) -> list[dict]:
+    """Lines matching the ``desc xN @ unit = total`` item grammar, in
+    reading order."""
+    items = []
+    for line in lines:
+        m = _RECEIPT_ITEM_RE.match(line.strip())
+        if m:
+            items.append({
+                "description": m.group(1).strip(),
+                "quantity": float(m.group(2)),
+                "unit_price": float(m.group(3)),
+                "line_total": float(m.group(4)),
+            })
+    return items
+
+
+def extract_tables_lines(lines: list[str]) -> dict:
+    """Tables profile over text lines: runs of ≥2 consecutive item-
+    grammar lines form one detected table (TablesOnlySchema shape,
+    cells canonicalized to strings like the DOM path)."""
+    detected = []
+    run: list[dict] = []
+
+    def flush():
+        if len(run) >= 2:
+            detected.append({
+                "headers": list(_ITEM_FIELDS),
+                "rows": [[it["description"], f"{it['quantity']:g}",
+                          f"{it['unit_price']:.2f}",
+                          f"{it['line_total']:.2f}"] for it in run],
+                "n_rows": len(run),
+                "n_cols": 4,
+            })
+
+    for line in lines:
+        m = _RECEIPT_ITEM_RE.match(line.strip())
+        if m:
+            run.append({
+                "description": m.group(1).strip(),
+                "quantity": float(m.group(2)),
+                "unit_price": float(m.group(3)),
+                "line_total": float(m.group(4)),
+            })
+        else:
+            flush()
+            run = []
+    flush()
+    return {"detected_tables": detected, "table_count": len(detected)}
+
+
+def extract_invoice_lines(lines: list[str]) -> tuple[dict, list[str]]:
+    """Invoice profile over text lines: same labeled-field regexes and
+    V4 coherence rule as the DOM path; line items from the item
+    grammar."""
+    page_text = "\n".join(lines)
+    out: dict = {k: None for k in _INVOICE_LABELS}
+    for key, pat in _INVOICE_LABELS.items():
+        m = pat.search(page_text)
+        if m:
+            out[key] = m.group(1).strip()
+    m = _TOTAL_RE.search(page_text)
+    out["total_amount"] = _to_float(m.group(1)) if m else None
+    line_items = _item_lines(lines)
+    out["line_items"] = line_items
+    found = sum(1 for k in ("invoice_number", "invoice_date", "seller",
+                            "buyer", "currency", "total_amount")
+                if out.get(k) is not None) + (1 if line_items else 0)
+    out["fields_found"] = found
+    out["confidence_score"] = round(found / 7.0, 4)
+
+    errors: list[str] = []
+    if out["total_amount"] is None:
+        errors.append("invoice.total_amount missing")
+    if not line_items:
+        errors.append("invoice.line_items empty")
+    else:
+        s = sum(li["line_total"] or 0.0 for li in line_items)
+        if out["total_amount"] is not None and \
+                abs(s - out["total_amount"]) > 0.01:
+            errors.append(
+                f"invoice coherence: sum(line_total)={s:.2f} != "
+                f"total_amount={out['total_amount']:.2f}")
+    return out, errors
+
+
+def extract_receipt_lines(lines: list[str]) -> tuple[dict, list[str]]:
+    """Receipt profile over text lines: merchant = first non-empty line
+    (the PDF title position), then the DOM path's regexes and
+    validation rules (`tests/receipt.test.ts:41-85`)."""
+    merchant = next((ln.strip() for ln in lines if ln.strip()), None)
+    page_text = "\n".join(lines)
+    date = _m1(_DATE_RE, page_text)
+    payment = _m1(_PAYMENT_RE, page_text)
+    currency = _m1(_CURRENCY_RE, page_text)
+    m = _TOTAL_RE.search(page_text)
+    total = _to_float(m.group(1)) if m else None
+    items = [{"name": it["description"], "quantity": it["quantity"],
+              "price": it["unit_price"], "total": it["line_total"]}
+             for it in _item_lines(lines)]
+    fields = {
+        "merchant_name": merchant, "date": date,
+        "payment_method": payment, "currency": currency,
+        "total_amount": total, "items": items,
+    }
+    errors: list[str] = []
+    if not merchant:
+        errors.append("receipt.merchant_name missing")
+    if total is None or total <= 0:
+        errors.append("receipt.total_amount not > 0")
+    if not items:
+        errors.append("receipt.items empty")
+    for it in items:
+        if not it["name"] or it["price"] <= 0 or it["quantity"] <= 0 \
+                or it["total"] <= 0:
+            errors.append(f"receipt item invalid: {it['name']!r}")
+    if items and total is not None and \
+            abs(sum(i["total"] for i in items) - total) > 0.01:
+        errors.append("receipt coherence: sum(items.total) != total_amount")
+    return fields, errors

@@ -362,8 +362,10 @@ def run_extraction_scan(spark: SparkSession,
     }
 
 
-# the flagship entry point: scan layout (no payload shuffle)
-run_extraction = run_extraction_bucketed  # back-compat alias for tests
+# Back-compat alias for tests. NOTE: this binds the BUCKETED layout
+# (hash-shuffle on url before extraction) — the flagship no-shuffle
+# plan is run_extraction_scan, which the CLI defaults to (run.py).
+run_extraction = run_extraction_bucketed
 
 
 def read_extractions(spark: SparkSession, output_dir: str) -> DataFrame:

@@ -28,7 +28,7 @@ from .ops import corpus, dedup, multimodal, similarity, textstats
 # scan parallelizes; the DuckDB oracle reads the same files via glob) --------
 
 N_PAGES = 1200
-PAGES_PATH = f"/tmp/ekspark_pages_v3_{N_PAGES}"
+PAGES_PATH = f"/tmp/ekspark_pages_v4_{N_PAGES}"  # v4: pdf invoice/receipt variants
 PAGES_GLOB = f"{PAGES_PATH}/*.parquet"
 
 
@@ -75,21 +75,28 @@ def _ensure_importable(spark: SparkSession) -> None:
         return
     except Exception:
         pass
+    import hashlib
     import zipfile
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = "/tmp/ekspark_pkg.zip"
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                sources.append(os.path.join(root, fn))
+    digest = hashlib.md5()
+    for full in sorted(sources):
+        with open(full, "rb") as fh:
+            digest.update(fh.read())
+    # content-addressed zip name: edited source never collides with a
+    # stale cached archive from an earlier run
+    zip_path = f"/tmp/ekspark_pkg_{digest.hexdigest()[:12]}.zip"
     if not os.path.exists(zip_path):
         tmp = zip_path + ".tmp"
         with zipfile.ZipFile(tmp, "w") as z:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if not fn.endswith(".py"):
-                        continue
-                    full = os.path.join(root, fn)
-                    rel = os.path.join(
-                        "extract_kit_spark",
-                        os.path.relpath(full, pkg_dir))
-                    z.write(full, rel)
+            for full in sources:
+                rel = os.path.join("extract_kit_spark",
+                                   os.path.relpath(full, pkg_dir))
+                z.write(full, rel)
         os.replace(tmp, zip_path)
     spark.sparkContext.addPyFile(zip_path)
     spark._ekspark_pyfiles = True
@@ -345,6 +352,141 @@ SELECT url, invoice_number, invoice_date, currency, total_amount,
        len(line_totals)::INTEGER AS n_line_items,
        round(list_sum(line_totals), 2) AS sum_line_totals,
        abs(round(list_sum(line_totals), 2) - total_amount) <= 0.01
+           AS coherent
+FROM f
+"""
+
+
+def q_ext_pdf_invoice_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured invoice extraction on the PDF branch (the
+    extractInvoicePdf analogue, `pdf-processor/src/lib/index.ts:138-152`):
+    the KERNEL interprets the content stream, reconstructs reading
+    order, and fills the invoice fields from text lines; the oracle
+    re-derives the same fields with independent SQL regexes over the
+    raw content-stream literals — agreement proves the interpreter
+    recovered the text."""
+    _ensure_importable(spark)
+    ensure_pages()
+    pages = spark.read.parquet(PAGES_PATH)
+    s = F.decode(F.col("html"), "ISO-8859-1")
+    pdf_invoices = (pages
+                    .where(F.hex(F.substring("html", 1, 5)) == _HEX_PDF)
+                    .where(s.contains("(Invoice Number:"))
+                    .select("url", "html"))
+    return pdf_invoices.mapInPandas(_extract_invoice_batches,
+                                    schema=_INVOICE_SCHEMA)
+
+
+_ORACLE_PDF_INVOICE = f"""
+WITH p AS (
+  SELECT url, html::VARCHAR AS s
+  FROM read_parquet('{PAGES_GLOB}')
+  WHERE starts_with(hex(html), '{_HEX_PDF}')
+    AND contains(html::VARCHAR, '(Invoice Number:')),
+f AS (
+  SELECT url,
+         regexp_extract(s, '\\(Invoice Number: ([^)]+)\\)', 1)
+             AS invoice_number,
+         regexp_extract(s, '\\(Invoice Date: ([0-9-]+)\\)', 1)
+             AS invoice_date,
+         regexp_extract(s, '\\(Currency: ([A-Z]{{3}})\\)', 1) AS currency,
+         CAST(regexp_extract(s, '\\(Total: ([0-9.]+)', 1) AS DOUBLE)
+             AS total_amount,
+         list_transform(
+             regexp_extract_all(s, ' = ([0-9.]+)\\) Tj', 1),
+             x -> CAST(x AS DOUBLE)) AS line_totals
+  FROM p)
+SELECT url, invoice_number, invoice_date, currency, total_amount,
+       len(line_totals)::INTEGER AS n_line_items,
+       round(list_sum(line_totals), 2) AS sum_line_totals,
+       abs(round(list_sum(line_totals), 2) - total_amount) <= 0.01
+           AS coherent
+FROM f
+"""
+
+
+_RECEIPT_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("merchant_name", T.StringType()),
+    T.StructField("receipt_date", T.StringType()),
+    T.StructField("payment_method", T.StringType()),
+    T.StructField("currency", T.StringType()),
+    T.StructField("total_amount", T.DoubleType()),
+    T.StructField("n_items", T.IntegerType()),
+    T.StructField("sum_item_totals", T.DoubleType()),
+    T.StructField("coherent", T.BooleanType()),
+])
+
+
+def _extract_receipt_batches(batches: Iterator[pd.DataFrame]) \
+        -> Iterator[pd.DataFrame]:
+    from .kernels.extract import extract_document
+    for pdf in batches:
+        rows = []
+        for url, payload in zip(pdf["url"].tolist(),
+                                pdf["html"].tolist()):
+            r = extract_document(url, payload, profile="receipt")
+            rec = r["fields"]["receipt"] or {}
+            items = rec.get("items") or []
+            s = round(sum(it["total"] or 0.0 for it in items), 2)
+            total = rec.get("total_amount")
+            rows.append({
+                "url": url,
+                "merchant_name": rec.get("merchant_name"),
+                "receipt_date": rec.get("date"),
+                "payment_method": rec.get("payment_method"),
+                "currency": rec.get("currency"),
+                "total_amount": total,
+                "n_items": len(items),
+                "sum_item_totals": s,
+                "coherent": (total is not None
+                             and abs(s - total) <= 0.01),
+            })
+        yield pd.DataFrame(rows)
+
+
+def q_ext_pdf_receipt_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Receipt extraction on the PDF branch (extractReceiptPdf analogue;
+    the reference's strongest test asserts exactly these fields from a
+    PDF — `pdf-processor/tests/receipt.test.ts:41-85`)."""
+    _ensure_importable(spark)
+    ensure_pages()
+    pages = spark.read.parquet(PAGES_PATH)
+    s = F.decode(F.col("html"), "ISO-8859-1")
+    pdf_receipts = (pages
+                    .where(F.hex(F.substring("html", 1, 5)) == _HEX_PDF)
+                    .where(s.contains("(Payment:")
+                           & ~s.contains("(Invoice Number:"))
+                    .select("url", "html"))
+    return pdf_receipts.mapInPandas(_extract_receipt_batches,
+                                    schema=_RECEIPT_SCHEMA)
+
+
+_ORACLE_PDF_RECEIPT = f"""
+WITH p AS (
+  SELECT url, html::VARCHAR AS s
+  FROM read_parquet('{PAGES_GLOB}')
+  WHERE starts_with(hex(html), '{_HEX_PDF}')
+    AND contains(html::VARCHAR, '(Payment:')
+    AND NOT contains(html::VARCHAR, '(Invoice Number:')),
+f AS (
+  SELECT url,
+         regexp_extract(s, '\\(([^)]*)\\) Tj', 1) AS merchant_name,
+         regexp_extract(s, '\\(Date: ([0-9-]+)\\)', 1) AS receipt_date,
+         regexp_extract(s, '\\(Payment: ([^)]+)\\)', 1)
+             AS payment_method,
+         regexp_extract(s, '\\(Currency: ([A-Z]{{3}})\\)', 1) AS currency,
+         CAST(regexp_extract(s, '\\(Total: ([0-9.]+)', 1) AS DOUBLE)
+             AS total_amount,
+         list_transform(
+             regexp_extract_all(s, ' = ([0-9.]+)\\) Tj', 1),
+             x -> CAST(x AS DOUBLE)) AS item_totals
+  FROM p)
+SELECT url, merchant_name, receipt_date, payment_method, currency,
+       total_amount,
+       len(item_totals)::INTEGER AS n_items,
+       round(list_sum(item_totals), 2) AS sum_item_totals,
+       abs(round(list_sum(item_totals), 2) - total_amount) <= 0.01
            AS coherent
 FROM f
 """
@@ -1031,6 +1173,8 @@ QUERIES = {
     "ext_link_stats": q_ext_link_stats,
     "ext_status_counts": q_ext_status_counts,
     "ext_invoice_fields": q_ext_invoice_fields,
+    "ext_pdf_invoice_fields": q_ext_pdf_invoice_fields,
+    "ext_pdf_receipt_fields": q_ext_pdf_receipt_fields,
     "ts_stats": q_ts_stats,
     "corpus_split": q_corpus_split,
     "corpus_curate": q_corpus_curate,
@@ -1073,6 +1217,8 @@ ORACLES = {
     "ext_title": _ORACLE_TITLE,
     "ext_link_stats": _ORACLE_LINK_STATS,
     "ext_invoice_fields": _ORACLE_INVOICE,
+    "ext_pdf_invoice_fields": _ORACLE_PDF_INVOICE,
+    "ext_pdf_receipt_fields": _ORACLE_PDF_RECEIPT,
     "ts_stats": _ORACLE_TS_STATS,
     "corpus_split": _ORACLE_SPLIT,
     "corpus_curate": _ORACLE_CURATE,

@@ -273,12 +273,13 @@ def test_pdf_two_column_reading_order():
 def test_pdf_flate_length_slice_regression():
     """Compressed content streams whose deflate bytes contain
     endstream-like sequences or trailing CR bytes must decode via the
-    /Length slice, not a delimiter scan. Fixture indices 4413/20103/
-    36519 are seeds where the old scan lost pages."""
+    /Length slice, not a delimiter scan. Fixture indices 44994/51846/
+    58746 are plain-compressed seeds (i%4∈{0,2}, i%3==0) whose deflate
+    bytes contain such sequences — a delimiter scan would lose pages."""
     import random
     from extract_kit_spark.fixtures import (_pdf_doc, _domain, _slug,
                                             gen_page)
-    for i in (4413, 20103, 36519):
+    for i in (44994, 51846, 58746):
         row = gen_page(i)
         assert row["_kind"] == "pdf_doc" and b"/FlateDecode" in row["html"]
         rng = random.Random(f"42:{i}")
@@ -460,3 +461,87 @@ def test_spans_index_into_text():
             assert 0 <= s["start"] < s["end"] <= len(text)
             assert s["start"] >= prev_end + 2  # blank-line separated
             prev_end = s["end"]
+
+
+def test_pdf_receipt_assertions_reference_parity():
+    """extractReceiptPdf analogue: the reference's strongest test
+    (receipt.test.ts:41-85) asserted on actual PDF payloads."""
+    n = 0
+    for i in range(1200):
+        if i % 4 != 3:
+            continue
+        row = gen_page(i)
+        if row["_kind"] != "pdf_doc":
+            continue
+        n += 1
+        res = extract_document(row["url"], row["html"])
+        assert res["doc_kind"] == "pdf"
+        assert res["metadata"]["schema_used"] == "receipt"
+        rec = res["fields"]["receipt"]
+        assert rec["merchant_name"]
+        assert rec["total_amount"] > 0
+        assert rec["items"]
+        for it in rec["items"]:
+            assert it["name"] and it["price"] > 0
+            assert it["quantity"] > 0 and it["total"] > 0
+        assert abs(sum(i2["total"] for i2 in rec["items"])
+                   - rec["total_amount"]) <= 0.01
+        assert res["validation"]["success"]
+    assert n >= 5
+
+
+def test_pdf_invoice_coherence_and_profiles():
+    """extractInvoicePdf analogue + explicit-profile routing on PDFs."""
+    n = 0
+    for i in range(1200):
+        if i % 4 != 1:
+            continue
+        row = gen_page(i)
+        if row["_kind"] != "pdf_doc":
+            continue
+        n += 1
+        res = extract_document(row["url"], row["html"])
+        assert res["metadata"]["schema_used"] == "invoice"
+        inv = res["fields"]["invoice"]
+        assert inv["invoice_number"] and inv["total_amount"] > 0
+        assert inv["invoice_date"] and inv["currency"]
+        s = sum(li["line_total"] for li in inv["line_items"])
+        assert abs(s - inv["total_amount"]) <= 0.01
+        assert res["validation"]["success"]
+        # extractTablesPdf analogue: explicit tables profile sees the
+        # line items as one detected table
+        tab = extract_document(row["url"], row["html"],
+                               profile="tables")
+        t = tab["fields"]["tables"]
+        assert t["table_count"] == 1
+        assert t["detected_tables"][0]["n_rows"] == \
+            len(inv["line_items"])
+    assert n >= 5
+
+
+def test_pdf_invoice_compressed_twin_same_fields():
+    """A FlateDecode-compressed invoice PDF must extract identical
+    fields to its uncompressed twin (the oracle only covers the
+    uncompressed path — this pins the compressed one)."""
+    import random as _random
+    import zlib as _zlib
+    from extract_kit_spark.fixtures import _pdf_invoice
+    rng = _random.Random("pdfinv:compressed")
+    plain = _pdf_invoice(rng)
+    # recompress the content stream by rebuilding through the writer:
+    # simplest faithful twin — decompress path exercised by swapping
+    # the stream for its FlateDecode version
+    import re as _re
+    m = _re.search(rb"<< /Length (\d+) >>\nstream\n", plain)
+    assert m
+    start = m.end()
+    length = int(m.group(1))
+    raw = plain[start:start + length]
+    comp = _zlib.compress(raw, 6)
+    twin = (plain[:m.start()]
+            + b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+            + comp + plain[start + length:])
+    r1 = extract_document("u", plain)
+    r2 = extract_document("u", twin)
+    assert r1["fields"]["invoice"] == r2["fields"]["invoice"]
+    assert r1["extracted_text"] == r2["extracted_text"]
