@@ -241,9 +241,29 @@ def _math_page(rng: random.Random) -> bytes:
 # ---------------------------------------------------------------------------
 
 _DOCX_XML_TMPL = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main" xmlns:m="http://schemas.openxmlformats.org/officeDocument/2006/math">
+<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main" xmlns:m="http://schemas.openxmlformats.org/officeDocument/2006/math" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships" xmlns:wp="http://schemas.openxmlformats.org/drawingml/2006/wordprocessingDrawing" xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main">
 <w:body>{body}</w:body>
 </w:document>"""
+
+_DOCX_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId10" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/hyperlink" Target="{href}" TargetMode="External"/>
+<Relationship Id="rId11" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/image" Target="media/image1.png"/>
+</Relationships>"""
+
+_DOCX_NUMBERING = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<w:numbering xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+<w:abstractNum w:abstractNumId="0"><w:lvl w:ilvl="0"><w:numFmt w:val="bullet"/></w:lvl></w:abstractNum>
+<w:abstractNum w:abstractNumId="1"><w:lvl w:ilvl="0"><w:numFmt w:val="decimal"/></w:lvl></w:abstractNum>
+<w:num w:numId="1"><w:abstractNumId w:val="0"/></w:num>
+<w:num w:numId="2"><w:abstractNumId w:val="1"/></w:num>
+</w:numbering>"""
+
+_DOCX_FOOTNOTES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<w:footnotes xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main" xmlns:m="http://schemas.openxmlformats.org/officeDocument/2006/math">
+<w:footnote w:type="separator" w:id="-1"><w:p/></w:footnote>
+<w:footnote w:id="2"><w:p><w:r><w:t xml:space="preserve">{note}</w:t></w:r></w:p></w:footnote>
+</w:footnotes>"""
 
 
 def _w_p(text: str, style: str = "") -> str:
@@ -258,6 +278,28 @@ def _docx_doc(rng: random.Random) -> bytes:
     for _ in range(rng.randint(2, 5)):
         body.append(_w_p(_words(rng, rng.randint(15, 40))))
     body.append(_w_p(_words(rng, 3).title(), "Heading2"))
+    # hyperlink (rels-resolved), image, footnote reference
+    href = f"https://{_domain(rng)}/{_slug(rng)}"
+    body.append(
+        "<w:p><w:r><w:t xml:space=\"preserve\">see </w:t></w:r>"
+        f"<w:hyperlink r:id=\"rId10\"><w:r><w:t>{rng.choice(WORDS)}"
+        "</w:t></w:r></w:hyperlink>"
+        "<w:r><w:t xml:space=\"preserve\"> for details</w:t></w:r>"
+        "<w:r><w:footnoteReference w:id=\"2\"/></w:r></w:p>")
+    alt = _words(rng, 2)
+    body.append(
+        "<w:p><w:r><w:drawing><wp:inline>"
+        f"<wp:docPr id=\"1\" name=\"img1\" descr=\"{alt}\"/>"
+        "<a:graphic><a:graphicData><a:blip r:embed=\"rId11\"/>"
+        "</a:graphicData></a:graphic></wp:inline></w:drawing></w:r></w:p>")
+    # one bullet (numId 1) and one numbered (numId 2) list
+    for num_id in (1, 2):
+        for _ in range(rng.randint(2, 4)):
+            body.append(
+                "<w:p><w:pPr><w:numPr><w:ilvl w:val=\"0\"/>"
+                f"<w:numId w:val=\"{num_id}\"/></w:numPr></w:pPr>"
+                f"<w:r><w:t>{_words(rng, rng.randint(2, 5))}</w:t>"
+                "</w:r></w:p>")
     # one table
     cells = "".join(
         "<w:tr>" + "".join(
@@ -285,6 +327,12 @@ def _docx_doc(rng: random.Random) -> bytes:
         z.writestr("[Content_Types].xml",
                    '<?xml version="1.0"?><Types/>')
         z.writestr("word/document.xml", xml)
+        z.writestr("word/_rels/document.xml.rels",
+                   _DOCX_RELS.format(href=href))
+        z.writestr("word/numbering.xml", _DOCX_NUMBERING)
+        z.writestr("word/footnotes.xml",
+                   _DOCX_FOOTNOTES.format(note=_words(rng, 6)))
+        z.writestr("word/media/image1.png", b"\x89PNG\r\n\x1a\nstub")
     return buf.getvalue()
 
 

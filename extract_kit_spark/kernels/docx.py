@@ -108,17 +108,100 @@ def preprocess_docx(payload: bytes) -> bytes:
 
 _HEADING_STYLE_RE = re.compile(r"^(?:Heading|Titre)(\d)$", re.IGNORECASE)
 
+R_NS = ("http://schemas.openxmlformats.org/officeDocument/2006/"
+        "relationships")
+_R = "{%s}" % R_NS
+_REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+_WP = ("{http://schemas.openxmlformats.org/drawingml/2006/"
+       "wordprocessingDrawing}")
+_A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+
+
+def parse_rels(rels_xml: str) -> dict[str, str]:
+    """word/_rels/document.xml.rels → {rId: Target} (hyperlink and
+    image resolution; mammoth does the same via the relationships
+    part)."""
+    try:
+        root = ET.fromstring(rels_xml)
+    except ET.ParseError:
+        return {}
+    return {rel.get("Id", ""): rel.get("Target", "")
+            for rel in root.findall(f"{_REL_NS}Relationship")}
+
+
+def parse_numbering(numbering_xml: str) -> dict[str, dict[str, str]]:
+    """word/numbering.xml → {numId: {ilvl: numFmt}} so numPr paragraphs
+    can pick <ol> (decimal/roman/letter) vs <ul> (bullet)."""
+    try:
+        root = ET.fromstring(numbering_xml)
+    except ET.ParseError:
+        return {}
+    abstract: dict[str, dict[str, str]] = {}
+    for an in root.findall(f"{_W}abstractNum"):
+        aid = an.get(f"{_W}abstractNumId", "")
+        lvls = {}
+        for lvl in an.findall(f"{_W}lvl"):
+            fmt = lvl.find(f"{_W}numFmt")
+            lvls[lvl.get(f"{_W}ilvl", "0")] = (
+                fmt.get(f"{_W}val", "bullet") if fmt is not None
+                else "bullet")
+        abstract[aid] = lvls
+    nums: dict[str, dict[str, str]] = {}
+    for num in root.findall(f"{_W}num"):
+        nid = num.get(f"{_W}numId", "")
+        aref = num.find(f"{_W}abstractNumId")
+        if aref is not None:
+            nums[nid] = abstract.get(aref.get(f"{_W}val", ""), {})
+    return nums
+
 
 def _para_style(p: ET.Element) -> str:
     el = p.find(f"{_W}pPr/{_W}pStyle")
     return el.get(f"{_W}val", "") if el is not None else ""
 
 
-def _is_list_para(p: ET.Element) -> bool:
-    return p.find(f"{_W}pPr/{_W}numPr") is not None
+def _list_kind(p: ET.Element,
+               numbering: dict[str, dict[str, str]]) -> str | None:
+    """None when not a list paragraph; else 'ol' or 'ul' via the
+    numbering part's numFmt (mammoth: numbering.js level lookup)."""
+    numpr = p.find(f"{_W}pPr/{_W}numPr")
+    if numpr is None:
+        return None
+    nid_el = numpr.find(f"{_W}numId")
+    ilvl_el = numpr.find(f"{_W}ilvl")
+    nid = nid_el.get(f"{_W}val", "") if nid_el is not None else ""
+    ilvl = ilvl_el.get(f"{_W}val", "0") if ilvl_el is not None else "0"
+    fmt = numbering.get(nid, {}).get(ilvl, "bullet")
+    return "ul" if fmt == "bullet" else "ol"
 
 
-def _run_html(r: ET.Element) -> str:
+def _drawing_html(node: ET.Element, rels: dict[str, str]) -> str:
+    """w:drawing → <img src alt>: alt from wp:docPr descr|name, src
+    from the a:blip embed relationship target (mammoth keeps images as
+    <img> with the alt text; we reference the media member path)."""
+    docpr = node.find(f".//{_WP}docPr")
+    alt = ""
+    if docpr is not None:
+        alt = docpr.get("descr") or docpr.get("name") or ""
+    blip = node.find(f".//{_A}blip")
+    src = ""
+    if blip is not None:
+        src = rels.get(blip.get(f"{_R}embed", ""), "")
+    return f'<img src="{escape(src, quote=True)}" ' \
+           f'alt="{escape(alt, quote=True)}">'
+
+
+def _run_html(r: ET.Element, rels: dict[str, str] | None = None,
+              footmarks: list[str] | None = None) -> str:
+    drawing = r.find(f"{_W}drawing")
+    if drawing is not None:
+        return _drawing_html(drawing, rels or {})
+    fref = r.find(f"{_W}footnoteReference")
+    if fref is not None:
+        fid = fref.get(f"{_W}id", "")
+        if footmarks is not None:
+            footmarks.append(fid)
+        return f"<sup>[{escape(fid)}]</sup>"
     text = "".join(t.text or "" for t in r.findall(f"{_W}t"))
     if not text:
         return ""
@@ -132,12 +215,58 @@ def _run_html(r: ET.Element) -> str:
     return html
 
 
-def _para_inner_html(p: ET.Element) -> str:
-    return "".join(_run_html(r) for r in p.findall(f"{_W}r"))
+def _para_inner_html(p: ET.Element, rels: dict[str, str] | None = None,
+                     footmarks: list[str] | None = None) -> str:
+    out = []
+    for child in p:
+        if child.tag == f"{_W}r":
+            out.append(_run_html(child, rels, footmarks))
+        elif child.tag == f"{_W}hyperlink":
+            inner = "".join(_run_html(r, rels, footmarks)
+                            for r in child.findall(f"{_W}r"))
+            rid = child.get(f"{_R}id", "")
+            anchor = child.get(f"{_W}anchor", "")
+            href = (rels or {}).get(rid, "") or \
+                (f"#{anchor}" if anchor else "")
+            if href:
+                out.append(
+                    f'<a href="{escape(href, quote=True)}">{inner}</a>')
+            else:
+                out.append(inner)
+    return "".join(out)
 
 
-def docx_xml_to_html(document_xml: str) -> str:
-    """Minimal WordprocessingML body → HTML (the mammoth analogue, O5)."""
+def _footnote_bodies(footnotes_xml: str,
+                     rels: dict[str, str] | None = None) -> dict[str, str]:
+    """word/footnotes.xml → {id: inner html} for real footnotes
+    (separator/continuation members are skipped)."""
+    try:
+        root = ET.fromstring(footnotes_xml)
+    except ET.ParseError:
+        return {}
+    bodies: dict[str, str] = {}
+    for fn in root.findall(f"{_W}footnote"):
+        if fn.get(f"{_W}type") in ("separator", "continuationSeparator"):
+            continue
+        fid = fn.get(f"{_W}id", "")
+        inner = "".join(_para_inner_html(p, rels)
+                        for p in fn.findall(f"{_W}p"))
+        if inner.strip():
+            bodies[fid] = inner
+    return bodies
+
+
+def docx_xml_to_html(document_xml: str,
+                     rels: dict[str, str] | None = None,
+                     numbering: dict[str, dict[str, str]] | None = None,
+                     footnotes: dict[str, str] | None = None,
+                     style_map: dict[str, str] | None = None) -> str:
+    """WordprocessingML body → HTML (the mammoth analogue, O5):
+    headings/Title, bold/italic runs, hyperlinks (rels-resolved),
+    images (<img src alt>), bullet AND numbered lists via
+    numbering.xml's numFmt, tables, footnote references + bodies, and a
+    mammoth-style ``style_map`` override ({pStyle val: html tag},
+    `office-to-markdown/src/types/converter.ts:9-13`)."""
     try:
         root = ET.fromstring(document_xml)
     except ET.ParseError as exc:
@@ -146,31 +275,42 @@ def docx_xml_to_html(document_xml: str) -> str:
     body = root.find(f"{_W}body")
     if body is None:
         raise ExtractError(INVALID_DOCX, "no w:body", phase="docx-to-html")
+    rels = rels or {}
+    numbering = numbering or {}
+    footnotes = footnotes or {}
+    style_map = style_map or {}
     out: list[str] = []
-    open_list = False
+    open_list: str | None = None
+    footmarks: list[str] = []
 
     def close_list() -> None:
         nonlocal open_list
         if open_list:
-            out.append("</ul>")
-            open_list = False
+            out.append(f"</{open_list}>")
+            open_list = None
 
     for el in body:
         if el.tag == f"{_W}p":
-            inner = _para_inner_html(el)
+            inner = _para_inner_html(el, rels, footmarks)
             style = _para_style(el)
+            kind = _list_kind(el, numbering)
+            mapped = style_map.get(style)
             m = _HEADING_STYLE_RE.match(style)
-            if m:
+            if mapped:
+                close_list()
+                out.append(f"<{mapped}>{inner}</{mapped}>")
+            elif m:
                 close_list()
                 lvl = min(6, max(1, int(m.group(1))))
                 out.append(f"<h{lvl}>{inner}</h{lvl}>")
             elif style.lower() == "title":
                 close_list()
                 out.append(f"<h1>{inner}</h1>")
-            elif _is_list_para(el):
-                if not open_list:
-                    out.append("<ul>")
-                    open_list = True
+            elif kind is not None:
+                if open_list != kind:
+                    close_list()
+                    out.append(f"<{kind}>")
+                    open_list = kind
                 out.append(f"<li>{inner}</li>")
             else:
                 close_list()
@@ -183,23 +323,48 @@ def docx_xml_to_html(document_xml: str) -> str:
                 cells = []
                 for tc in tr.findall(f"{_W}tc"):
                     cell_html = "".join(
-                        _para_inner_html(p) for p in tc.findall(f"{_W}p"))
+                        _para_inner_html(p, rels, footmarks)
+                        for p in tc.findall(f"{_W}p"))
                     cells.append(f"<td>{cell_html}</td>")
                 rows.append("<tr>" + "".join(cells) + "</tr>")
             out.append("<table>" + "".join(rows) + "</table>")
     close_list()
+    # footnote bodies referenced from the text, in first-reference
+    # order (mammoth appends them as a trailing list)
+    seen = []
+    for fid in footmarks:
+        if fid in footnotes and fid not in seen:
+            seen.append(fid)
+    if seen:
+        items = "".join(f"<li>[{escape(f)}] {footnotes[f]}</li>"
+                        for f in seen)
+        out.append(f"<ul>{items}</ul>")
     return "<body>" + "".join(out) + "</body>"
 
 
-def docx_to_html(payload: bytes) -> str:
-    """Full DOCX branch: preprocess math (O1–O4) then walk to HTML (O5)."""
+def docx_to_html(payload: bytes,
+                 style_map: dict[str, str] | None = None) -> str:
+    """Full DOCX branch: preprocess math (O1–O4) then walk to HTML (O5),
+    resolving hyperlink/image relationships, list numbering, and
+    footnote bodies from their package members when present."""
     pre = preprocess_docx(payload)
     try:
         with zipfile.ZipFile(io.BytesIO(pre)) as z:
+            names = set(z.namelist())
             doc_xml = z.read("word/document.xml").decode("utf-8")
+
+            def member(name: str) -> str:
+                return (z.read(name).decode("utf-8")
+                        if name in names else "")
+
+            rels = parse_rels(member("word/_rels/document.xml.rels"))
+            numbering = parse_numbering(member("word/numbering.xml"))
+            footnotes = _footnote_bodies(member("word/footnotes.xml"),
+                                         rels)
     except ExtractError:
         raise
     except Exception as exc:
         raise ExtractError(CORRUPTED_FILE, str(exc),
                            phase="docx-to-html") from exc
-    return docx_xml_to_html(doc_xml)
+    return docx_xml_to_html(doc_xml, rels=rels, numbering=numbering,
+                            footnotes=footnotes, style_map=style_map)

@@ -545,3 +545,60 @@ def test_pdf_invoice_compressed_twin_same_fields():
     r2 = extract_document("u", twin)
     assert r1["fields"]["invoice"] == r2["fields"]["invoice"]
     assert r1["extracted_text"] == r2["extracted_text"]
+
+
+def test_docx_hyperlink_image_ol_footnote():
+    """DOCX fidelity subset from mammoth's defaults
+    (docx-converter.ts:163-202): rels-resolved hyperlinks, <img alt>,
+    numFmt-driven <ol> vs <ul>, footnote bodies appended in
+    first-reference order."""
+    import random
+    from extract_kit_spark.fixtures import _docx_doc
+    rng = random.Random("docxfid:1")
+    res = extract_document("u", _docx_doc(rng))
+    text = res["extracted_text"]
+    assert res["status"] == "ok"
+    # hyperlink rendered as a markdown link with the rels target
+    assert "](https://" in text
+    # image rendered with alt + media path
+    assert "![" in text and "](media/image1.png)" in text
+    # both list flavors present
+    assert "\n- " in text and "\n1. " in text
+    # footnote marker + trailing body
+    assert "[2]" in text
+    assert text.rstrip().splitlines()[-1].startswith("- [2] ")
+
+
+def test_docx_style_map_override():
+    """mammoth-style styleMap option: pStyle → html tag override
+    (types/converter.ts:9-13)."""
+    from extract_kit_spark.kernels.docx import docx_xml_to_html
+    xml = ('<w:document xmlns:w="http://schemas.openxmlformats.org/'
+           'wordprocessingml/2006/main"><w:body>'
+           '<w:p><w:pPr><w:pStyle w:val="Quote"/></w:pPr>'
+           '<w:r><w:t>wise words</w:t></w:r></w:p>'
+           '</w:body></w:document>')
+    html = docx_xml_to_html(xml, style_map={"Quote": "blockquote"})
+    assert "<blockquote>wise words</blockquote>" in html
+    # without the map the paragraph stays a <p>
+    assert "<p>wise words</p>" in docx_xml_to_html(xml)
+
+
+def test_docx_numbering_mixed_runs_split_lists():
+    """Adjacent list paragraphs with different numFmt close and reopen
+    the list element (ul↔ol boundary)."""
+    from extract_kit_spark.kernels.docx import docx_xml_to_html
+    W = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+
+    def li(num_id, txt):
+        return ('<w:p><w:pPr><w:numPr><w:ilvl w:val="0"/>'
+                f'<w:numId w:val="{num_id}"/></w:numPr></w:pPr>'
+                f'<w:r><w:t>{txt}</w:t></w:r></w:p>')
+
+    xml = (f'<w:document {W}><w:body>'
+           + li(1, "a") + li(1, "b") + li(2, "c") + li(2, "d")
+           + '</w:body></w:document>')
+    numbering = {"1": {"0": "bullet"}, "2": {"0": "decimal"}}
+    html = docx_xml_to_html(xml, numbering=numbering)
+    assert html == ("<body><ul><li>a</li><li>b</li></ul>"
+                    "<ol><li>c</li><li>d</li></ol></body>")
