@@ -79,23 +79,94 @@ def detect_kind(payload: bytes | None) -> str:
     return KIND_UNKNOWN
 
 
-# extension ↔ mime guess tables (subset of file-detector.ts:11-54 that the
-# engine actually routes on; broadcastable as a plain dict)
+# extension ↔ mime guess tables (full parity with the reference's
+# EXTENSION_TO_MIME, file-detector.ts:11-54; broadcastable plain dict)
+_OOXML = "application/vnd.openxmlformats-officedocument"
+_ODF = "application/vnd.oasis.opendocument"
 EXT_TO_MIME = {
-    ".html": "text/html", ".htm": "text/html",
-    ".pdf": "application/pdf",
-    ".docx": ("application/vnd.openxmlformats-officedocument"
-              ".wordprocessingml.document"),
+    # Microsoft Office
+    ".docx": f"{_OOXML}.wordprocessingml.document",
     ".doc": "application/msword",
+    ".xlsx": f"{_OOXML}.spreadsheetml.sheet",
+    ".xls": "application/vnd.ms-excel",
+    ".pptx": f"{_OOXML}.presentationml.presentation",
+    ".ppt": "application/vnd.ms-powerpoint",
+    # Documents
+    ".pdf": "application/pdf",
     ".rtf": "application/rtf",
-    ".png": "image/png", ".jpg": "image/jpeg", ".jpeg": "image/jpeg",
-    ".gif": "image/gif", ".bmp": "image/bmp",
+    ".odt": f"{_ODF}.text",
+    ".ods": f"{_ODF}.spreadsheet",
+    ".odp": f"{_ODF}.presentation",
+    # Web
+    ".html": "text/html", ".htm": "text/html",
+    ".xml": "text/xml", ".css": "text/css",
+    ".js": "text/javascript", ".json": "application/json",
+    # Text
+    ".txt": "text/plain", ".md": "text/markdown", ".csv": "text/csv",
+    # Images
+    ".jpg": "image/jpeg", ".jpeg": "image/jpeg", ".png": "image/png",
+    ".gif": "image/gif", ".bmp": "image/bmp", ".webp": "image/webp",
+    ".svg": "image/svg+xml",
+    # Archives
+    ".zip": "application/zip", ".rar": "application/x-rar-compressed",
+    ".tar": "application/x-tar", ".gz": "application/gzip",
 }
 MIME_TO_KIND = {
     "text/html": KIND_HTML,
     "application/pdf": KIND_PDF,
     EXT_TO_MIME[".docx"]: KIND_DOCX,
+    EXT_TO_MIME[".xlsx"]: KIND_XLSX,
+    EXT_TO_MIME[".pptx"]: KIND_PPTX,
+    "application/msword": KIND_DOC_LEGACY,
+    "application/rtf": KIND_RTF,
+    "image/png": KIND_PNG, "image/jpeg": KIND_JPEG,
+    "image/gif": KIND_GIF, "image/bmp": KIND_BMP,
+    "application/zip": KIND_ZIP,
 }
+
+
+def guess_mime_from_extension(extension: str) -> str | None:
+    """D3 (file-detector.ts:144-146): case-insensitive ext → mime."""
+    return EXT_TO_MIME.get(extension.lower())
+
+
+def guess_extension_from_mime(mimetype: str) -> str | None:
+    """D3 (file-detector.ts:151-155): mime → FIRST matching extension
+    in table order (dict order mirrors the reference's entries)."""
+    for ext, mime in EXT_TO_MIME.items():
+        if mime == mimetype:
+            return ext
+    return None
+
+
+# charset sniffing for the HTML decode path (StreamInfo charset
+# handling, file-detector.ts:159-198): BOM first, then a meta
+# charset=... declaration in the head, else utf-8.
+import codecs as _codecs
+import re as _re
+
+_BOMS = (
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe", "utf-16"),
+    (b"\xfe\xff", "utf-16"),
+)
+_CHARSET_RE = _re.compile(
+    rb"charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-]+)", _re.IGNORECASE)
+
+
+def sniff_charset(payload: bytes, default: str = "utf-8") -> str:
+    for bom, enc in _BOMS:
+        if payload.startswith(bom):
+            return enc
+    m = _CHARSET_RE.search(payload[:2048])
+    if m:
+        enc = m.group(1).decode("ascii", errors="replace").lower()
+        try:
+            _codecs.lookup(enc)
+            return enc
+        except LookupError:
+            pass
+    return default
 
 
 def is_supported(kind: str) -> bool:

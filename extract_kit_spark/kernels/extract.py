@@ -108,7 +108,10 @@ def _extract_fields(profile: str, root) -> tuple[dict, list[str], str]:
 def extract_html(url: str, payload: bytes, profile: str, t0: float,
                  doc_kind: str = "html",
                  optimizations: list[str] | None = None) -> dict:
-    html = payload.decode("utf-8", errors="replace")
+    # charset from BOM / meta declaration, utf-8 default (D4 StreamInfo
+    # charset handling, file-detector.ts:159-198)
+    html = payload.decode(detect.sniff_charset(payload),
+                          errors="replace")
     root = parse_html(html)
     body = body_of(root)
     title = extract_title(body, url)        # before boilerplate strip: h1

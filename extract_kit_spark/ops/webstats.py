@@ -41,3 +41,28 @@ def domain_stats_salted(df: DataFrame, url_col: str = "url",
     return (partial.groupBy("domain")
             .agg(F.sum("pn").alias("n_pages"),
                  F.sum("pb").alias("total_bytes")))
+
+
+def salted_skew_join(facts: DataFrame, dim: DataFrame, key: str,
+                     fact_salt_col: Column,
+                     n_salts: int = N_SALTS) -> DataFrame:
+    """JOIN-side skew handling: the fact side carries a deterministic
+    per-row salt in [0, n_salts); the dim side is exploded into
+    ``n_salts`` replicas; the equi-join runs on (key, salt), spreading
+    each hot key's rows over ``n_salts`` reducer tasks instead of one
+    straggler. Row-for-row identical to the unsalted join (each fact
+    row matches exactly one dim replica — its own salt), with dim-side
+    volume ×n_salts, which is the standard price when the dim is big
+    enough to shuffle but small enough to replicate per salt. (When the
+    dim IS broadcastable, broadcast and skew is moot; when neither
+    holds, AQE's skewedJoin split is the runtime fallback — this op is
+    the explicit blueprint the north rule asks for.)"""
+    fact_s = facts.withColumn("__salt", fact_salt_col)
+    dim_s = dim.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    # merge hint: forbid broadcast so the salted shuffle shape is the
+    # one actually planned (the demonstration would be vacuous under a
+    # BroadcastHashJoin)
+    return (fact_s.join(dim_s.hint("merge"), [key, "__salt"])
+            .drop("__salt"))

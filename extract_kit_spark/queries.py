@@ -848,6 +848,46 @@ GROUP BY 1
 """
 
 
+def q_web_domain_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-side skew demonstration: pages (Zipf-skewed domain key,
+    two hot domains ≈40% of rows) ⋈ a per-domain dim via the SALTED
+    join (ops/webstats.salted_skew_join — fact-side deterministic salt,
+    dim exploded ×n_salts, merge-hinted so no broadcast hides the
+    shuffle), then a per-tier rollup. Row-identical to the unsalted
+    join — the oracle computes the same answer with a plain SQL join."""
+    from .ops import webstats
+    ensure_pages()
+    pages = (spark.read.parquet(PAGES_PATH)
+             .select("url",
+                     F.length("html").cast("long").alias("n_bytes")))
+    facts = pages.withColumn("domain",
+                             webstats.domain_of(F.col("url")))
+    dim = (facts.select("domain").distinct()
+           .withColumn("tier", (F.length("domain") % 3).cast("int")))
+    joined = webstats.salted_skew_join(
+        facts, dim, "domain",
+        F.pmod(F.xxhash64("url"), F.lit(webstats.N_SALTS)))
+    return (joined.groupBy("tier")
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.countDistinct("domain").alias("n_domains"),
+                 F.sum("n_bytes").alias("total_bytes")))
+
+
+_ORACLE_DOMAIN_JOIN = f"""
+WITH p AS (
+  SELECT url, octet_length(html)::BIGINT AS n_bytes,
+         regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS domain
+  FROM read_parquet('{PAGES_GLOB}')),
+d AS (SELECT DISTINCT domain, (length(domain) % 3)::INTEGER AS tier
+      FROM p)
+SELECT d.tier, count(*)::BIGINT AS n_pages,
+       count(DISTINCT p.domain)::BIGINT AS n_domains,
+       sum(p.n_bytes)::BIGINT AS total_bytes
+FROM p JOIN d USING (domain)
+GROUP BY d.tier
+"""
+
+
 # -- events / relational ----------------------------------------------------------
 
 SESSION_GAP_S = 1800
@@ -987,6 +1027,26 @@ SELECT event_type, count(*)::BIGINT AS n,
        round(quantile_cont(value, 0.99), 6) AS p99
 FROM events GROUP BY event_type
 """
+
+
+def q_evt_value_quantiles_approx(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The 100 TB twin of evt_value_quantiles: approx_percentile
+    (Greenwald-Khanna mergeable sketch, accuracy 10000 → ε≈1e-4) IS
+    map-side combinable, so the holistic sort per group disappears —
+    this is the form that survives scale. Approximate by design → no
+    SQL oracle; the relative error vs the exact query is asserted in
+    tests (pattern of test_evt_user_reach_approx_error_bound)."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    acc = F.lit(10000)
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.approx_percentile(
+                     "value", F.lit(0.5), acc), 6).alias("p50"),
+                 F.round(F.approx_percentile(
+                     "value", F.lit(0.95), acc), 6).alias("p95"),
+                 F.round(F.approx_percentile(
+                     "value", F.lit(0.99), acc), 6).alias("p99")))
 
 
 def q_evt_user_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1189,11 +1249,13 @@ QUERIES = {
     "mm_media_meta": q_mm_media_meta,
     "mm_frame_plan": q_mm_frame_plan,
     "web_domain_stats": q_web_domain_stats,
+    "web_domain_join_salted": q_web_domain_join_salted,
     "web_kind_rollup": q_web_kind_rollup,
     "evt_sessionize": q_evt_sessionize,
     "evt_hourly_windows": q_evt_hourly_windows,
     "evt_asof_click": q_evt_asof_click,
     "evt_value_quantiles": q_evt_value_quantiles,
+    "evt_value_quantiles_approx": q_evt_value_quantiles_approx,
     "evt_user_reach_approx": q_evt_user_reach_approx,
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_top_revenue": q_rel_top_revenue,
@@ -1208,6 +1270,8 @@ QUERIES = {
 #   dedup_simhash — 64-bit signature banding; properties tested.
 #   ann_lsh_topk, ann_ivf_topk — approximate; recall vs ann_topk
 #       tested.
+#   evt_value_quantiles_approx — GK-sketch percentiles; relative error
+#       vs the exact evt_value_quantiles asserted in tests.
 #   evt_user_reach_approx — HLL++ sketch distinct; relative error vs
 #       the exact count asserted in tests.
 ORACLES = {
@@ -1229,6 +1293,7 @@ ORACLES = {
     "mm_media_meta": _ORACLE_MM_META,
     "mm_frame_plan": _ORACLE_MM_FRAMES,
     "web_domain_stats": _ORACLE_DOMAIN_STATS,
+    "web_domain_join_salted": _ORACLE_DOMAIN_JOIN,
     "web_kind_rollup": _ORACLE_KIND_ROLLUP,
     "evt_sessionize": _ORACLE_SESSIONIZE,
     "evt_hourly_windows": _ORACLE_EVT_WINDOWS,

@@ -602,3 +602,43 @@ def test_docx_numbering_mixed_runs_split_lists():
     html = docx_xml_to_html(xml, numbering=numbering)
     assert html == ("<body><ul><li>a</li><li>b</li></ul>"
                     "<ol><li>c</li><li>d</li></ol></body>")
+
+
+def test_mime_maps_full_table_and_guess_functions():
+    """D3 parity: the full 31-entry extension↔mime table
+    (file-detector.ts:11-54) and both guess directions."""
+    from extract_kit_spark.kernels.detect import (
+        EXT_TO_MIME, MIME_TO_KIND, guess_extension_from_mime,
+        guess_mime_from_extension)
+    assert len(EXT_TO_MIME) >= 30
+    assert guess_mime_from_extension(".DOCX") == \
+        EXT_TO_MIME[".docx"]
+    assert guess_mime_from_extension(".nope") is None
+    # first-match semantics: image/jpeg maps back to .jpg (table order)
+    assert guess_extension_from_mime("image/jpeg") == ".jpg"
+    assert guess_extension_from_mime("text/html") == ".html"
+    assert guess_extension_from_mime("application/x-unknown") is None
+    # every routed mime resolves to a declared kind
+    assert MIME_TO_KIND["application/pdf"] == "pdf"
+    assert MIME_TO_KIND["application/zip"] == "zip"
+
+
+def test_charset_sniffing_decodes_html():
+    """Charset handling in the HTML decode path: meta charset and BOMs
+    override the utf-8 default; mojibake is the failure this guards."""
+    from extract_kit_spark.kernels.detect import sniff_charset
+    latin = ("<!DOCTYPE html><html><head>"
+             '<meta charset="iso-8859-1"></head>'
+             "<body><p>caf\xe9 cr\xe8me and lots of words here to "
+             "keep the paragraph body " + "x " * 30 +
+             "</p></body></html>").encode("iso-8859-1")
+    assert sniff_charset(latin) == "iso-8859-1"
+    res = extract_document("u", latin)
+    assert "café crème" in res["extracted_text"]
+    # utf-8 BOM
+    bom = b"\xef\xbb\xbf<!DOCTYPE html><html><body><p>plain</p></body></html>"
+    assert sniff_charset(bom) == "utf-8-sig"
+    # no declaration → default
+    assert sniff_charset(b"<!DOCTYPE html><html></html>") == "utf-8"
+    # bogus charset name falls back
+    assert sniff_charset(b'<meta charset="not-a-charset">x') == "utf-8"

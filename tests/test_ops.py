@@ -208,3 +208,35 @@ def test_fingerprint_whitespace_edged(spark):
         "SELECT md5(lower(trim(regexp_replace('hello  world' || chr(10),"
         " '\\s+', ' ', 'g'))))").fetchone()[0]
     assert got[1] == oracle
+
+
+def test_evt_value_quantiles_approx_error_bound(spark):
+    """The mergeable-sketch quantile twin honors GK's guarantee: the
+    returned value's EMPIRICAL RANK is within ε·n (+1 for ties/edges)
+    of the requested percentile. (A relative-VALUE bound would be
+    wrong: approx_percentile returns actual data values, so on small
+    groups the gap between adjacent order statistics dominates.)"""
+    import bisect
+    from extract_kit_spark.queries import q_evt_value_quantiles_approx
+    approx = {r["event_type"]: r
+              for r in q_evt_value_quantiles_approx(spark,
+                                                    SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") \
+        .select("event_type", "value").collect()
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    assert set(approx) == set(by_type) and approx
+    eps = 1.0 / 10000  # the query's accuracy parameter
+    for etype, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        a = approx[etype]
+        assert a["n"] == n
+        for q, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            lo = bisect.bisect_left(vals, a[col])
+            hi = bisect.bisect_right(vals, a[col])
+            target = q * n
+            slack = eps * n + 1.0
+            assert lo - slack <= target <= hi + slack, \
+                (etype, col, lo, hi, target, n)

@@ -92,3 +92,14 @@ def test_ann_topk_scores_mapside_no_join(spark):
     assert "Join" not in plan
     assert "MapInPandas" in plan
     assert "Window" in plan
+
+
+def test_salted_join_plan_is_shuffle_join_on_salted_key(spark):
+    """The skew-join demo must actually plan the salted shuffle: a
+    SortMergeJoin (merge hint; broadcast would make the demo vacuous)
+    whose join keys include the synthetic __salt column."""
+    from extract_kit_spark.queries import QUERIES
+    plan = _plan(QUERIES["web_domain_join_salted"](spark, SF_DIR))
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "__salt" in plan
