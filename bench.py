@@ -242,14 +242,16 @@ def write_bench_md(extraction: dict, scaling: dict,
         f.write("\n".join(lines))
 
 
-HEADLINE = ("ext_invoice_fields", "web_domain_stats",
-            "web_kind_rollup", "ts_stats",
+HEADLINE = ("ext_invoice_fields", "ext_pdf_invoice_fields",
+            "ext_pdf_receipt_fields", "web_domain_stats",
+            "web_domain_join_salted", "web_kind_rollup", "ts_stats",
             "corpus_split", "corpus_curate",
             "dedup_exact", "dedup_jaccard",
             "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
             "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "mm_media_meta",
             "evt_sessionize", "evt_hourly_windows",
             "evt_asof_click", "evt_value_quantiles",
+            "evt_value_quantiles_approx",
             "rel_pricing_summary", "rel_top_revenue",
             "rel_latest_order", "rel_region_revenue", "rel_promo_share")
 
