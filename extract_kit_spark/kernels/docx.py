@@ -344,23 +344,43 @@ def docx_xml_to_html(document_xml: str,
 
 def docx_to_html(payload: bytes,
                  style_map: dict[str, str] | None = None) -> str:
-    """Full DOCX branch: preprocess math (O1–O4) then walk to HTML (O5),
+    """Full DOCX branch: math rewrite (O1–O4) then walk to HTML (O5),
     resolving hyperlink/image relationships, list numbering, and
-    footnote bodies from their package members when present."""
-    pre = preprocess_docx(payload)
+    footnote bodies from their package members when present.
+
+    Math is rewritten on the in-memory member strings — semantically
+    identical to preprocess_docx's unzip→rewrite→repack (same
+    rewrite_math, same fallback-to-original on error) but without
+    re-deflating the archive, which profiled at ~40% of per-doc cost.
+    preprocess_docx remains the zip→zip surface for pipelines that
+    need a rewritten .docx artifact."""
     try:
-        with zipfile.ZipFile(io.BytesIO(pre)) as z:
-            names = set(z.namelist())
-            doc_xml = z.read("word/document.xml").decode("utf-8")
+        zin = zipfile.ZipFile(io.BytesIO(payload))
+        names = set(zin.namelist())
+    except Exception as exc:
+        raise ExtractError(CORRUPTED_FILE, f"not a zip: {exc}",
+                           phase="preprocessing") from exc
+    if "word/document.xml" not in names:
+        raise ExtractError(INVALID_DOCX, "missing word/document.xml",
+                           phase="preprocessing")
+    try:
+        def member(name: str) -> str:
+            return (zin.read(name).decode("utf-8")
+                    if name in names else "")
 
-            def member(name: str) -> str:
-                return (z.read(name).decode("utf-8")
-                        if name in names else "")
+        def mathed(xml: str) -> str:
+            if not xml:
+                return xml
+            try:
+                return rewrite_math(xml)
+            except Exception:
+                return xml  # keep original member (reference fallback)
 
-            rels = parse_rels(member("word/_rels/document.xml.rels"))
-            numbering = parse_numbering(member("word/numbering.xml"))
-            footnotes = _footnote_bodies(member("word/footnotes.xml"),
-                                         rels)
+        doc_xml = mathed(member("word/document.xml"))
+        rels = parse_rels(member("word/_rels/document.xml.rels"))
+        numbering = parse_numbering(member("word/numbering.xml"))
+        footnotes = _footnote_bodies(mathed(member("word/footnotes.xml")),
+                                     rels)
     except ExtractError:
         raise
     except Exception as exc:
