@@ -4,8 +4,8 @@ Input contract per BASELINE.json input_hint: one row per document,
 columns (url string, warc_ts timestamp, html binary, text string,
 lang string). Document kinds are encoded in the PAYLOAD BYTES (detection
 must sniff, never trust the url): article / table_page / invoice_page /
-receipt_page / math_page / docx_doc / pdf_doc / broken, with the shares
-and contents specified in FIXTURES.md §1.
+receipt_page / math_page / docx_doc / pdf_doc / text_doc / broken, with
+the shares and contents specified in FIXTURES.md §1.
 
 Fully deterministic and ORDER-INDEPENDENT: every row derives from
 ``random.Random(f"{seed}:{i}")``, so the same (seed, i) yields the same
@@ -38,9 +38,9 @@ DOMAINS = tuple(
     [f"site-{i:02d}.example.net" for i in range(48)])
 
 KINDS = (
-    ("article", 0.55), ("table_page", 0.15), ("invoice_page", 0.10),
+    ("article", 0.51), ("table_page", 0.15), ("invoice_page", 0.10),
     ("receipt_page", 0.05), ("math_page", 0.05), ("docx_doc", 0.04),
-    ("pdf_doc", 0.04), ("broken", 0.02),
+    ("pdf_doc", 0.04), ("text_doc", 0.04), ("broken", 0.02),
 )
 _CUM = []
 _acc = 0.0
@@ -483,6 +483,37 @@ def _pdf_assemble(page_streams: list[bytes], compress: bool) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# plain-text / markdown builder
+# ---------------------------------------------------------------------------
+
+def _text_doc(rng: random.Random) -> bytes:
+    """text/plain or text/markdown payload (reference converts both).
+    Markdown flavor carries headings + bullet lists; plain flavor is
+    blank-line paragraphs with a title line."""
+    markdown = rng.random() < 0.5
+    title = _words(rng, 3).title()
+    parts: list[str] = []
+    if markdown:
+        parts.append(f"# {title}")
+        for _ in range(rng.randint(2, 5)):
+            parts.append("")
+            parts.append(_words(rng, rng.randint(25, 60)))
+        parts.append("")
+        parts.append(f"## {_words(rng, 2).title()}")
+        parts.append("")
+        for _ in range(rng.randint(2, 5)):
+            parts.append(f"- {_words(rng, rng.randint(2, 6))}")
+    else:
+        parts.append(title)
+        for _ in range(rng.randint(3, 7)):
+            parts.append("")
+            # paragraphs with interior hard-wrapped lines
+            parts.append(_words(rng, rng.randint(10, 20)))
+            parts.append(_words(rng, rng.randint(10, 20)))
+    return "\n".join(parts).encode("utf-8")
+
+
+# ---------------------------------------------------------------------------
 # broken payloads
 # ---------------------------------------------------------------------------
 
@@ -518,6 +549,7 @@ def _naive_text(payload: bytes, kind: str) -> str:
 
 _BUILDERS = {
     "article": _article,
+    "text_doc": _text_doc,
     "table_page": _table_page,
     "invoice_page": _invoice_page,
     "receipt_page": _receipt_page,

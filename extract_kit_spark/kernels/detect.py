@@ -12,6 +12,7 @@ from __future__ import annotations
 
 # doc_kind values
 KIND_HTML = "html"
+KIND_TEXT = "text"
 KIND_PDF = "pdf"
 KIND_DOCX = "docx"
 KIND_XLSX = "xlsx"
@@ -26,7 +27,11 @@ KIND_BMP = "bmp"
 KIND_EMPTY = "empty"
 KIND_UNKNOWN = "unknown"
 
-SUPPORTED = frozenset({KIND_HTML, KIND_PDF, KIND_DOCX})
+# supported-for-conversion parity with the reference's allowlist
+# (file-detector.ts:203-230: docx/msword, text/html, text/plain,
+# text/markdown); msword (.doc CFB) is detected but quarantined like
+# every kind without a converter branch
+SUPPORTED = frozenset({KIND_HTML, KIND_PDF, KIND_DOCX, KIND_TEXT})
 
 # magic signatures, checked in order (parity: file-detector.ts:59-107)
 _SIGS = (
@@ -76,6 +81,17 @@ def detect_kind(payload: bytes | None) -> str:
     # lenient: HTML-ish if it contains any tag-like structure early on
     if low.startswith(b"<"):
         return KIND_HTML
+    # plain text / markdown (supported by the reference,
+    # file-detector.ts:203-230): decodes as utf-8, no NULs. The 4 KiB
+    # sniff window may split a multi-byte sequence at its edge — a
+    # tail-only decode error within 3 bytes of the cut is not binary.
+    if b"\x00" not in head:
+        try:
+            head.decode("utf-8")
+            return KIND_TEXT
+        except UnicodeDecodeError as exc:
+            if len(payload) > len(head) and exc.start >= len(head) - 3:
+                return KIND_TEXT
     return KIND_UNKNOWN
 
 

@@ -162,6 +162,78 @@ def _extract_fields_lines(profile: str,
     return fields, val_errors, profile
 
 
+def extract_text(url: str, payload: bytes, profile: str,
+                 t0: float) -> dict:
+    """text/plain + text/markdown branch (reference converts both,
+    `file-detector.ts:203-230`; markdown is a passthrough there).
+    Deterministic block rules over decoded lines:
+
+    - ``#{1,6} `` line → heading block (first one is the title)
+    - runs of ``- `` / ``* `` lines → one list block (normalized to
+      the serializer's ``- `` bullets)
+    - blank-line-separated runs → paragraphs (interior newlines fold
+      to spaces)
+
+    Structured profiles reuse the line-based extractors, so an
+    invoice/receipt mailed as plain text extracts like its PDF twin."""
+    import re
+    text = payload.decode(detect.sniff_charset(payload),
+                          errors="replace")
+    lines = text.splitlines()
+    blocks: list[tuple[str, str]] = []
+    title = None
+    heading_re = re.compile(r"^(#{1,6})\s+(.*)$")
+    bullet_re = re.compile(r"^[-*]\s+(.*)$")
+    para: list[str] = []
+    bullets: list[str] = []
+
+    def flush_para() -> None:
+        if para:
+            blocks.append(("para", " ".join(para)))
+            para.clear()
+
+    def flush_bullets() -> None:
+        if bullets:
+            blocks.append(("list",
+                           "\n".join(f"- {b}" for b in bullets)))
+            bullets.clear()
+
+    for line in lines:
+        stripped = line.strip()
+        hm = heading_re.match(stripped)
+        bm = bullet_re.match(stripped)
+        if not stripped:
+            flush_para()
+            flush_bullets()
+        elif hm:
+            flush_para()
+            flush_bullets()
+            level = len(hm.group(1))
+            htext = hm.group(2).strip()
+            if title is None:
+                title = htext
+            blocks.append(("heading", f"{'#' * level} {htext}"))
+        elif bm:
+            flush_para()
+            bullets.append(bm.group(1).strip())
+        else:
+            flush_bullets()
+            para.append(stripped)
+    flush_para()
+    flush_bullets()
+    if title is None:  # no heading: first non-empty source line
+        title = next((ln.strip() for ln in lines if ln.strip()), None)
+    out_text, spans = assemble(blocks)
+    chosen = _select_profile_lines(profile,
+                                   [ln.strip() for ln in lines])
+    fields, val_errors, schema_used = _extract_fields_lines(
+        chosen, [ln.strip() for ln in lines])
+    return _result(url, detect.KIND_TEXT, title=title, text=out_text,
+                   spans=spans, fields=fields, val_errors=val_errors,
+                   pages=1, schema_used=schema_used,
+                   optimizations=["text-passthrough-v1"], t0=t0)
+
+
 def extract_pdf(url: str, payload: bytes, profile: str, t0: float) -> dict:
     pages = extract_pdf_pages(payload)
     blocks: list[tuple[str, str]] = []
@@ -212,6 +284,8 @@ def extract_document(url: str, payload: bytes | None,
             return res
         if kind == detect.KIND_PDF:
             return extract_pdf(url, payload, profile, t0)
+        if kind == detect.KIND_TEXT:
+            return extract_text(url, payload, profile, t0)
         return _result(url, kind, status=errors.UNSUPPORTED_FORMAT,
                        val_errors=[f"unsupported kind: {kind}"], t0=t0)
     except errors.ExtractError as exc:

@@ -28,7 +28,7 @@ from .ops import corpus, dedup, multimodal, similarity, textstats
 # scan parallelizes; the DuckDB oracle reads the same files via glob) --------
 
 N_PAGES = 1200
-PAGES_PATH = f"/tmp/ekspark_pages_v4_{N_PAGES}"  # v4: pdf invoice/receipt variants
+PAGES_PATH = f"/tmp/ekspark_pages_v5_{N_PAGES}"  # v5: + text_doc kind
 PAGES_GLOB = f"{PAGES_PATH}/*.parquet"
 
 

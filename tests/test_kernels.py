@@ -273,13 +273,13 @@ def test_pdf_two_column_reading_order():
 def test_pdf_flate_length_slice_regression():
     """Compressed content streams whose deflate bytes contain
     endstream-like sequences or trailing CR bytes must decode via the
-    /Length slice, not a delimiter scan. Fixture indices 44994/51846/
-    58746 are plain-compressed seeds (i%4∈{0,2}, i%3==0) whose deflate
+    /Length slice, not a delimiter scan. Fixture indices 3600/5688/
+    14430 are plain-compressed seeds (i%4∈{0,2}, i%3==0) whose deflate
     bytes contain such sequences — a delimiter scan would lose pages."""
     import random
     from extract_kit_spark.fixtures import (_pdf_doc, _domain, _slug,
                                             gen_page)
-    for i in (44994, 51846, 58746):
+    for i in (3600, 5688, 14430):
         row = gen_page(i)
         assert row["_kind"] == "pdf_doc" and b"/FlateDecode" in row["html"]
         rng = random.Random(f"42:{i}")
@@ -642,3 +642,53 @@ def test_charset_sniffing_decodes_html():
     assert sniff_charset(b"<!DOCTYPE html><html></html>") == "utf-8"
     # bogus charset name falls back
     assert sniff_charset(b'<meta charset="not-a-charset">x') == "utf-8"
+
+
+def test_text_doc_markdown_and_plain_extraction():
+    """text/plain + text/markdown branch (reference supports both,
+    file-detector.ts:203-230): heading→title, bullets normalized,
+    hard-wrapped paragraphs folded."""
+    md = ("# My Title\n\nfirst paragraph\nwrapped here\n\n"
+          "## Section\n\n- alpha beta\n* gamma\n\ntail para\n")
+    res = extract_document("u", md.encode("utf-8"))
+    assert res["doc_kind"] == "text" and res["status"] == "ok"
+    assert res["title"] == "My Title"
+    t = res["extracted_text"]
+    assert "# My Title" in t and "## Section" in t
+    assert "first paragraph wrapped here" in t
+    assert "- alpha beta\n- gamma" in t
+    # spans index into text exactly
+    for s in res["spans"]:
+        assert t[s["start"]:s["end"]]
+    plain = b"Title Line\n\npara one line a\nline b\n\npara two"
+    res2 = extract_document("u", plain)
+    assert res2["doc_kind"] == "text"
+    assert res2["title"] == "Title Line"
+    assert "para one line a line b" in res2["extracted_text"]
+
+
+def test_text_invoice_profile_via_lines():
+    """A plain-text invoice extracts through the same line-based
+    profile as the PDF branch (auto-sniffed)."""
+    txt = ("Invoice INV-000042\nInvoice Number: INV-000042\n"
+           "Invoice Date: 2025-04-01\nCurrency: EUR\n"
+           "widget x2 @ 10.00 = 20.00\nbolt x1 @ 5.50 = 5.50\n"
+           "Total: 25.50 EUR\n").encode("utf-8")
+    res = extract_document("u", txt)
+    assert res["doc_kind"] == "text"
+    assert res["metadata"]["schema_used"] == "invoice"
+    inv = res["fields"]["invoice"]
+    assert inv["invoice_number"] == "INV-000042"
+    assert inv["total_amount"] == 25.50
+    assert len(inv["line_items"]) == 2
+    assert res["validation"]["success"]
+
+
+def test_detect_text_vs_binary():
+    assert detect.detect_kind(b"just plain ascii words") == "text"
+    assert detect.detect_kind("héllo unicode ünïcode".encode()) == "text"
+    assert detect.detect_kind(b"text with\x00nul") == "unknown"
+    assert detect.detect_kind(b"\xff\xfe\xfd garbage") == "unknown"
+    # multi-byte char split at the 4096 sniff boundary is still text
+    payload = (b"a" * 4095 + "é".encode("utf-8") + b" tail words")
+    assert detect.detect_kind(payload) == "text"
