@@ -253,8 +253,8 @@ _DOCX_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 
 _DOCX_NUMBERING = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <w:numbering xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
-<w:abstractNum w:abstractNumId="0"><w:lvl w:ilvl="0"><w:numFmt w:val="bullet"/></w:lvl></w:abstractNum>
-<w:abstractNum w:abstractNumId="1"><w:lvl w:ilvl="0"><w:numFmt w:val="decimal"/></w:lvl></w:abstractNum>
+<w:abstractNum w:abstractNumId="0"><w:lvl w:ilvl="0"><w:numFmt w:val="bullet"/></w:lvl><w:lvl w:ilvl="1"><w:numFmt w:val="bullet"/></w:lvl></w:abstractNum>
+<w:abstractNum w:abstractNumId="1"><w:lvl w:ilvl="0"><w:numFmt w:val="decimal"/></w:lvl><w:lvl w:ilvl="1"><w:numFmt w:val="decimal"/></w:lvl></w:abstractNum>
 <w:num w:numId="1"><w:abstractNumId w:val="0"/></w:num>
 <w:num w:numId="2"><w:abstractNumId w:val="1"/></w:num>
 </w:numbering>"""
@@ -300,6 +300,16 @@ def _docx_doc(rng: random.Random) -> bytes:
                 f"<w:numId w:val=\"{num_id}\"/></w:numPr></w:pPr>"
                 f"<w:r><w:t>{_words(rng, rng.randint(2, 5))}</w:t>"
                 "</w:r></w:p>")
+    # a nested run: bullet item with two numbered children (ilvl 1)
+    body.append(
+        "<w:p><w:pPr><w:numPr><w:ilvl w:val=\"0\"/>"
+        "<w:numId w:val=\"1\"/></w:numPr></w:pPr>"
+        f"<w:r><w:t>{_words(rng, 3)}</w:t></w:r></w:p>")
+    for _ in range(2):
+        body.append(
+            "<w:p><w:pPr><w:numPr><w:ilvl w:val=\"1\"/>"
+            "<w:numId w:val=\"2\"/></w:numPr></w:pPr>"
+            f"<w:r><w:t>{_words(rng, 2)}</w:t></w:r></w:p>")
     # one table
     cells = "".join(
         "<w:tr>" + "".join(

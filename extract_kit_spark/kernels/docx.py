@@ -160,9 +160,10 @@ def _para_style(p: ET.Element) -> str:
     return el.get(f"{_W}val", "") if el is not None else ""
 
 
-def _list_kind(p: ET.Element,
-               numbering: dict[str, dict[str, str]]) -> str | None:
-    """None when not a list paragraph; else 'ol' or 'ul' via the
+def _list_info(p: ET.Element,
+               numbering: dict[str, dict[str, str]]) \
+        -> tuple[str, int] | None:
+    """None when not a list paragraph; else ('ol'|'ul', ilvl) via the
     numbering part's numFmt (mammoth: numbering.js level lookup)."""
     numpr = p.find(f"{_W}pPr/{_W}numPr")
     if numpr is None:
@@ -172,7 +173,59 @@ def _list_kind(p: ET.Element,
     nid = nid_el.get(f"{_W}val", "") if nid_el is not None else ""
     ilvl = ilvl_el.get(f"{_W}val", "0") if ilvl_el is not None else "0"
     fmt = numbering.get(nid, {}).get(ilvl, "bullet")
-    return "ul" if fmt == "bullet" else "ol"
+    kind = "ul" if fmt == "bullet" else "ol"
+    try:
+        level = int(ilvl)
+    except ValueError:
+        level = 0
+    return kind, level
+
+
+def _render_list_items(items: list[tuple[int, str, str]]) -> str:
+    """Render consecutive list paragraphs [(ilvl, kind, inner)] as
+    (possibly nested) list HTML: deeper ilvl runs nest inside the
+    preceding <li> (mammoth's nesting behavior); a kind change at the
+    same level closes and reopens the list element."""
+    def rec(i: int, level: int) -> tuple[str, int]:
+        out: list[str] = []
+        kind = items[i][1]
+        out.append(f"<{kind}>")
+        li_parts: list[str] | None = None
+
+        def flush_li() -> None:
+            nonlocal li_parts
+            if li_parts is not None:
+                out.append("<li>" + "".join(li_parts) + "</li>")
+                li_parts = None
+
+        while i < len(items) and items[i][0] >= level:
+            lvl, k, inner = items[i]
+            if lvl > level:
+                sub, i = rec(i, lvl)
+                if li_parts is None:
+                    li_parts = []
+                li_parts.append(sub)
+            elif k != kind:
+                flush_li()
+                out.append(f"</{kind}>")
+                kind = k
+                out.append(f"<{kind}>")
+                li_parts = [inner]
+                i += 1
+            else:
+                flush_li()
+                li_parts = [inner]
+                i += 1
+        flush_li()
+        out.append(f"</{kind}>")
+        return "".join(out), i
+
+    html, i = rec(0, items[0][0])
+    while i < len(items):  # shallower than the opening level: siblings
+        more, i2 = rec(i, items[i][0])
+        html += more
+        i = i2
+    return html
 
 
 def _drawing_html(node: ET.Element, rels: dict[str, str]) -> str:
@@ -280,20 +333,19 @@ def docx_xml_to_html(document_xml: str,
     footnotes = footnotes or {}
     style_map = style_map or {}
     out: list[str] = []
-    open_list: str | None = None
+    pending_list: list[tuple[int, str, str]] = []
     footmarks: list[str] = []
 
     def close_list() -> None:
-        nonlocal open_list
-        if open_list:
-            out.append(f"</{open_list}>")
-            open_list = None
+        if pending_list:
+            out.append(_render_list_items(pending_list))
+            pending_list.clear()
 
     for el in body:
         if el.tag == f"{_W}p":
             inner = _para_inner_html(el, rels, footmarks)
             style = _para_style(el)
-            kind = _list_kind(el, numbering)
+            info = _list_info(el, numbering)
             mapped = style_map.get(style)
             m = _HEADING_STYLE_RE.match(style)
             if mapped:
@@ -306,12 +358,9 @@ def docx_xml_to_html(document_xml: str,
             elif style.lower() == "title":
                 close_list()
                 out.append(f"<h1>{inner}</h1>")
-            elif kind is not None:
-                if open_list != kind:
-                    close_list()
-                    out.append(f"<{kind}>")
-                    open_list = kind
-                out.append(f"<li>{inner}</li>")
+            elif info is not None:
+                kind, level = info
+                pending_list.append((level, kind, inner))
             else:
                 close_list()
                 if inner.strip():

@@ -28,7 +28,7 @@ from .ops import corpus, dedup, multimodal, similarity, textstats
 # scan parallelizes; the DuckDB oracle reads the same files via glob) --------
 
 N_PAGES = 1200
-PAGES_PATH = f"/tmp/ekspark_pages_v5_{N_PAGES}"  # v5: + text_doc kind
+PAGES_PATH = f"/tmp/ekspark_pages_v6_{N_PAGES}"  # v6: + nested docx lists
 PAGES_GLOB = f"{PAGES_PATH}/*.parquet"
 
 

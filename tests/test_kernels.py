@@ -692,3 +692,23 @@ def test_detect_text_vs_binary():
     # multi-byte char split at the 4096 sniff boundary is still text
     payload = (b"a" * 4095 + "é".encode("utf-8") + b" tail words")
     assert detect.detect_kind(payload) == "text"
+
+
+def test_docx_nested_lists_via_ilvl():
+    """ilvl nesting: deeper list paragraphs nest inside the preceding
+    <li> (mammoth behavior); kind changes at the same level reopen."""
+    from extract_kit_spark.kernels.docx import _render_list_items
+    items = [(0, "ul", "a"), (1, "ol", "x"), (1, "ol", "y"),
+             (0, "ul", "b"), (0, "ol", "c")]
+    assert _render_list_items(items) == (
+        "<ul><li>a<ol><li>x</li><li>y</li></ol></li><li>b</li></ul>"
+        "<ol><li>c</li></ol>")
+    # starting mid-depth (shallower items follow) still renders all
+    assert _render_list_items([(1, "ul", "deep"), (0, "ul", "top")]) \
+        == "<ul><li>deep</li></ul><ul><li>top</li></ul>"
+    # through the full pipeline: fixture DOCX now carries a nested run
+    import random
+    from extract_kit_spark.fixtures import _docx_doc
+    res = extract_document("u", _docx_doc(random.Random("n:1")))
+    text = res["extracted_text"]
+    assert "\n  1. " in text  # indented ordered child under a bullet
