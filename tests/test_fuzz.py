@@ -88,3 +88,27 @@ def test_fuzz_extract_never_raises_and_keeps_invariants(payload):
         d["metadata"] = {k: v for k, v in d["metadata"].items()
                          if k != "processing_time_ms"}
     assert r == r2
+
+
+_md_text = st.text(
+    alphabet=st.sampled_from(list(
+        "abc XYZ09\n\t#-*>é€中  ")),
+    max_size=300)
+
+
+@settings(max_examples=300, deadline=None, derandomize=True)
+@given(txt=_md_text)
+def test_fuzz_text_branch_never_raises_and_deterministic(txt):
+    """The text/markdown branch on adversarial text: never raises,
+    spans index exactly, same bytes → same output."""
+    payload = txt.encode("utf-8")
+    r = extract_document("https://fuzz.test/t", payload)
+    assert r["doc_kind"] in ("text", "empty", "html")
+    text = r["extracted_text"]
+    for s in r["spans"]:
+        assert 0 <= s["start"] <= s["end"] <= len(text)
+    r2 = extract_document("https://fuzz.test/t", payload)
+    for d in (r, r2):
+        d["metadata"] = {k: v for k, v in d["metadata"].items()
+                         if k != "processing_time_ms"}
+    assert r == r2

@@ -89,3 +89,40 @@ def test_ingest_appends_readable_page_rows(server):
     assert [r[0] for r in rows] == [
         f"https://up.example.com/{i}" for i in range(3)]
     assert all(r[1] == len(html) for r in rows)
+
+
+def test_ingest_then_streaming_catchup(spark, tmp_path_factory):
+    """The upload→pipeline integration story: documents POSTed to
+    /api/v1/ingest land as pages-table part files; the availableNow
+    extraction stream picks up EXACTLY the new files on its next run
+    (checkpointed file accounting), producing byte-stable extractions."""
+    import os
+    from extract_kit_spark.fixtures import gen_page
+    from extract_kit_spark.streaming import run_extraction_stream
+
+    pages_dir = str(tmp_path_factory.mktemp("ing") / "pages")
+    out = str(tmp_path_factory.mktemp("ing") / "out")
+    srv, _t = serve_background(pages_dir)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        for i in (3, 7):  # article fixtures, uploaded over HTTP
+            row = gen_page(i)
+            _post(base + "/api/v1/ingest?url=" + row["url"],
+                  row["html"])
+        run_extraction_stream(spark, pages_dir, out)
+        got1 = spark.read.parquet(os.path.join(out, "data"))
+        assert got1.count() == 2
+        # second upload after the first drain
+        row = gen_page(11)
+        _post(base + "/api/v1/ingest?url=" + row["url"], row["html"])
+        run_extraction_stream(spark, pages_dir, out)
+        got2 = spark.read.parquet(os.path.join(out, "data"))
+        assert got2.count() == 3
+        # each url extracted exactly once; the broken upload (fixture
+        # i=7) is quarantined, not dropped — 1-in-1-out holds across
+        # the HTTP→table→stream path
+        assert got2.select("url").distinct().count() == 3
+        assert got2.where("status = 'ok'").count() == 2
+        assert got2.where("status != 'ok'").count() == 1
+    finally:
+        srv.shutdown()
