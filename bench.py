@@ -10,9 +10,9 @@ JSON line:
 
 Scaling mode (the north rule's two-cluster-size evidence, run by
 default; skip with SPARK_GRAFT_SKIP_SCALING=1): re-runs the SAME
-extraction job in child processes at local[8] and local[32] on the SAME
+extraction job in child processes at several core counts on the SAME
 input and reports docs/sec at N and 4N cores plus efficiency =
-(dps@4N / dps@N) / 4, for the pairs (4,16) and (8,32).
+(dps@4N / dps@N) / 4, for the pairs (2,8) and (8,32).
 Also refreshes BENCH.md with the scaling table.
 
 All diagnostics go to stderr; stdout carries exactly one JSON line.
