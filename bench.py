@@ -253,7 +253,8 @@ HEADLINE = ("ext_invoice_fields", "ext_pdf_invoice_fields",
             "evt_asof_click", "evt_value_quantiles",
             "evt_value_quantiles_approx",
             "rel_pricing_summary", "rel_top_revenue",
-            "rel_latest_order", "rel_region_revenue", "rel_promo_share")
+            "rel_latest_order", "rel_region_revenue", "rel_promo_share",
+            "rel_lapsed_customers")
 
 
 def main() -> None:

@@ -1224,6 +1224,27 @@ WHERE l_shipdate >= TIMESTAMP '1996-03-01'
 """
 
 
+def q_rel_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET-OPERATION coverage (§2.11): customers who ordered in 1995
+    but not in 1996 — EXCEPT (distinct) via DataFrame.subtract. At
+    scale this plans as a single hash shuffle on the key with
+    map-side distinct partials on both branches (no join explosion);
+    the oracle is the literal SQL EXCEPT."""
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    y95 = (o.where(F.year("o_orderdate") == 1995)
+           .select("o_custkey"))
+    y96 = (o.where(F.year("o_orderdate") == 1996)
+           .select("o_custkey"))
+    return y95.subtract(y96)
+
+
+_ORACLE_LAPSED = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+"""
+
+
 # -- registry --------------------------------------------------------------------
 
 QUERIES = {
@@ -1262,6 +1283,7 @@ QUERIES = {
     "rel_latest_order": q_rel_latest_order,
     "rel_region_revenue": q_rel_region_revenue,
     "rel_promo_share": q_rel_promo_share,
+    "rel_lapsed_customers": q_rel_lapsed_customers,
 }
 
 # queries WITHOUT oracle entries (non-SQL-expressible / approximate):
@@ -1304,4 +1326,5 @@ ORACLES = {
     "rel_latest_order": _ORACLE_LATEST_ORDER,
     "rel_region_revenue": _ORACLE_REGION_REVENUE,
     "rel_promo_share": _ORACLE_PROMO_SHARE,
+    "rel_lapsed_customers": _ORACLE_LAPSED,
 }

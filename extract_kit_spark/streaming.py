@@ -274,3 +274,59 @@ def run_session_stream(spark: SparkSession, input_dir: str,
     if await_termination:
         query.awaitTermination()
     return query
+
+
+def run_click_attribution_stream(spark: SparkSession, input_dir: str,
+                                 output_dir: str,
+                                 attribution_window: str = "10 minutes",
+                                 watermark_delay: str = "2 hours",
+                                 max_files_per_trigger: int | None = None,
+                                 await_termination: bool = True):
+    """STREAM-STREAM interval join (the remaining §2.11 streaming
+    shape): clicks join the same user's most-recent-admissible views
+    within ``attribution_window``. Both sides are watermarked so Spark
+    bounds the join state: a buffered view can be dropped once the
+    click-side watermark passes view_ts + window, which is exactly the
+    condition under which no future click can match it. Inner joins
+    emit as matches arrive (exactly-once into the append parquet
+    sink); the batch twin of the same predicate converges to identical
+    pairs — asserted in tests."""
+    from pyspark.sql import functions as F
+
+    def reader():
+        r = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+        if max_files_per_trigger:
+            r = r.option("maxFilesPerTrigger",
+                         str(max_files_per_trigger))
+        return r.load(input_dir)
+
+    views = (reader().where(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", watermark_delay))
+    clicks = (reader().where(F.col("event_type") == "click")
+              .select("user_id",
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"),
+                      "value")
+              .withWatermark("click_ts", watermark_delay))
+    joined = (clicks.join(
+        views,
+        F.expr(f"""v_user = user_id
+                   AND view_ts <= click_ts
+                   AND click_ts <= view_ts + interval {attribution_window}
+                """), "inner")
+        .select("user_id", "click_id", "click_ts", "view_id",
+                "view_ts", "value"))
+    query = (joined.writeStream
+             .format("parquet")
+             .option("path", os.path.join(output_dir, "data"))
+             .option("checkpointLocation",
+                     os.path.join(output_dir, "_checkpoint"))
+             .trigger(availableNow=True)
+             .outputMode("append")
+             .start())
+    if await_termination:
+        query.awaitTermination()
+    return query

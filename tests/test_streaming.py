@@ -178,3 +178,69 @@ def test_streaming_stateful_sessionize(spark, tmp_path_factory):
     # exactly-once
     assert got2.groupBy("user_id", "session_start").count() \
         .where(F.col("count") > 1).count() == 0
+
+
+def test_streaming_stream_stream_interval_join(spark, tmp_path_factory):
+    """Stream-stream interval join converges to the batch predicate:
+    every (click, view) pair with view_ts <= click_ts <= view_ts+10min
+    for the same user, each emitted exactly once across incremental
+    runs."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    from pyspark.sql import functions as F
+    from extract_kit_spark.streaming import run_click_attribution_stream
+
+    src = str(tmp_path_factory.mktemp("ssj") / "events")
+    out = str(tmp_path_factory.mktemp("ssj") / "o")
+    os.makedirs(src, exist_ok=True)
+    base = dt.datetime(2024, 1, 1)
+
+    def write(rows, fname):
+        df = spark.createDataFrame(
+            [(eid, base + dt.timedelta(minutes=m), uid, et, v, "{}")
+             for eid, (uid, m, et, v) in enumerate(rows, start=hash(fname) % 1000 * 100)],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string")
+        tmp = src + ".tmp-" + fname
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0],
+                    src + "/" + fname + ".parquet")
+        shutil.rmtree(tmp)
+
+    # user 1: view@0 matched by clicks @5 and @9, NOT @15; view@20
+    # matched by click@25. user 2: click@3 with no view. noise types.
+    write([(1, 0, "view", 0.0), (1, 5, "click", 1.0),
+           (1, 9, "click", 2.0), (1, 15, "click", 3.0),
+           (2, 3, "click", 9.0), (1, 2, "purchase", 5.0)], "b1")
+    run_click_attribution_stream(spark, src, out)
+    got1 = spark.read.parquet(os.path.join(out, "data"))
+    pairs1 = {(r["user_id"], r["click_ts"].minute, r["view_ts"].minute)
+              for r in got1.collect()}
+    assert pairs1 == {(1, 5, 0), (1, 9, 0)}
+
+    # incremental: a later view+click arrive in a new file
+    write([(1, 20, "view", 0.0), (1, 25, "click", 4.0)], "b2")
+    run_click_attribution_stream(spark, src, out)
+    got2 = spark.read.parquet(os.path.join(out, "data"))
+    pairs2 = {(r["user_id"], r["click_ts"].minute, r["view_ts"].minute)
+              for r in got2.collect()}
+    assert pairs2 == {(1, 5, 0), (1, 9, 0), (1, 25, 20)}
+    # exactly-once per (click, view)
+    assert got2.groupBy("click_id", "view_id").count() \
+        .where(F.col("count") > 1).count() == 0
+
+    # batch ground truth: identical pair set
+    ev = spark.read.parquet(src)
+    v = ev.where("event_type = 'view'").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"))
+    c = ev.where("event_type = 'click'").select(
+        "user_id", F.col("ts").alias("click_ts"))
+    truth = c.join(v, F.expr(
+        "v_user = user_id AND view_ts <= click_ts "
+        "AND click_ts <= view_ts + interval 10 minutes"))
+    tpairs = {(r["user_id"], r["click_ts"].minute, r["view_ts"].minute)
+              for r in truth.collect()}
+    assert pairs2 == tpairs
