@@ -62,11 +62,20 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
 
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
+    import glob
     import os
-    if "://" not in args.input and not os.path.exists(args.input):
-        print(f"extract_kit_spark: error: --input path does not "
-              f"exist: {args.input}", file=sys.stderr)
-        return 2
+    if "://" not in args.input:
+        if not os.path.exists(args.input):
+            print(f"extract_kit_spark: error: --input path does not "
+                  f"exist: {args.input}", file=sys.stderr)
+            return 2
+        if os.path.isdir(args.input) and not (
+                glob.glob(os.path.join(args.input, "*.parquet"))
+                or glob.glob(os.path.join(args.input, "**",
+                                          "*.parquet"))):
+            print(f"extract_kit_spark: error: --input contains no "
+                  f"parquet files: {args.input}", file=sys.stderr)
+            return 2
     from .session import get_spark
     from .pipeline import run_extraction_bucketed, run_extraction_scan
     spark = get_spark(master=args.master, app_name="extract-kit-run")

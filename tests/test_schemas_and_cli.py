@@ -76,3 +76,11 @@ def test_cli_validation():
     with pytest.raises(SystemExit):
         parse_args(["--input", "/x", "--output", "/y",
                     "--target-partition-bytes", "10"])
+
+
+def test_cli_empty_input_dir_friendly_error(tmp_path):
+    from extract_kit_spark.run import main
+    empty = tmp_path / "noparquet"
+    empty.mkdir()
+    rc = main(["--input", str(empty), "--output", str(tmp_path / "o")])
+    assert rc == 2
