@@ -468,3 +468,54 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.45,
     return (out.select("id_a", "id_b",
                        F.round("cosine_raw", 6).alias("cosine"))
             .where(F.col("cosine") >= threshold))
+
+
+def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
+                       id_b: str = "id_b",
+                       max_iters: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair graph →
+    (doc_id, cluster_id = min doc id reachable). The missing last step
+    of every dedup pipeline: pairs say "these two match"; clusters say
+    "keep one representative per group" even when matches chain
+    (a~b, b~c ⇒ {a,b,c} one cluster).
+
+    ITERATIVE min-label propagation (the GraphX connectedComponents
+    recipe): every vertex starts labeled with itself; each round
+    replaces a vertex's label with the min over itself and its
+    neighbors' labels; converges in O(diameter) rounds. Per round: one
+    shuffle join (labels onto edge dst) + one groupBy min — both
+    equality-shaped, no row explosion; ``localCheckpoint`` truncates
+    the growing lineage so round N doesn't replan rounds 1..N-1 (the
+    classic iterative-algorithm trap). Dedup chains are short
+    (near-dup similarity is near-transitive), so rounds stay ≪
+    max_iters; the driver stops at the first round with zero label
+    changes — for adversarial long-chain graphs swap in the
+    small-star/large-star variant (same join shapes, provably
+    O(log² n) rounds)."""
+    sym = pairs.select(F.col(id_a).cast("long").alias("src"),
+                       F.col(id_b).cast("long").alias("dst"))
+    edges = (sym.union(sym.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+             .distinct().localCheckpoint())
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id")).localCheckpoint())
+    for _ in range(max_iters):
+        neigh = (edges.join(labels.withColumnRenamed("id", "dst")
+                            .withColumnRenamed("label", "dlabel"),
+                            "dst")
+                 .groupBy("src").agg(F.min("dlabel").alias("nlabel")))
+        new_labels = (labels.join(
+            neigh.withColumnRenamed("src", "id"), "id", "left")
+            .select("id",
+                    F.least("label", F.coalesce("nlabel", "label"))
+                    .alias("label"))
+            .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.label") != F.col("o.label"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))

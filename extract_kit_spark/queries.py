@@ -659,6 +659,38 @@ FROM j WHERE jaccard >= {JACCARD_T}
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER assignment: connected components over the
+    exact-Jaccard pair graph via iterative min-label propagation
+    (ops/dedup.duplicate_clusters — the GraphX connectedComponents
+    recipe with per-round localCheckpoint). The oracle computes the
+    same components with a recursive-CTE transitive closure — feasible
+    exactly because the oracle runs at toy scale while the Spark side
+    is the shape that survives 100 TB."""
+    _ensure_importable(spark)
+    docs = _read_parallel(spark, _t(sf_dir, "documents"))
+    pairs = dedup.jaccard_pairs(docs, threshold=JACCARD_T, n=3,
+                                max_df=JACCARD_MAX_DF)
+    return dedup.duplicate_clusters(pairs)
+
+
+# outer CTE names must not collide with the embedded jaccard query's
+# own CTEs (t/g/e0/e/…): DuckDB hoists WITH RECURSIVE scoping
+_ORACLE_CLUSTERS = (
+    "WITH RECURSIVE cc_pairs AS (" + _ORACLE_JACCARD + "),\n"
+    """cc_edges AS (SELECT id_a AS src, id_b AS dst FROM cc_pairs
+       UNION SELECT id_b AS src, id_a AS dst FROM cc_pairs),
+cc_reach(src, dst) AS (
+  SELECT src, dst FROM cc_edges
+  UNION
+  SELECT r.src, n.dst FROM cc_reach r
+  JOIN cc_edges n ON r.dst = n.src)
+SELECT src::BIGINT AS doc_id,
+       least(min(dst), src)::BIGINT AS cluster_id
+FROM cc_reach GROUP BY src
+""")
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_importable(spark)
     docs = _read_parallel(spark, _t(sf_dir, "documents"))
@@ -1261,6 +1293,7 @@ QUERIES = {
     "corpus_curate": q_corpus_curate,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
@@ -1310,6 +1343,7 @@ ORACLES = {
     "corpus_curate": _ORACLE_CURATE,
     "dedup_exact": _ORACLE_DEDUP_EXACT,
     "dedup_jaccard": _ORACLE_JACCARD,
+    "dedup_clusters": _ORACLE_CLUSTERS,
     "dedup_embedding": _ORACLE_EMB_PAIRS,
     "ann_topk": _ORACLE_ANN,
     "mm_media_meta": _ORACLE_MM_META,

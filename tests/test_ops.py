@@ -240,3 +240,19 @@ def test_evt_value_quantiles_approx_error_bound(spark):
             slack = eps * n + 1.0
             assert lo - slack <= target <= hi + slack, \
                 (etype, col, lo, hi, target, n)
+
+
+def test_duplicate_clusters_chain_and_islands(spark):
+    """Connected components: a 4-chain collapses to one cluster via
+    transitivity; islands keep their own ids; a disjoint pair stays
+    separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain → cluster 1
+         (10, 11),                    # pair → cluster 10
+         (20, 21), (21, 22)],         # chain → cluster 20
+        ["id_a", "id_b"])
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
