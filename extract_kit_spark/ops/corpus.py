@@ -51,6 +51,41 @@ def deterministic_split(df: DataFrame, key_col: str = "doc_id",
             .withColumn("split", expr))
 
 
+def curate_near(df: DataFrame, min_quality: float = 0.5,
+                langs: tuple[str, ...] = ("en",),
+                id_col: str = "doc_id", text_col: str = "text",
+                salt: str = "split-v1:",
+                jaccard_threshold: float = 0.8, shingle_n: int = 3,
+                max_df: int | None = None) -> DataFrame:
+    """``curate`` + NEAR-duplicate removal: after the quality/lang gate
+    and exact dedup, build the n-gram-Jaccard pair graph over the
+    survivors, collapse it to connected components
+    (dedup.duplicate_clusters), and keep only each cluster's min-id
+    representative — the full pretraining-corpus pipeline
+    (gate → exact dedup → near dedup → split) as one dataflow. Scale
+    shape: the expensive stage is the inverted-index pair join, already
+    sub-quadratic with the ``max_df`` hot-shingle guard; clustering
+    adds O(diameter) equality-join rounds over just the PAIRS (tiny
+    relative to the corpus)."""
+    from .dedup import duplicate_clusters, jaccard_pairs
+    stats = with_text_stats(df, text_col)
+    kept = stats.where((F.col("quality_score") >= min_quality)
+                       & F.col("lang_pred").isin(*langs))
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    deduped = (kept.withColumn("rn", F.row_number().over(w))
+               .where(F.col("rn") == 1))
+    pairs = jaccard_pairs(deduped, threshold=jaccard_threshold,
+                          n=shingle_n, id_col=id_col,
+                          text_col=text_col, max_df=max_df)
+    losers = (duplicate_clusters(pairs)
+              .where(F.col("cluster_id") != F.col("doc_id"))
+              .select(F.col("doc_id").alias(id_col)))
+    survivors = deduped.join(losers, on=id_col, how="left_anti")
+    return (deterministic_split(survivors, id_col, salt)
+            .select(F.col(id_col), "n_tokens", "quality_score",
+                    "lang_pred", "bucket", "split"))
+
+
 def curate(df: DataFrame, min_quality: float = 0.5,
            langs: tuple[str, ...] = ("en",), id_col: str = "doc_id",
            text_col: str = "text",

@@ -551,6 +551,9 @@ FROM d
 # -- corpus curation ------------------------------------------------------------
 
 MIN_QUALITY = 0.5
+JACCARD_T = 0.82
+JACCARD_MAX_DF = 100  # skew guard: drop shingles in >100 docs (mirrored
+#                       in the oracle, so results stay comparable)
 
 
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -598,6 +601,74 @@ FROM b
 """
 
 
+def q_corpus_curate_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL pretraining pipeline: quality/lang gate → exact dedup →
+    NEAR-dup removal (jaccard pair graph → connected components → keep
+    min-id representative) → deterministic split. Oracle re-derives
+    every stage in SQL incl. a recursive-CTE closure for the
+    clusters."""
+    _ensure_importable(spark)
+    docs = _read_parallel(spark, _t(sf_dir, "documents"))
+    return corpus.curate_near(docs, min_quality=MIN_QUALITY,
+                              langs=("en",),
+                              jaccard_threshold=JACCARD_T,
+                              max_df=JACCARD_MAX_DF)
+
+
+_ORACLE_CURATE_NEAR = f"""
+WITH RECURSIVE s AS ({_ORACLE_TS_STATS}),
+k AS (SELECT s.*, d.text FROM s JOIN documents d USING (doc_id)
+      WHERE quality_score >= {MIN_QUALITY} AND lang_pred IN ('en')),
+dd AS (SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                    ORDER BY doc_id ASC) AS rn FROM k),
+base AS (SELECT * FROM dd WHERE rn = 1),
+nt AS (SELECT doc_id,
+              regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       FROM base),
+ng AS (SELECT doc_id,
+              list_distinct(list_transform(
+                  range(1, greatest(len(toks) - 1, 1)),
+                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                  AS grams
+       FROM nt),
+ne0 AS (SELECT doc_id, unnest(grams) AS shingle FROM ng),
+nhot AS (SELECT shingle FROM ne0 GROUP BY shingle
+         HAVING count(*) > {JACCARD_MAX_DF}),
+ne AS (SELECT doc_id, shingle FROM ne0
+       WHERE shingle NOT IN (SELECT shingle FROM nhot)),
+nsz AS (SELECT doc_id, len(grams) AS sh_size FROM ng),
+nshared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM ne a JOIN ne b ON a.shingle = b.shingle
+                     AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+npairs AS (
+  SELECT id_a, id_b FROM nshared
+  JOIN nsz sa ON sa.doc_id = id_a
+  JOIN nsz sb ON sb.doc_id = id_b
+  WHERE round(shared::DOUBLE
+              / (sa.sh_size + sb.sh_size - shared), 6)
+        >= {JACCARD_T}),
+cce AS (SELECT id_a AS src, id_b AS dst FROM npairs
+        UNION SELECT id_b AS src, id_a AS dst FROM npairs),
+ccr(src, dst) AS (
+  SELECT src, dst FROM cce
+  UNION
+  SELECT r.src, n.dst FROM ccr r JOIN cce n ON r.dst = n.src),
+losers AS (SELECT src AS doc_id FROM ccr GROUP BY src
+           HAVING least(min(dst), src) != src),
+surv AS (SELECT * FROM base
+         WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+bk AS (SELECT doc_id, n_tokens, quality_score, lang_pred,
+              {_SPLIT_SQL} AS bucket
+       FROM surv)
+SELECT doc_id, n_tokens, quality_score, lang_pred, bucket,
+       CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+FROM bk
+"""
+
+
 # -- dedup ----------------------------------------------------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -612,11 +683,6 @@ SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
        count(*)::BIGINT AS n_docs
 FROM documents GROUP BY 1
 """
-
-JACCARD_T = 0.82
-JACCARD_MAX_DF = 100  # skew guard: drop shingles in >100 docs (mirrored
-#                       in the oracle, so results stay comparable)
-
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_importable(spark)
@@ -1291,6 +1357,7 @@ QUERIES = {
     "ts_stats": q_ts_stats,
     "corpus_split": q_corpus_split,
     "corpus_curate": q_corpus_curate,
+    "corpus_curate_near": q_corpus_curate_near,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_clusters": q_dedup_clusters,
@@ -1341,6 +1408,7 @@ ORACLES = {
     "ts_stats": _ORACLE_TS_STATS,
     "corpus_split": _ORACLE_SPLIT,
     "corpus_curate": _ORACLE_CURATE,
+    "corpus_curate_near": _ORACLE_CURATE_NEAR,
     "dedup_exact": _ORACLE_DEDUP_EXACT,
     "dedup_jaccard": _ORACLE_JACCARD,
     "dedup_clusters": _ORACLE_CLUSTERS,
