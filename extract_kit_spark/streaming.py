@@ -330,3 +330,50 @@ def run_click_attribution_stream(spark: SparkSession, input_dir: str,
     if await_termination:
         query.awaitTermination()
     return query
+
+
+def run_dedup_stream(spark: SparkSession, input_dir: str,
+                     output_dir: str,
+                     watermark_delay: str = "2 hours",
+                     max_files_per_trigger: int | None = None,
+                     await_termination: bool = True):
+    """STREAMING exact dedup of an append-only pages corpus: each
+    incoming page's normalized-text fingerprint is checked against
+    streaming state and only first-seen documents pass — the
+    incremental twin of ops/dedup.dedup_exact.
+
+    Uses ``dropDuplicatesWithinWatermark`` (not plain dropDuplicates):
+    state for a fingerprint is dropped once the watermark passes its
+    first event time + delay, so state size is bounded by the
+    watermark horizon instead of growing with all history — the only
+    formulation that survives an unbounded crawl. The semantic
+    consequence (documented, deliberate): a re-crawl of identical
+    content more than ``watermark_delay`` after the original is
+    admitted again; at 100 TB the horizon is set to the crawl's
+    re-visit period, and a periodic batch dedup_exact compacts the
+    output table."""
+    from pyspark.sql import functions as F
+    from .ops.textstats import fingerprint
+
+    reader = (spark.readStream.schema(PAGES_SCHEMA)
+              .format("parquet"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    pages = (reader.load(input_dir)
+             .withColumn("fingerprint",
+                         fingerprint(F.decode("html", "UTF-8")))
+             .withWatermark("warc_ts", watermark_delay)
+             .dropDuplicatesWithinWatermark(["fingerprint"]))
+    query = (pages.select("url", "warc_ts", "fingerprint")
+             .writeStream
+             .format("parquet")
+             .option("path", os.path.join(output_dir, "data"))
+             .option("checkpointLocation",
+                     os.path.join(output_dir, "_checkpoint"))
+             .trigger(availableNow=True)
+             .outputMode("append")
+             .start())
+    if await_termination:
+        query.awaitTermination()
+    return query

@@ -244,3 +244,47 @@ def test_streaming_stream_stream_interval_join(spark, tmp_path_factory):
     tpairs = {(r["user_id"], r["click_ts"].minute, r["view_ts"].minute)
               for r in truth.collect()}
     assert pairs2 == tpairs
+
+
+def test_streaming_dedup_first_seen_wins(spark, tmp_path_factory):
+    """dropDuplicatesWithinWatermark dedup: duplicate payloads arriving
+    in LATER microbatches (within the watermark horizon) are dropped;
+    distinct payloads pass; reruns process only new files."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    from extract_kit_spark.streaming import run_dedup_stream
+
+    src = str(tmp_path_factory.mktemp("ddsrc") / "pages")
+    out = str(tmp_path_factory.mktemp("ddout") / "d")
+    os.makedirs(src, exist_ok=True)
+    base = dt.datetime(2024, 1, 1)
+
+    def write(rows, fname):
+        df = spark.createDataFrame(
+            [(u, base + dt.timedelta(minutes=m),
+              bytearray(h.encode()), "", "en") for u, m, h in rows],
+            "url string, warc_ts timestamp, html binary, "
+            "text string, lang string")
+        tmp = src + ".tmp-" + fname
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0],
+                    src + "/" + fname + ".parquet")
+        shutil.rmtree(tmp)
+
+    write([("u1", 0, "<p>alpha</p>"), ("u2", 1, "<p>beta</p>"),
+           ("u3", 2, "<p>alpha</p>")], "b1")   # u3 dups u1 in-batch
+    run_dedup_stream(spark, src, out)
+    got1 = spark.read.parquet(os.path.join(out, "data"))
+    assert got1.count() == 2
+    assert got1.select("fingerprint").distinct().count() == 2
+
+    # a later file re-sends alpha (within watermark) + one new doc
+    write([("u4", 10, "<p>alpha</p>"), ("u5", 11, "<p>gamma</p>")],
+          "b2")
+    run_dedup_stream(spark, src, out)
+    got2 = spark.read.parquet(os.path.join(out, "data"))
+    urls = {r["url"] for r in got2.collect()}
+    assert "u5" in urls and "u4" not in urls
+    assert got2.count() == 3
