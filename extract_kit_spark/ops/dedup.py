@@ -494,27 +494,38 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     O(log² n) rounds)."""
     sym = pairs.select(F.col(id_a).cast("long").alias("src"),
                        F.col(id_b).cast("long").alias("dst"))
-    edges = (sym.union(sym.select(F.col("dst").alias("src"),
-                                  F.col("src").alias("dst")))
-             .distinct().localCheckpoint())
+    edges0 = (sym.union(sym.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+              .distinct().localCheckpoint())
+    # size the per-round shuffles to the PAIR GRAPH, not the session
+    # default: the graph is typically orders of magnitude smaller than
+    # the corpus, and an iterative loop multiplies any fixed
+    # per-partition overhead by 2-3 stages × rounds. ~100k edges per
+    # partition; count() reads the just-materialized checkpoint, and
+    # the repartition re-checkpoints so rounds reuse the small layout.
+    n_edges = edges0.count()
+    sc = pairs.sparkSession.sparkContext
+    parts = max(1, min(sc.defaultParallelism,
+                       n_edges // 100_000 + 1))
+    edges = edges0.repartition(parts, "dst").localCheckpoint()
     labels = (edges.select(F.col("src").alias("id")).distinct()
-              .withColumn("label", F.col("id")).localCheckpoint())
+              .withColumn("label", F.col("id"))
+              .repartition(parts, "id").localCheckpoint())
     for _ in range(max_iters):
         neigh = (edges.join(labels.withColumnRenamed("id", "dst")
                             .withColumnRenamed("label", "dlabel"),
                             "dst")
                  .groupBy("src").agg(F.min("dlabel").alias("nlabel")))
+        nl = F.least("label", F.coalesce("nlabel", "label"))
+        # the convergence flag rides in the checkpointed frame, so the
+        # changed-count is a cheap checkpoint re-read, not another join
         new_labels = (labels.join(
             neigh.withColumnRenamed("src", "id"), "id", "left")
-            .select("id",
-                    F.least("label", F.coalesce("nlabel", "label"))
-                    .alias("label"))
+            .select("id", nl.alias("label"),
+                    (F.col("label") != nl).alias("__changed"))
             .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .where(F.col("n.label") != F.col("o.label"))
-                   .count())
-        labels = new_labels
+        changed = new_labels.where("__changed").count()
+        labels = new_labels.drop("__changed")
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"),
