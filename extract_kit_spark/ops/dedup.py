@@ -479,19 +479,21 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     "keep one representative per group" even when matches chain
     (a~b, b~c ⇒ {a,b,c} one cluster).
 
-    ITERATIVE min-label propagation (the GraphX connectedComponents
-    recipe): every vertex starts labeled with itself; each round
-    replaces a vertex's label with the min over itself and its
-    neighbors' labels; converges in O(diameter) rounds. Per round: one
-    shuffle join (labels onto edge dst) + one groupBy min — both
-    equality-shaped, no row explosion; ``localCheckpoint`` truncates
-    the growing lineage so round N doesn't replan rounds 1..N-1 (the
-    classic iterative-algorithm trap). Dedup chains are short
-    (near-dup similarity is near-transitive), so rounds stay ≪
-    max_iters; the driver stops at the first round with zero label
-    changes — for adversarial long-chain graphs swap in the
-    small-star/large-star variant (same join shapes, provably
-    O(log² n) rounds)."""
+    ITERATIVE min-label propagation WITH POINTER JUMPING: every vertex
+    starts labeled with itself; each round takes the min over its own
+    and its neighbors' labels (one shuffle join + one groupBy min),
+    then path-halves by following its label's label (one equality
+    self-join on the label frame — labels are always vertex ids, and
+    component minima self-label, so the hop is total). Neighbor-min
+    alone needs O(diameter) rounds — a chain of pairwise near-dups
+    longer than max_iters would converge WRONG; the jump makes the
+    label graph's depth roughly halve per round, so convergence is
+    O(log diameter) and max_iters=20 covers ~2^20-long chains
+    (asserted on a 200-node path in tests). All stages are
+    equality-shaped with no row explosion; ``localCheckpoint``
+    truncates the growing lineage so round N doesn't replan rounds
+    1..N-1 (the classic iterative-algorithm trap); the driver stops at
+    the first round with zero label changes."""
     sym = pairs.select(F.col(id_a).cast("long").alias("src"),
                        F.col(id_b).cast("long").alias("dst"))
     edges0 = (sym.union(sym.select(F.col("dst").alias("src"),
@@ -517,13 +519,29 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                             "dst")
                  .groupBy("src").agg(F.min("dlabel").alias("nlabel")))
         nl = F.least("label", F.coalesce("nlabel", "label"))
-        # the convergence flag rides in the checkpointed frame, so the
-        # changed-count is a cheap checkpoint re-read, not another join
-        new_labels = (labels.join(
+        stepped = (labels.join(
             neigh.withColumnRenamed("src", "id"), "id", "left")
             .select("id", nl.alias("label"),
-                    (F.col("label") != nl).alias("__changed"))
-            .localCheckpoint())
+                    F.col("label").alias("__old")))
+        # pointer jump (path halving): label ← label(label). Labels are
+        # vertex ids and minima self-label, so the left join always
+        # resolves; least() keeps monotonicity.
+        parent = stepped.select(F.col("id").alias("__pid"),
+                                F.col("label").alias("__plabel"))
+        jumped = (stepped.join(parent,
+                               stepped.label == parent.__pid, "left")
+                  .select("id",
+                          F.least("label",
+                                  F.coalesce("__plabel", "label"))
+                          .alias("label"),
+                          "__old"))
+        # the convergence flag rides in the checkpointed frame, so the
+        # changed-count is a cheap checkpoint re-read, not another join
+        new_labels = (jumped
+                      .select("id", "label",
+                              (F.col("label") != F.col("__old"))
+                              .alias("__changed"))
+                      .localCheckpoint())
         changed = new_labels.where("__changed").count()
         labels = new_labels.drop("__changed")
         if changed == 0:

@@ -256,3 +256,17 @@ def test_duplicate_clusters_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1,
                    10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20}
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """A 200-node path graph (the adversarial case for pure
+    neighbor-min propagation, which needs O(diameter)=200 rounds)
+    must fully converge within the default max_iters thanks to
+    pointer jumping (O(log diameter))."""
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"])
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert len(got) == n + 1
+    assert set(got.values()) == {0}
