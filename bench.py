@@ -218,8 +218,10 @@ def write_bench_md(extraction: dict, scaling: dict,
         "~1,000 docs/sec/core and parallelize linearly at low "
         "contention.",
         "",
-        "## Per-query seconds (sf dir: %s, best of 2 runs — "
-        "steady-state estimate on a ~2x-noise shared box)" % SF_DIR, "",
+        "## Per-query seconds (sf dir: %s; median of 3 INTERLEAVED "
+        "reps — A,B,C,A,B,C so a hypervisor noise burst can't "
+        "contaminate all reps of one query; median discards a single "
+        "outlier rep)" % SF_DIR, "",
         "| query | sec |", "|---|---|"]
     for name, sec in queries.items():
         lines.append(f"| {name} | {sec} |")
@@ -279,20 +281,27 @@ def main() -> None:
 
     queries: dict[str, float] = {}
     queries["ext_flagship"] = extraction["elapsed_s"]
-    for name in HEADLINE:
-        q = QUERIES[name]
-        # best of 2 (first run pays one-time JIT/codegen; this box's
-        # run-to-run noise is ~2x — same best-of-N methodology as the
-        # scaling runs)
-        best = None
-        for _ in range(2):
+    # INTERLEAVED reps (A,B,C,A,B,C — not A,A,B,B): hypervisor noise
+    # on this box arrives in multi-second bursts, so back-to-back reps
+    # of one query share the same burst and best-of-2 still reports a
+    # contaminated number. Interleaving decorrelates each query's reps;
+    # the median of 3 discards a single noisy rep without letting one
+    # lucky rep understate steady-state the way min() can.
+    import statistics
+    reps_q = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "3"))
+    times: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for rep in range(reps_q):
+        log(f"== query rep {rep + 1}/{reps_q} ==")
+        for name in HEADLINE:
+            q = QUERIES[name]
             t0 = time.perf_counter()
             df = q(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        queries[name] = round(best, 3)
-        log(f"{name}: {queries[name]}s")
+            times[name].append(time.perf_counter() - t0)
+    for name in HEADLINE:
+        queries[name] = round(statistics.median(times[name]), 3)
+        log(f"{name}: {queries[name]}s (reps: "
+            f"{[round(t, 3) for t in times[name]]})")
     spark.stop()
 
     scaling: dict = {}

@@ -546,5 +546,13 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
         labels = new_labels.drop("__changed")
         if changed == 0:
             break
+    else:
+        # exhaustion would mean silently-wrong partial labels; with
+        # pointer jumping this needs a ~2^max_iters-diameter graph, so
+        # treat it as the data-quality/configuration error it is.
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iters} "
+            f"rounds ({changed} labels still changing); raise "
+            f"max_iters or inspect the pair graph for pathology")
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("cluster_id"))

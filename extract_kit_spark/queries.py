@@ -85,6 +85,10 @@ def _ensure_importable(spark: SparkSession) -> None:
                 sources.append(os.path.join(root, fn))
     digest = hashlib.md5()
     for full in sorted(sources):
+        # hash the repo-relative path too: a module renamed/moved
+        # without byte changes must produce a new digest, or a stale
+        # cached zip with the old layout would be reused
+        digest.update(os.path.relpath(full, pkg_dir).encode())
         with open(full, "rb") as fh:
             digest.update(fh.read())
     # content-addressed zip name: edited source never collides with a

@@ -72,7 +72,8 @@ def main(argv: list[str] | None = None) -> int:
         if os.path.isdir(args.input) and not (
                 glob.glob(os.path.join(args.input, "*.parquet"))
                 or glob.glob(os.path.join(args.input, "**",
-                                          "*.parquet"))):
+                                          "*.parquet"),
+                             recursive=True)):
             print(f"extract_kit_spark: error: --input contains no "
                   f"parquet files: {args.input}", file=sys.stderr)
             return 2

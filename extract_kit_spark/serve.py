@@ -45,13 +45,22 @@ _PROFILE_ROUTES = {
 }
 
 
-def _write_page_row(pages_dir: str, url: str, payload: bytes) -> str:
+def _write_page_row(pages_dir: str, url: str, payload: bytes,
+                    ts: _dt.datetime | None = None) -> str:
     """Append one row to the pages table as its own parquet part file
-    (atomic rename; safe under the threading server)."""
+    (atomic rename; safe under the threading server).
+
+    ``warc_ts`` is the ingest wall-clock (UTC) unless the caller
+    supplies one: a fixed epoch placeholder would make every ingested
+    row maximally late for watermarked consumers of the pages table
+    (``run_dedup_stream`` watermarks warc_ts with a 2h delay —
+    epoch-stamped rows would be silently dropped once any real
+    timestamp advanced the watermark)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     os.makedirs(pages_dir, exist_ok=True)
-    ts = _dt.datetime(1970, 1, 1)
+    if ts is None:
+        ts = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
     table = pa.table({
         "url": [url],
         "warc_ts": pa.array([ts], type=pa.timestamp("us")),
@@ -67,14 +76,46 @@ def _write_page_row(pages_dir: str, url: str, payload: bytes) -> str:
     return final
 
 
+def _parse_multipart(body: bytes,
+                     content_type: str) -> dict[str, tuple[str | None,
+                                                           bytes]]:
+    """Parse a multipart/form-data body → {field: (filename, bytes)}.
+
+    Mirrors the reference's form-upload surface
+    (`pdf-processor/src/api/handlers.ts:23-56`: file under the
+    ``file`` field plus string option fields like ``debug``). Stdlib
+    ``email`` is a full MIME parser; prefixing the headers makes the
+    raw HTTP body a parseable message."""
+    import email.parser
+    import email.policy
+    head = (f"Content-Type: {content_type}\r\n"
+            "MIME-Version: 1.0\r\n\r\n").encode("ascii")
+    msg = email.parser.BytesParser(
+        policy=email.policy.default).parsebytes(head + body)
+    if not msg.is_multipart():
+        raise ValueError("body is not multipart/form-data")
+    out: dict[str, tuple[str | None, bytes]] = {}
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        if name is None:
+            continue
+        out[str(name)] = (part.get_filename(),
+                          part.get_payload(decode=True) or b"")
+    return out
+
+
 class _Handler(BaseHTTPRequestHandler):
     pages_dir: str = ""
 
     def log_message(self, fmt, *args):  # quiet by default
         pass
 
-    def _reply(self, code: int, obj: dict) -> None:
-        body = json.dumps(obj).encode("utf-8")
+    def _reply(self, code: int, obj: dict,
+               pretty: bool = False) -> None:
+        # debug pretty-print parity: handlers.ts:73-76 serializes with
+        # indent 2 when the request carries debug=true
+        body = json.dumps(obj,
+                          indent=2 if pretty else None).encode("utf-8")
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
@@ -113,18 +154,53 @@ class _Handler(BaseHTTPRequestHandler):
             payload = self._read_body()
             if payload is None:
                 return
-            profile = _PROFILE_ROUTES[parsed.path] or \
-                qs.get("profile", ["auto"])[0]
+            ctype = self.headers.get("Content-Type", "")
+            fields: dict[str, str] = {}
+            filename = None
+            if ctype.lower().startswith("multipart/form-data"):
+                try:
+                    form = _parse_multipart(payload, ctype)
+                except Exception as exc:
+                    self._reply(400, {
+                        "success": False,
+                        "error": f"bad multipart body: {exc}"})
+                    return
+                if "file" not in form:
+                    self._reply(400, {
+                        "success": False,
+                        "error": "missing multipart field 'file'"})
+                    return
+                filename, payload = form.pop("file")
+                fields = {k: v[1].decode("utf-8", "replace")
+                          for k, v in form.items()}
+                if len(payload) > MAX_DOC_BYTES:
+                    self._reply(413, {
+                        "success": False,
+                        "error": f"payload {len(payload)}B > "
+                                 f"{MAX_DOC_BYTES}B cap"})
+                    return
+                if not payload:
+                    self._reply(400, {"success": False,
+                                      "error": "empty file field"})
+                    return
+            profile = (_PROFILE_ROUTES[parsed.path]
+                       or fields.get("profile")
+                       or qs.get("profile", ["auto"])[0])
             if profile not in PROFILES:
                 self._reply(400, {
                     "success": False,
                     "error": f"invalid profile {profile!r}; "
                              f"one of {sorted(PROFILES)}"})
                 return
-            url = qs.get("url", ["upload://" + uuid.uuid4().hex])[0]
+            default_url = ("upload://" + filename) if filename else \
+                ("upload://" + uuid.uuid4().hex)
+            url = fields.get("url") or qs.get("url", [default_url])[0]
+            debug = (fields.get("debug") == "true"
+                     or qs.get("debug", [""])[0] == "true")
             result = extract_document(url, payload, profile=profile)
             self._reply(200, {
-                "success": result["validation"]["success"], **result})
+                "success": result["validation"]["success"], **result},
+                pretty=debug)
         elif parsed.path == "/api/v1/ingest":
             if not self.pages_dir:
                 self._reply(503, {"success": False,
@@ -138,7 +214,20 @@ class _Handler(BaseHTTPRequestHandler):
                 self._reply(400, {"success": False,
                                   "error": "missing ?url="})
                 return
-            part = _write_page_row(self.pages_dir, url, payload)
+            ts = None
+            ts_raw = qs.get("ts", [""])[0]
+            if ts_raw:
+                try:
+                    ts = _dt.datetime.fromisoformat(ts_raw)
+                    if ts.tzinfo is not None:
+                        ts = ts.astimezone(
+                            _dt.timezone.utc).replace(tzinfo=None)
+                except ValueError:
+                    self._reply(400, {
+                        "success": False,
+                        "error": f"bad ?ts= (want ISO-8601): {ts_raw!r}"})
+                    return
+            part = _write_page_row(self.pages_dir, url, payload, ts=ts)
             self._reply(202, {"success": True, "queued": True,
                               "part_file": os.path.basename(part)})
         else:

@@ -74,6 +74,102 @@ def test_validation_errors(server):
         urllib.request.urlopen(req, timeout=5)
 
 
+def _multipart_body(fields: dict[str, bytes],
+                    file_field: tuple[str, str, bytes] | None = None):
+    """Build a multipart/form-data body by hand (no requests lib)."""
+    boundary = "ekspark-test-boundary-7f3a"
+    parts = []
+    for name, val in fields.items():
+        parts.append(
+            f"--{boundary}\r\nContent-Disposition: form-data; "
+            f"name=\"{name}\"\r\n\r\n".encode() + val + b"\r\n")
+    if file_field is not None:
+        name, filename, data = file_field
+        parts.append(
+            f"--{boundary}\r\nContent-Disposition: form-data; "
+            f"name=\"{name}\"; filename=\"{filename}\"\r\n"
+            f"Content-Type: application/octet-stream\r\n\r\n".encode()
+            + data + b"\r\n")
+    parts.append(f"--{boundary}--\r\n".encode())
+    return b"".join(parts), f"multipart/form-data; boundary={boundary}"
+
+
+def _post_multipart(url: str, body: bytes, ctype: str):
+    req = urllib.request.Request(
+        url, data=body, method="POST",
+        headers={"Content-Type": ctype})
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, resp.read()
+
+
+def test_multipart_upload_with_debug_pretty_print(server):
+    """Form-upload parity with handlers.ts:23-56 — the document rides
+    the 'file' field, options ride string fields, and debug=true
+    pretty-prints the JSON response (handlers.ts:73-76)."""
+    base, _ = server
+    pdf = _pdf_invoice(random.Random("srv:mp1"))
+    body, ctype = _multipart_body(
+        {"debug": b"true", "url": b"https://mp.example.com/inv.pdf"},
+        file_field=("file", "inv.pdf", pdf))
+    status, raw = _post_multipart(base + "/api/v1/invoice", body, ctype)
+    assert status == 200
+    assert raw.startswith(b"{\n  ")  # indent=2 serialization
+    parsed = json.loads(raw)
+    assert parsed["success"]
+    assert parsed["url"] == "https://mp.example.com/inv.pdf"
+    assert parsed["fields"]["invoice"]["invoice_number"].startswith(
+        "INV-")
+    # same request without debug → compact JSON
+    body2, ctype2 = _multipart_body(
+        {}, file_field=("file", "inv.pdf", pdf))
+    _status, raw2 = _post_multipart(
+        base + "/api/v1/invoice", body2, ctype2)
+    assert not raw2.startswith(b"{\n")
+    # url falls back to the uploaded filename
+    assert json.loads(raw2)["url"] == "upload://inv.pdf"
+
+
+def test_multipart_profile_field_and_missing_file(server):
+    base, _ = server
+    html = _receipt_page(random.Random("srv:mp2"))
+    body, ctype = _multipart_body(
+        {"profile": b"receipt"}, file_field=("file", "r.html", html))
+    status, raw = _post_multipart(base + "/api/v1/extract", body, ctype)
+    assert status == 200
+    assert json.loads(raw)["metadata"]["schema_used"] == "receipt"
+    # multipart body without a 'file' field → 400
+    body_nf, ctype_nf = _multipart_body({"profile": b"receipt"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post_multipart(base + "/api/v1/extract", body_nf, ctype_nf)
+    assert ei.value.code == 400
+
+
+def test_ingest_stamps_wallclock_or_explicit_ts(server):
+    """Ingested rows must NOT carry an epoch placeholder timestamp:
+    watermarked consumers (run_dedup_stream's 2h warc_ts watermark)
+    would silently drop them as maximally late."""
+    import datetime
+    base, pages_dir = server
+    html = _receipt_page(random.Random("srv:ts"))
+    _post(base + "/api/v1/ingest?url=https://ts.example.com/now", html)
+    _post(base + "/api/v1/ingest?url=https://ts.example.com/pinned"
+          "&ts=2026-03-01T12:30:00", html)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/api/v1/ingest?url=https://ts.example.com/bad"
+              "&ts=not-a-time", html)
+    assert ei.value.code == 400
+    import duckdb
+    rows = dict(duckdb.sql(
+        f"SELECT url, warc_ts FROM "
+        f"read_parquet('{pages_dir}/*.parquet') "
+        f"WHERE url LIKE 'https://ts.example.com/%'").fetchall())
+    assert rows["https://ts.example.com/pinned"] == \
+        datetime.datetime(2026, 3, 1, 12, 30)
+    now_row = rows["https://ts.example.com/now"]
+    assert abs((datetime.datetime.utcnow() - now_row)
+               .total_seconds()) < 300
+
+
 def test_ingest_appends_readable_page_rows(server):
     base, pages_dir = server
     html = _receipt_page(random.Random("srv:3"))
@@ -85,7 +181,9 @@ def test_ingest_appends_readable_page_rows(server):
     import duckdb
     rows = duckdb.sql(
         f"SELECT url, octet_length(html) AS n FROM "
-        f"read_parquet('{pages_dir}/*.parquet') ORDER BY url").fetchall()
+        f"read_parquet('{pages_dir}/*.parquet') "
+        f"WHERE url LIKE 'https://up.example.com/%' "
+        f"ORDER BY url").fetchall()
     assert [r[0] for r in rows] == [
         f"https://up.example.com/{i}" for i in range(3)]
     assert all(r[1] == len(html) for r in rows)
