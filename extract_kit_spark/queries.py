@@ -1390,16 +1390,55 @@ QUERIES = {
     "rel_lapsed_customers": q_rel_lapsed_customers,
 }
 
-# queries WITHOUT oracle entries (non-SQL-expressible / approximate):
-#   dedup_minhash_lsh — approximate-by-design; recall vs the exact
-#       jaccard oracle is asserted in tests/test_ops.py.
-#   dedup_simhash — 64-bit signature banding; properties tested.
-#   ann_lsh_topk, ann_ivf_topk — approximate; recall vs ann_topk
-#       tested.
-#   evt_value_quantiles_approx — GK-sketch percentiles; relative error
-#       vs the exact evt_value_quantiles asserted in tests.
-#   evt_user_reach_approx — HLL++ sketch distinct; relative error vs
-#       the exact count asserted in tests.
+# Committed golden registries for the deterministic-approximate
+# queries (tests/gen_approx_goldens.py). These ops are approximate vs
+# the EXACT answer (recall/error-bound tested in tests/test_ops.py)
+# but fully deterministic functions of their input — fixed-seed hash
+# families, deterministic IVF training sample, 6-dp rounding with nid
+# tie-breaks, commutative HLL++ register merges — so a committed
+# registry is a hard rows/schema/hash driver signal, exactly like the
+# flagship's. Rows are tagged corpus_n = the EVENTS-table count of
+# their sf dir — the one table whose cardinality differs between the
+# sf dirs the oracle must serve (tests sf0.001, driver sf0.01;
+# documents/embeddings are 500 rows in both) — so one oracle string
+# selects the right slice via a scalar subquery on the live views.
+_GOLDEN_DIR = os.path.dirname(_FLAGSHIP_GOLDEN)
+
+
+def _approx_golden_oracle(name: str, select: str) -> str:
+    path = os.path.join(_GOLDEN_DIR, f"{name}_golden.json")
+    return (f"SELECT {select} "
+            f"FROM read_json('{path}', format='array') "
+            f"WHERE corpus_n = (SELECT count(*) FROM events)")
+
+
+_ORACLE_MINHASH_GOLDEN = _approx_golden_oracle(
+    "dedup_minhash_lsh",
+    "id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, jaccard")
+_ORACLE_SIMHASH_GOLDEN = _approx_golden_oracle(
+    "dedup_simhash",
+    "id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, "
+    "hamming::INTEGER AS hamming")
+_ORACLE_ANN_LSH_GOLDEN = _approx_golden_oracle(
+    "ann_lsh_topk",
+    "query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id, "
+    "cosine, rank::INTEGER AS rank")
+_ORACLE_ANN_IVF_GOLDEN = _approx_golden_oracle(
+    "ann_ivf_topk",
+    "query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id, "
+    "cosine, rank::INTEGER AS rank")
+_ORACLE_REACH_GOLDEN = _approx_golden_oracle(
+    "evt_user_reach_approx",
+    "event_type, approx_users::BIGINT AS approx_users, "
+    "exact_users::BIGINT AS exact_users")
+
+
+# queries WITHOUT oracle entries (non-SQL-expressible):
+#   evt_value_quantiles_approx — GK-sketch percentiles; the GK merge
+#       is ORDER-DEPENDENT (compression thresholds depend on merge
+#       order, which depends on partitioning), so a pinned golden
+#       would be brittle; relative rank error vs the exact
+#       evt_value_quantiles is asserted in tests instead.
 ORACLES = {
     "ext_flagship": _ORACLE_FLAGSHIP,
     "ext_status_counts": _ORACLE_STATUS_COUNTS,
@@ -1417,7 +1456,12 @@ ORACLES = {
     "dedup_jaccard": _ORACLE_JACCARD,
     "dedup_clusters": _ORACLE_CLUSTERS,
     "dedup_embedding": _ORACLE_EMB_PAIRS,
+    "dedup_minhash_lsh": _ORACLE_MINHASH_GOLDEN,
+    "dedup_simhash": _ORACLE_SIMHASH_GOLDEN,
     "ann_topk": _ORACLE_ANN,
+    "ann_lsh_topk": _ORACLE_ANN_LSH_GOLDEN,
+    "ann_ivf_topk": _ORACLE_ANN_IVF_GOLDEN,
+    "evt_user_reach_approx": _ORACLE_REACH_GOLDEN,
     "mm_media_meta": _ORACLE_MM_META,
     "mm_frame_plan": _ORACLE_MM_FRAMES,
     "web_domain_stats": _ORACLE_DOMAIN_STATS,

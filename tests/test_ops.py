@@ -270,3 +270,35 @@ def test_duplicate_clusters_long_chain_converges(spark):
            for r in dedup.duplicate_clusters(pairs).collect()}
     assert len(got) == n + 1
     assert set(got.values()) == {0}
+
+
+def test_approx_goldens_parallelism_independent(spark, docs, emb):
+    """The committed approx-query goldens (tests/gen_approx_goldens.py)
+    claim these ops are deterministic FUNCTIONS of their input —
+    independent of partitioning. Pin that: rerun two of them with a
+    deliberately different layout (prime repartition) and require the
+    registry rows bit-for-bit (jaccard/cosine compare as exact doubles
+    because round(x, 6) → json repr → parse roundtrips exactly)."""
+    import json
+    import os
+    gdir = os.path.join(os.path.dirname(__file__), "golden")
+
+    def slice_for_sf001(name):
+        rows = json.load(open(os.path.join(gdir, f"{name}_golden.json")))
+        return [r for r in rows if r["corpus_n"] == 1000]  # events@sf0.001
+
+    want = {(r["id_a"], r["id_b"], r["jaccard"])
+            for r in slice_for_sf001("dedup_minhash_lsh")}
+    got = {(r["id_a"], r["id_b"], r["jaccard"])
+           for r in dedup.minhash_lsh_pairs(
+               docs.repartition(7), threshold=0.82).collect()}
+    assert got == want
+
+    want = {(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+            for r in slice_for_sf001("ann_ivf_topk")}
+    queries = emb.where(F.col("vec_id") < 20)
+    got = {(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+           for r in similarity.ann_ivf_topk(
+               emb.repartition(13), queries, k=5,
+               n_centroids=32, nprobe=12).collect()}
+    assert got == want
