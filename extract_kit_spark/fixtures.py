@@ -350,52 +350,108 @@ def _docx_doc(rng: random.Random) -> bytes:
 # PDF builder (minimal valid PDF 1.4, uncompressed text content streams)
 # ---------------------------------------------------------------------------
 
-def _pdf_doc(rng: random.Random, compress: bool = False) -> bytes:
+def _hex_tj(text: str) -> str:
+    """Emit a show-text op with the string as a HEX literal ``<4E6F>``
+    (uppercase, the common writer convention)."""
+    return f"<{text.encode('latin-1').hex().upper()}> Tj"
+
+
+# Escape-edge literals for the hex/escape variant: raw PDF syntax on
+# the left, the spec-decoded text the kernel must produce on the right
+# (balanced unescaped parens; octal incl. 8-bit wrap; dropped
+# backslash before a non-escape char; backslash-EOL line continuation;
+# odd-length hex padded with a trailing 0 nibble).
+_ESCAPE_EDGE_OPS = (
+    r"(Nested (parens (deep)) survive) Tj",
+    r"(Octal \101\102\103 wraps \777 drops \8) Tj",
+    "(joined across \\\nlines) Tj",
+    "<4A6F696E5> Tj",  # odd length -> "JoinP"
+)
+ESCAPE_EDGE_TEXTS = (
+    "Nested (parens (deep)) survive",
+    "Octal ABC wraps \xff drops 8",
+    "joined across lines",
+    "JoinP",
+)
+
+
+def _pdf_doc(rng: random.Random, compress: bool = False,
+             hex_strings: bool = False, scrambled: bool = False,
+             pdf15: bool = False) -> bytes:
+    """Plain text PDF. Variants (each a pure flag — the rng draw
+    sequence for page CONTENT is identical across variants, so a
+    variant and its plain twin must extract to byte-identical text):
+
+    - ``compress``: FlateDecode content streams (classic xref)
+    - ``hex_strings``: show-text ops as hex literals + a block of
+      escape-edge literal strings (page 0)
+    - ``scrambled``: text runs emitted in SHUFFLED stream order with
+      absolute Tm positioning — extraction must reconstruct reading
+      order purely from geometry
+    - ``pdf15``: PDF 1.5 layout — page dicts in an /ObjStm object
+      stream, /XRef cross-reference stream, flate content
+    """
     n_pages = rng.randint(1, 3)
-    page_streams = []
+    pages_runs: list[list[tuple[int, int, str]]] = []
     for p in range(n_pages):
         two_col = rng.random() < 0.4
-        ops = ["BT", "/F1 12 Tf"]
+        runs: list[tuple[int, int, str]] = []
         title = _words(rng, 3).title() if p == 0 else ""
         y = 760
         if title:
-            ops.append(f"1 0 0 1 72 {y} Tm")
-            ops.append(f"({title}) Tj")
+            runs.append((72, y, title))
             y -= 24
         n_lines = rng.randint(4, 10)
         for _ in range(n_lines):
-            ops.append(f"1 0 0 1 72 {y} Tm")
-            ops.append(f"({_words(rng, rng.randint(4, 8))}) Tj")
+            runs.append((72, y, _words(rng, rng.randint(4, 8))))
             y -= 16
         if two_col:
             y2 = 760
             for _ in range(rng.randint(3, 8)):
-                ops.append(f"1 0 0 1 320 {y2} Tm")
-                ops.append(f"({_words(rng, rng.randint(3, 6))}) Tj")
+                runs.append((320, y2, _words(rng, rng.randint(3, 6))))
                 y2 -= 16
+        pages_runs.append(runs)
+    if scrambled:  # after ALL content draws, so twins share content
+        for runs in pages_runs:
+            rng.shuffle(runs)
+    page_streams = []
+    for p, runs in enumerate(pages_runs):
+        ops = ["BT", "/F1 12 Tf"]
+        for x0, y0, text in runs:
+            ops.append(f"1 0 0 1 {x0} {y0} Tm")
+            ops.append(_hex_tj(text) if hex_strings else f"({text}) Tj")
+        if hex_strings and p == 0:
+            # fixed low-y block (body never descends past ~500)
+            for k, raw_op in enumerate(_ESCAPE_EDGE_OPS):
+                ops.append(f"1 0 0 1 72 {80 - 16 * k} Tm")
+                ops.append(raw_op)
         ops.append("ET")
         page_streams.append("\n".join(ops).encode("latin-1"))
+    if pdf15:
+        return _pdf_assemble_15(page_streams)
     return _pdf_assemble(page_streams, compress)
 
 
-def _pdf_from_lines(lines: list[str], compress: bool = False) -> bytes:
+def _pdf_from_lines(lines: list[str], compress: bool = False,
+                    hex_strings: bool = False) -> bytes:
     """Single-page PDF with one Tj per text line at x=72, descending y —
     the structured-document (invoice/receipt) PDF layout."""
     ops = ["BT", "/F1 12 Tf"]
     y = 760
     for line in lines:
         ops.append(f"1 0 0 1 72 {y} Tm")
-        ops.append(f"({line}) Tj")
+        ops.append(_hex_tj(line) if hex_strings else f"({line}) Tj")
         y -= 16
     ops.append("ET")
     return _pdf_assemble(["\n".join(ops).encode("latin-1")], compress)
 
 
-def _pdf_invoice(rng: random.Random) -> bytes:
+def _pdf_invoice(rng: random.Random, hex_strings: bool = False) -> bytes:
     """Invoice-as-PDF: the same field grammar as _invoice_page rendered
     as PDF text lines. Always UNCOMPRESSED so the DuckDB oracle can
-    regex the content-stream literals (the compressed twin is covered by
-    kernel tests)."""
+    regex the content-stream literals — or, for the ``hex_strings``
+    variant, unhex-decode the ``<...>`` show-text tokens (both oracles
+    stay independent of the kernel)."""
     inv_no = f"INV-{rng.randint(0, 999999):06d}"
     date = f"2025-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}"
     seller = _words(rng, 2).title() + " GmbH"
@@ -416,7 +472,7 @@ def _pdf_invoice(rng: random.Random) -> bytes:
         lines.append(f"{_words(rng, 2)} x{qty} @ {unit_c / 100.0:.2f}"
                      f" = {line_c / 100.0:.2f}")
     lines.append(f"Total: {total_c / 100.0:.2f} {currency}")
-    return _pdf_from_lines(lines)
+    return _pdf_from_lines(lines, hex_strings=hex_strings)
 
 
 def _pdf_receipt(rng: random.Random) -> bytes:
@@ -489,6 +545,82 @@ def _pdf_assemble(page_streams: list[bytes], compress: bool) -> bytes:
         out.write(b"%010d 00000 n \n" % off)
     out.write(b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF"
               % (len(objs) + 1, catalog, xref_pos))
+    return out.getvalue()
+
+
+def _pdf_assemble_15(page_streams: list[bytes]) -> bytes:
+    """PDF 1.5 'compressed' layout: FlateDecode content streams stay
+    top-level objects (streams may not live inside object streams), but
+    EVERY dictionary-only object — font, pages node, page dicts,
+    catalog — is packed into a /Type /ObjStm object stream, and the
+    cross-reference is a /Type /XRef STREAM (W [1 4 1] binary entries,
+    type-2 rows pointing into the ObjStm) with no classic xref table
+    at all. This is the layout modern writers emit; readers that only
+    scan classic xref tables see zero page dictionaries."""
+    import struct
+    import zlib as _z
+    k = len(page_streams)
+    comp = [_z.compress(s, 6) for s in page_streams]
+    objstm_num = k + 1
+    xref_num = k + 2
+    font_num = xref_num + 1
+    pages_num = xref_num + 2
+    page_nums = [pages_num + 1 + i for i in range(k)]
+    catalog_num = pages_num + 1 + k
+    kids = b" ".join(b"%d 0 R" % p for p in page_nums)
+    inner: list[tuple[int, bytes]] = [
+        (font_num,
+         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+        (pages_num,
+         b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, k)),
+    ]
+    for i, pn in enumerate(page_nums):
+        inner.append((pn, (
+            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+            b"/Contents %d 0 R /Resources << /Font << /F1 %d 0 R >> >> >>"
+            % (pages_num, i + 1, font_num))))
+    inner.append((catalog_num,
+                  b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num))
+    bodies = b"\n".join(b for _, b in inner)
+    offs, pos = [], 0
+    for _, b in inner:
+        offs.append(pos)
+        pos += len(b) + 1
+    header = b" ".join(b"%d %d" % (num, off)
+                       for (num, _), off in zip(inner, offs)) + b"\n"
+    stm_comp = _z.compress(header + bodies, 6)
+
+    out = io.BytesIO()
+    out.write(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for i, c in enumerate(comp, start=1):
+        offsets[i] = out.tell()
+        out.write(b"%d 0 obj\n<< /Length %d /Filter /FlateDecode >>"
+                  b"\nstream\n" % (i, len(c)))
+        out.write(c)
+        out.write(b"\nendstream\nendobj\n")
+    offsets[objstm_num] = out.tell()
+    out.write(b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d "
+              b"/Filter /FlateDecode >>\nstream\n"
+              % (objstm_num, len(inner), len(header), len(stm_comp)))
+    out.write(stm_comp)
+    out.write(b"\nendstream\nendobj\n")
+    xref_off = out.tell()
+    entries = bytearray()
+    entries += struct.pack(">BIB", 0, 0, 255)          # obj 0: free
+    for i in range(1, objstm_num + 1):                 # type 1: offsets
+        entries += struct.pack(">BIB", 1, offsets[i], 0)
+    entries += struct.pack(">BIB", 1, xref_off, 0)     # the XRef itself
+    for idx in range(len(inner)):                      # type 2: in ObjStm
+        entries += struct.pack(">BIB", 2, objstm_num, idx)
+    xdata = _z.compress(bytes(entries), 6)
+    out.write(b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 1] "
+              b"/Root %d 0 R /Length %d /Filter /FlateDecode >>"
+              b"\nstream\n"
+              % (xref_num, catalog_num + 1, catalog_num, len(xdata)))
+    out.write(xdata)
+    out.write(b"\nendstream\nendobj\n")
+    out.write(b"startxref\n%d\n%%%%EOF" % xref_off)
     return out.getvalue()
 
 
@@ -584,14 +716,24 @@ def gen_page(i: int, seed: int = SEED, oversize_every: int = 0,
         # variant decided OUTSIDE the rng (pure function of i): every
         # 4th±1 pdf carries structured fields (invoice / receipt — the
         # reference's extractInvoicePdf/extractReceiptPdf fixtures);
-        # plain pdfs alternate FlateDecode streams. Structured pdfs stay
-        # uncompressed so the DuckDB oracle can regex the literals.
+        # every other invoice uses HEX string literals. Plain pdfs
+        # (i%4∈{0,2} ⇒ i%12∈{0,2,4,6,8,10}) cycle the writer variants:
+        # flate, scrambled-Tm, PDF-1.5 objstm/xref-stream, hex+escape
+        # edges, and two plain-uncompressed slots. Structured pdfs stay
+        # uncompressed so the DuckDB oracles can regex (or unhex) the
+        # raw content streams.
         if i % 4 == 1:
-            payload = _pdf_invoice(rng)
+            payload = _pdf_invoice(rng, hex_strings=(i % 8 == 5))
         elif i % 4 == 3:
             payload = _pdf_receipt(rng)
+        elif i % 12 == 6:
+            payload = _pdf_doc(rng, pdf15=True)
+        elif i % 12 == 4:
+            payload = _pdf_doc(rng, scrambled=True)
+        elif i % 12 == 10:
+            payload = _pdf_doc(rng, hex_strings=True)
         else:
-            payload = _pdf_doc(rng, compress=(i % 3 == 0))
+            payload = _pdf_doc(rng, compress=(i % 12 == 0))
     else:
         payload = _BUILDERS[kind](rng)
     return {

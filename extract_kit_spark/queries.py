@@ -28,7 +28,7 @@ from .ops import corpus, dedup, multimodal, similarity, textstats
 # scan parallelizes; the DuckDB oracle reads the same files via glob) --------
 
 N_PAGES = 1200
-PAGES_PATH = f"/tmp/ekspark_pages_v6_{N_PAGES}"  # v6: + nested docx lists
+PAGES_PATH = f"/tmp/ekspark_pages_v7_{N_PAGES}"  # v7: pdf variants (hex/objstm/scrambled)
 PAGES_GLOB = f"{PAGES_PATH}/*.parquet"
 
 
@@ -400,6 +400,66 @@ f AS (
              regexp_extract_all(s, ' = ([0-9.]+)\\) Tj', 1),
              x -> CAST(x AS DOUBLE)) AS line_totals
   FROM p)
+SELECT url, invoice_number, invoice_date, currency, total_amount,
+       len(line_totals)::INTEGER AS n_line_items,
+       round(list_sum(line_totals), 2) AS sum_line_totals,
+       abs(round(list_sum(line_totals), 2) - total_amount) <= 0.01
+           AS coherent
+FROM f
+"""
+
+
+# "Invoice Number: " as an uppercase-hex prefix — the discriminator
+# for the hex-string-literal invoice variant (fixtures emit `<HEX> Tj`
+# show-text ops, so this byte sequence appears verbatim in the raw
+# content stream on both the Spark and DuckDB sides)
+_HEX_INV_MARK = "<" + "Invoice Number: ".encode("ascii").hex().upper()
+
+
+def q_ext_pdf_invoice_fields_hex(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Invoice PDFs whose string literals are HEX strings (`<4E6F> Tj`)
+    — same kernel, same fields as ext_pdf_invoice_fields; the oracle
+    re-derives the fields by unhex-decoding the show-text tokens in
+    SQL, so agreement proves the interpreter's hex-string decode
+    independently of the kernel."""
+    _ensure_importable(spark)
+    ensure_pages()
+    pages = spark.read.parquet(PAGES_PATH)
+    s = F.decode(F.col("html"), "ISO-8859-1")
+    rows = (pages
+            .where(F.hex(F.substring("html", 1, 5)) == _HEX_PDF)
+            .where(s.contains(_HEX_INV_MARK))
+            .select("url", "html"))
+    return rows.mapInPandas(_extract_invoice_batches,
+                            schema=_INVOICE_SCHEMA)
+
+
+_ORACLE_PDF_INVOICE_HEX = f"""
+WITH p AS (
+  SELECT url, html::VARCHAR AS s
+  FROM read_parquet('{PAGES_GLOB}')
+  WHERE starts_with(hex(html), '{_HEX_PDF}')
+    AND contains(html::VARCHAR, '{_HEX_INV_MARK}')),
+d AS (
+  SELECT url,
+         array_to_string(list_transform(
+             regexp_extract_all(s, '<([0-9A-F]+)> Tj', 1),
+             h -> decode(unhex(h))), chr(10)) AS t
+  FROM p),
+f AS (
+  SELECT url,
+         regexp_extract(t, 'Invoice Number: (\\S+)', 1)
+             AS invoice_number,
+         regexp_extract(t, 'Invoice Date: ([0-9-]+)', 1)
+             AS invoice_date,
+         regexp_extract(t, 'Currency: ([A-Z]{{3}})', 1) AS currency,
+         CAST(regexp_extract(t, 'Total: ([0-9.]+)', 1) AS DOUBLE)
+             AS total_amount,
+         list_transform(
+             regexp_extract_all(t, ' = ([0-9.]+)', 1),
+             x -> CAST(x AS DOUBLE)) AS line_totals
+  FROM d)
 SELECT url, invoice_number, invoice_date, currency, total_amount,
        len(line_totals)::INTEGER AS n_line_items,
        round(list_sum(line_totals), 2) AS sum_line_totals,
@@ -1357,6 +1417,7 @@ QUERIES = {
     "ext_status_counts": q_ext_status_counts,
     "ext_invoice_fields": q_ext_invoice_fields,
     "ext_pdf_invoice_fields": q_ext_pdf_invoice_fields,
+    "ext_pdf_invoice_fields_hex": q_ext_pdf_invoice_fields_hex,
     "ext_pdf_receipt_fields": q_ext_pdf_receipt_fields,
     "ts_stats": q_ts_stats,
     "corpus_split": q_corpus_split,
@@ -1447,6 +1508,7 @@ ORACLES = {
     "ext_link_stats": _ORACLE_LINK_STATS,
     "ext_invoice_fields": _ORACLE_INVOICE,
     "ext_pdf_invoice_fields": _ORACLE_PDF_INVOICE,
+    "ext_pdf_invoice_fields_hex": _ORACLE_PDF_INVOICE_HEX,
     "ext_pdf_receipt_fields": _ORACLE_PDF_RECEIPT,
     "ts_stats": _ORACLE_TS_STATS,
     "corpus_split": _ORACLE_SPLIT,

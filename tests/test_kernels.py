@@ -11,7 +11,7 @@ import hashlib
 import pytest
 
 from extract_kit_spark.fixtures import gen_page, gen_pages
-from extract_kit_spark.kernels import detect, errors
+from extract_kit_spark.kernels import detect, errors, pdf_text
 from extract_kit_spark.kernels.boilerplate import (extract_title,
                                                    strip_boilerplate)
 from extract_kit_spark.kernels.extract import extract_document
@@ -274,12 +274,12 @@ def test_pdf_flate_length_slice_regression():
     """Compressed content streams whose deflate bytes contain
     endstream-like sequences or trailing CR bytes must decode via the
     /Length slice, not a delimiter scan. Fixture indices 3600/5688/
-    14430 are plain-compressed seeds (i%4∈{0,2}, i%3==0) whose deflate
+    21648 are plain-compressed seeds (i%4∈{0,2}, i%12==0) whose deflate
     bytes contain such sequences — a delimiter scan would lose pages."""
     import random
     from extract_kit_spark.fixtures import (_pdf_doc, _domain, _slug,
                                             gen_page)
-    for i in (3600, 5688, 14430):
+    for i in (3600, 5688, 21648):
         row = gen_page(i)
         assert row["_kind"] == "pdf_doc" and b"/FlateDecode" in row["html"]
         rng = random.Random(f"42:{i}")
@@ -712,3 +712,72 @@ def test_docx_nested_lists_via_ilvl():
     res = extract_document("u", _docx_doc(random.Random("n:1")))
     text = res["extracted_text"]
     assert "\n  1. " in text  # indented ordered child under a bullet
+
+
+# -- PDF writer-variant kernels (round-3 interpreter broadening) ---------------
+
+def test_pdf15_objstm_xref_stream_equivalent_to_classic():
+    """PDF 1.5 layout (page dicts in an /ObjStm, /XRef cross-reference
+    STREAM, no classic xref table): extraction and page discovery must
+    match the classic-layout twin built from the same rng draws."""
+    import random
+    from extract_kit_spark.fixtures import _pdf_doc
+    for s in ("p15:1", "p15:2", "p15:3"):
+        a = _pdf_doc(random.Random(s), pdf15=True)
+        b = _pdf_doc(random.Random(s))
+        assert a.startswith(b"%PDF-1.5") and b"trailer" not in a
+        assert pdf_text.extract_pdf_pages(a) == \
+            pdf_text.extract_pdf_pages(b)
+        assert pdf_text.page_count(a) == pdf_text.page_count(b) > 0
+
+
+def test_pdf_scrambled_tm_order_reconstructs_reading_order():
+    """Runs emitted in shuffled stream order with absolute Tm
+    positioning: reading-order reconstruction must recover exactly the
+    unscrambled twin's text (geometry, not stream order, decides)."""
+    import random
+    from extract_kit_spark.fixtures import _pdf_doc
+    for s in ("scr:1", "scr:2", "scr:3", "scr:4"):
+        a = _pdf_doc(random.Random(s), scrambled=True)
+        b = _pdf_doc(random.Random(s))
+        assert pdf_text.extract_pdf_pages(a) == \
+            pdf_text.extract_pdf_pages(b)
+
+
+def test_pdf_hex_strings_and_escape_edges():
+    """Hex-string show-text ops decode identically to the literal twin,
+    and the escape-edge block (balanced nested parens, octal with 8-bit
+    wrap, dropped backslash, line continuation, odd-length hex) decodes
+    to its spec-mandated texts."""
+    import random
+    from extract_kit_spark.fixtures import _pdf_doc, ESCAPE_EDGE_TEXTS
+    for s in ("hex:1", "hex:2"):
+        a = pdf_text.extract_pdf_pages(
+            _pdf_doc(random.Random(s), hex_strings=True))
+        b = pdf_text.extract_pdf_pages(_pdf_doc(random.Random(s)))
+        # the escape block sits at the BOTTOM OF COLUMN 1 (x=72,
+        # y≤80), so reading order places it mid-page when column 2
+        # exists — assert it is a contiguous run and that removing it
+        # leaves exactly the literal twin's lines
+        idx = a[0].index(ESCAPE_EDGE_TEXTS[0])
+        assert a[0][idx:idx + 4] == list(ESCAPE_EDGE_TEXTS)
+        assert a[0][:idx] + a[0][idx + 4:] == b[0]
+        assert a[1:] == b[1:]
+
+
+def test_pdf_hex_invoice_fields_match_literal_twin():
+    """The hex-string invoice variant yields the same structured fields
+    as its literal twin (same rng draws) through the FULL kernel."""
+    import random
+    from extract_kit_spark.fixtures import _pdf_invoice
+    for s in ("hinv:1", "hinv:2"):
+        a = extract_document(
+            "https://x/a.pdf",
+            _pdf_invoice(random.Random(s), hex_strings=True),
+            profile="invoice")["fields"]["invoice"]
+        b = extract_document(
+            "https://x/b.pdf", _pdf_invoice(random.Random(s)),
+            profile="invoice")["fields"]["invoice"]
+        assert a == b
+        assert a["invoice_number"].startswith("INV-")
+        assert a["total_amount"] > 0 and a["line_items"]
