@@ -189,6 +189,59 @@ GROUP BY doc_kind, status
 """
 
 
+# Hand-written goldens (tests/golden/handpinned/): expected texts
+# composed BY HAND from the fixtures' raw source bytes following the
+# documented serialization rules — no code generated them. The oracle
+# reads the committed files directly, so the driver's hash compare
+# becomes an INDEPENDENT check that the kernel extracts the right
+# bytes, not merely that Spark reproduces the kernel.
+_HANDPINNED_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "golden", "handpinned")
+
+_HANDPINNED_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("extracted_text", T.StringType()),
+])
+
+
+def _extract_text_batches(batches: Iterator[pd.DataFrame]) \
+        -> Iterator[pd.DataFrame]:
+    from .kernels.extract import extract_document
+    for pdf in batches:
+        yield pd.DataFrame({
+            "url": pdf["url"],
+            "extracted_text": [
+                extract_document(u, p)["extracted_text"]
+                for u, p in zip(pdf["url"].tolist(),
+                                pdf["html"].tolist())]})
+
+
+def q_ext_flagship_handpinned(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Full extraction restricted to the hand-pinned urls, returning
+    the raw extracted text for byte-comparison against the hand-written
+    expected files (one per fixture kind / PDF writer variant)."""
+    import json as _json
+    _ensure_importable(spark)
+    ensure_pages()
+    with open(os.path.join(_HANDPINNED_DIR, "urls.json")) as fh:
+        urls = [m["url"] for m in _json.load(fh)]
+    pages = (spark.read.parquet(PAGES_PATH)
+             .where(F.col("url").isin(urls))
+             .select("url", "html"))
+    return pages.mapInPandas(_extract_text_batches,
+                             schema=_HANDPINNED_SCHEMA)
+
+
+_ORACLE_HANDPINNED = f"""
+SELECT m.url, t.content AS extracted_text
+FROM read_json('{_HANDPINNED_DIR}/urls.json', format='array') m
+JOIN read_text('{_HANDPINNED_DIR}/*.md') t
+  ON ends_with(t.filename, '/' || m.file)
+"""
+
+
 def _pages_with_kind(spark: SparkSession) -> DataFrame:
     ensure_pages()
     pages = spark.read.parquet(PAGES_PATH)
@@ -1411,6 +1464,7 @@ SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
 
 QUERIES = {
     "ext_flagship": q_ext_flagship,
+    "ext_flagship_handpinned": q_ext_flagship_handpinned,
     "ext_detect_kind": q_ext_detect_kind,
     "ext_title": q_ext_title,
     "ext_link_stats": q_ext_link_stats,
@@ -1502,6 +1556,7 @@ _ORACLE_REACH_GOLDEN = _approx_golden_oracle(
 #       evt_value_quantiles is asserted in tests instead.
 ORACLES = {
     "ext_flagship": _ORACLE_FLAGSHIP,
+    "ext_flagship_handpinned": _ORACLE_HANDPINNED,
     "ext_status_counts": _ORACLE_STATUS_COUNTS,
     "ext_detect_kind": _ORACLE_DETECT,
     "ext_title": _ORACLE_TITLE,
