@@ -66,3 +66,55 @@ def salted_skew_join(facts: DataFrame, dim: DataFrame, key: str,
     # BroadcastHashJoin)
     return (fact_s.join(dim_s.hint("merge"), [key, "__salt"])
             .drop("__salt"))
+
+
+# AQE-native skew handling: thresholds sized so the runtime split
+# fires on MB-scale test data (production keeps the defaults — 256 MB
+# threshold, factor 5 — which fire on real skew at real sizes).
+AQE_SKEW_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+        "1024",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512",
+    # keep the coalescer from merging everything into one read before
+    # the skew check can see the hot partition
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "256",
+}
+
+
+def aqe_skew_join(facts: DataFrame, dim: DataFrame,
+                  key: str) -> DataFrame:
+    """The AQE-native twin of ``salted_skew_join``: a PLAIN sort-merge
+    equi-join on the skewed key (merge hint forbids broadcast), with
+    skew handling left to the runtime — under
+    ``spark.sql.adaptive.skewJoin`` AQE measures the shuffle's map
+    output, splits any reducer partition larger than factor×median
+    into advisory-sized sub-reads, and replicates the matching dim
+    partition per split. Same effect as explicit salting, decided from
+    RUNTIME sizes instead of a precomputed salt column.
+
+    When to use which (also documented in PLANS.md): AQE's split only
+    exists at sort-merge shuffle boundaries and only after map
+    statistics exist — it covers the skewed-join case with zero code.
+    Explicit salting still earns its keep where AQE can't reach: a
+    holistic aggregation's single hot group, skew entering a
+    repartition that feeds a Python stage, or engines/paths with AQE
+    disabled. Run under ``AQE_SKEW_CONFS`` for the split to fire at
+    test scale; callers must restore prior conf values afterwards.
+
+    PATTERN CONSTRAINT (discovered empirically, matters in
+    production): ``OptimizeSkewedJoin`` pattern-matches
+    SMJ → Sort → ShuffleQueryStage on BOTH sides. Any operator
+    interposed between the shuffle and the join on either side — most
+    commonly a final ``HashAggregate`` when the dim is built with
+    ``.distinct()`` ON THE SAME KEY (Catalyst reuses the distinct's
+    hash partitioning for the join, so the agg lands between shuffle
+    and sort) — silently defeats the rule: the plan stays
+    un-split with no warning. Callers must hand the dim side in as a
+    materialized input (a table scan, or ``localCheckpoint()`` in
+    tests) so the join plans a clean Exchange under its Sort. This is
+    a second case where explicit salting beats AQE: salting works
+    regardless of what sits between the shuffle and the join."""
+    return facts.join(dim.hint("merge"), key)

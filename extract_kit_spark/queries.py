@@ -1088,6 +1088,51 @@ def q_web_domain_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_bytes").alias("total_bytes")))
 
 
+def q_web_domain_join_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AQE-native twin of web_domain_join_salted: the SAME Zipf
+    join with NO salt column — runtime skew-split via
+    spark.sql.adaptive.skewJoin (ops/webstats.aqe_skew_join). The
+    query materializes under the low test-scale thresholds and
+    restores the session confs before returning, so later queries plan
+    under the session defaults; tests/test_plans.py asserts the final
+    adaptive plan actually carries the skew=true split."""
+    from .ops import webstats
+    ensure_pages()
+    pages = (spark.read.parquet(PAGES_PATH)
+             .select("url",
+                     F.length("html").cast("long").alias("n_bytes")))
+    facts = pages.withColumn("domain",
+                             webstats.domain_of(F.col("url")))
+    # localCheckpoint: materialize the dim so the join plans a clean
+    # Exchange→Sort→SMJ on the dim side — with a lineage-linked
+    # distinct() on the join key, Catalyst reuses the distinct's
+    # partitioning and the final HashAggregate lands between shuffle
+    # and join, which defeats OptimizeSkewedJoin's pattern match
+    # (see ops/webstats.aqe_skew_join docstring). In production the
+    # dim is a table scan and this happens naturally.
+    dim = (facts.select("domain").distinct()
+           .withColumn("tier", (F.length("domain") % 3).cast("int"))
+           .localCheckpoint())
+    old = {k: spark.conf.get(k, None)
+           for k in webstats.AQE_SKEW_CONFS}
+    for k, v in webstats.AQE_SKEW_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        joined = webstats.aqe_skew_join(facts, dim, "domain")
+        out = (joined.groupBy("tier")
+               .agg(F.count(F.lit(1)).alias("n_pages"),
+                    F.countDistinct("domain").alias("n_domains"),
+                    F.sum("n_bytes").alias("total_bytes"))
+               .localCheckpoint())  # eager: executes under the confs
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
+
+
 _ORACLE_DOMAIN_JOIN = f"""
 WITH p AS (
   SELECT url, octet_length(html)::BIGINT AS n_bytes,
@@ -1490,6 +1535,7 @@ QUERIES = {
     "mm_frame_plan": q_mm_frame_plan,
     "web_domain_stats": q_web_domain_stats,
     "web_domain_join_salted": q_web_domain_join_salted,
+    "web_domain_join_aqe": q_web_domain_join_aqe,
     "web_kind_rollup": q_web_kind_rollup,
     "evt_sessionize": q_evt_sessionize,
     "evt_hourly_windows": q_evt_hourly_windows,
@@ -1583,6 +1629,7 @@ ORACLES = {
     "mm_frame_plan": _ORACLE_MM_FRAMES,
     "web_domain_stats": _ORACLE_DOMAIN_STATS,
     "web_domain_join_salted": _ORACLE_DOMAIN_JOIN,
+    "web_domain_join_aqe": _ORACLE_DOMAIN_JOIN,
     "web_kind_rollup": _ORACLE_KIND_ROLLUP,
     "evt_sessionize": _ORACLE_SESSIONIZE,
     "evt_hourly_windows": _ORACLE_EVT_WINDOWS,

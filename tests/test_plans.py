@@ -131,3 +131,49 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_meta_b")
         spark.sql("DROP TABLE IF EXISTS t_langs_b")
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The AQE-native skew twin: under AQE_SKEW_CONFS the Zipf join's
+    final adaptive plan must carry the runtime skew split (the
+    SortMergeJoin is marked skew=true once AQE rewrites the hot
+    reducer partition into advisory-sized sub-reads), and the result
+    must equal the explicit-salt twin row-for-row."""
+    from extract_kit_spark.ops import webstats
+    from pyspark.sql import functions as F
+    ensure_pages()
+    pages = (spark.read.parquet(PAGES_PATH)
+             .select("url", F.length("html").cast("long")
+                     .alias("n_bytes")))
+    facts = pages.withColumn("domain",
+                             webstats.domain_of(F.col("url")))
+    # materialized dim: OptimizeSkewedJoin needs a clean
+    # Exchange→Sort under the join on BOTH sides; a lineage-linked
+    # distinct() on the join key interposes its final HashAggregate
+    # there and silently defeats the rule (webstats.aqe_skew_join)
+    dim = (facts.select("domain").distinct()
+           .withColumn("tier", (F.length("domain") % 3).cast("int"))
+           .localCheckpoint())
+    old = {k: spark.conf.get(k, None)
+           for k in webstats.AQE_SKEW_CONFS}
+    for k, v in webstats.AQE_SKEW_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        joined = webstats.aqe_skew_join(facts, dim, "domain")
+        # execute THIS frame's own QueryExecution (count() would build
+        # a new one and leave this plan isFinalPlan=false)
+        assert len(joined.collect()) > 0
+        final_plan = joined._jdf.queryExecution() \
+            .executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            (spark.conf.unset(k) if v is None
+             else spark.conf.set(k, v))
+    assert "isFinalPlan=true" in final_plan
+    assert "skew=true" in final_plan, final_plan[:2000]
+    # equivalence with the salted twin on the rollup
+    a = {tuple(r) for r in
+         QUERIES["web_domain_join_aqe"](spark, SF_DIR).collect()}
+    b = {tuple(r) for r in
+         QUERIES["web_domain_join_salted"](spark, SF_DIR).collect()}
+    assert a == b
