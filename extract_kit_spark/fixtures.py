@@ -375,9 +375,26 @@ ESCAPE_EDGE_TEXTS = (
 )
 
 
+# ToUnicode CMap for the composite-font (Type0 / Identity-H) variant:
+# glyph code = ord(char) + 0x100, mapped back by one bfrange covering
+# printable ASCII. The shift proves the kernel actually consults the
+# CMap — a latin-1 passthrough of the 2-byte codes would be garbage.
+_FIXTURE_CMAP = (b"/CIDInit /ProcSet findresource begin\n"
+                 b"begincmap\n"
+                 b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+                 b"1 beginbfrange\n<0120> <017E> <0020>\nendbfrange\n"
+                 b"endcmap\nend\n")
+
+
+def _cmap_tj(text: str) -> str:
+    """Show-text op as 2-byte glyph codes under _FIXTURE_CMAP."""
+    return "<" + "".join(f"{ord(c) + 0x100:04X}" for c in text) + "> Tj"
+
+
 def _pdf_doc(rng: random.Random, compress: bool = False,
              hex_strings: bool = False, scrambled: bool = False,
-             pdf15: bool = False) -> bytes:
+             pdf15: bool = False, cmap: bool = False,
+             rotated: bool = False) -> bytes:
     """Plain text PDF. Variants (each a pure flag — the rng draw
     sequence for page CONTENT is identical across variants, so a
     variant and its plain twin must extract to byte-identical text):
@@ -390,6 +407,13 @@ def _pdf_doc(rng: random.Random, compress: bool = False,
       order purely from geometry
     - ``pdf15``: PDF 1.5 layout — page dicts in an /ObjStm object
       stream, /XRef cross-reference stream, flate content
+    - ``cmap``: Type0 /Identity-H font with a /ToUnicode CMap — every
+      show op is 2-byte glyph codes (ord+0x100) that only decode to the
+      twin's text THROUGH the CMap's bfrange
+    - ``rotated``: the whole page body is drawn 90° CCW (Tm carries the
+      rotation; device coords are the rotated layout within the
+      MediaBox) — extraction must recover reading order in the text's
+      own upright frame
     """
     n_pages = rng.randint(1, 3)
     pages_runs: list[list[tuple[int, int, str]]] = []
@@ -418,8 +442,15 @@ def _pdf_doc(rng: random.Random, compress: bool = False,
     for p, runs in enumerate(pages_runs):
         ops = ["BT", "/F1 12 Tf"]
         for x0, y0, text in runs:
-            ops.append(f"1 0 0 1 {x0} {y0} Tm")
-            ops.append(_hex_tj(text) if hex_strings else f"({text}) Tj")
+            if rotated:
+                # 90° CCW: upright (x0, y0) lands at device
+                # (792 - y0, x0); reading order must invert this
+                ops.append(f"0 1 -1 0 {792 - y0} {x0} Tm")
+            else:
+                ops.append(f"1 0 0 1 {x0} {y0} Tm")
+            ops.append(_cmap_tj(text) if cmap
+                       else _hex_tj(text) if hex_strings
+                       else f"({text}) Tj")
         if hex_strings and p == 0:
             # fixed low-y block (body never descends past ~500)
             for k, raw_op in enumerate(_ESCAPE_EDGE_OPS):
@@ -429,7 +460,7 @@ def _pdf_doc(rng: random.Random, compress: bool = False,
         page_streams.append("\n".join(ops).encode("latin-1"))
     if pdf15:
         return _pdf_assemble_15(page_streams)
-    return _pdf_assemble(page_streams, compress)
+    return _pdf_assemble(page_streams, compress, cmap=cmap)
 
 
 def _pdf_from_lines(lines: list[str], compress: bool = False,
@@ -494,14 +525,21 @@ def _pdf_receipt(rng: random.Random) -> bytes:
     return _pdf_from_lines(lines)
 
 
-def _pdf_assemble(page_streams: list[bytes], compress: bool) -> bytes:
+def _pdf_assemble(page_streams: list[bytes], compress: bool,
+                  cmap: bool = False) -> bytes:
     objs: list[bytes] = []
 
     def add(body: bytes) -> int:
         objs.append(body)
         return len(objs)
 
-    font = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    if cmap:
+        cm = add(b"<< /Length %d >>\nstream\n%s\nendstream"
+                 % (len(_FIXTURE_CMAP), _FIXTURE_CMAP))
+        font = add(b"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture "
+                   b"/Encoding /Identity-H /ToUnicode %d 0 R >>" % cm)
+    else:
+        font = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     if compress:
         import zlib as _z
         page_streams = [_z.compress(s, 6) for s in page_streams]
@@ -718,10 +756,12 @@ def gen_page(i: int, seed: int = SEED, oversize_every: int = 0,
         # reference's extractInvoicePdf/extractReceiptPdf fixtures);
         # every other invoice uses HEX string literals. Plain pdfs
         # (i%4∈{0,2} ⇒ i%12∈{0,2,4,6,8,10}) cycle the writer variants:
-        # flate, scrambled-Tm, PDF-1.5 objstm/xref-stream, hex+escape
-        # edges, and two plain-uncompressed slots. Structured pdfs stay
-        # uncompressed so the DuckDB oracles can regex (or unhex) the
-        # raw content streams.
+        # flate, Type0+ToUnicode-CMap, scrambled-Tm, PDF-1.5
+        # objstm/xref-stream, 90°-rotated, hex+escape edges. Every
+        # variant extracts byte-identical to its plain twin (parity
+        # tests), so the committed goldens are layout-invariant.
+        # Structured pdfs stay uncompressed so the DuckDB oracles can
+        # regex (or unhex) the raw content streams.
         if i % 4 == 1:
             payload = _pdf_invoice(rng, hex_strings=(i % 8 == 5))
         elif i % 4 == 3:
@@ -732,6 +772,10 @@ def gen_page(i: int, seed: int = SEED, oversize_every: int = 0,
             payload = _pdf_doc(rng, scrambled=True)
         elif i % 12 == 10:
             payload = _pdf_doc(rng, hex_strings=True)
+        elif i % 12 == 2:
+            payload = _pdf_doc(rng, cmap=True)
+        elif i % 12 == 8:
+            payload = _pdf_doc(rng, rotated=True)
         else:
             payload = _pdf_doc(rng, compress=(i % 12 == 0))
     else:

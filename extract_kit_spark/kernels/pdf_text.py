@@ -22,15 +22,27 @@ and /XRef cross-reference streams / image XObjects are excluded from
 text interpretation. Validity gate parity: `file-processor.ts:46-49`
 (S5).
 
-Documented constraint (SURVEY.md §7.4): no ToUnicode CMap mapping
-(composite-font glyph-id strings decode as latin-1 bytes) and no
-rotation handling (Tm is read for translation only).
+Composite fonts: /ToUnicode CMaps (bfchar + bfrange, incl. the
+array-destination form and multi-code-unit ligature targets) are parsed
+and applied to show-strings of fonts that carry one — glyph-id codes
+(codespacerange-sized, typically 2-byte under /Identity-H) map to
+UTF-16BE text; codes absent from the CMap are dropped. Font→CMap
+resolution is document-global by resource name (`/F1` …), covering
+top-level objects and /ObjStm-packed font dictionaries.
+
+Rotation: Tm is honored as a full matrix — Td/TD/T* translate along the
+rotated line axes, and reading order is reconstructed in the UPRIGHT
+frame by rotating run coordinates back through the page's dominant
+quadrant (0/90/180/270°), so sidewise pages read in their own text
+orientation.
 """
 
 from __future__ import annotations
 
+import math
 import re
 import zlib
+from collections import Counter
 
 from .errors import ExtractError, INVALID_PDF
 
@@ -177,24 +189,206 @@ def _decode_hex(tok: str) -> str:
         return ""
 
 
-class _TextRun:
-    __slots__ = ("x", "y", "text")
+# ---------------------------------------------------------------------------
+# ToUnicode CMaps (composite / Type0 fonts)
+# ---------------------------------------------------------------------------
 
-    def __init__(self, x: float, y: float, text: str) -> None:
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_FONTRES_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
+_FONTREF_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_N_RE = re.compile(rb"/N\s+(\d+)")
+_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+_CODESPACE_RE = re.compile(
+    r"begincodespacerange\s*<([0-9A-Fa-f]+)>\s*<[0-9A-Fa-f]+>")
+_BFCHAR_RE = re.compile(r"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(r"beginbfrange(.*?)endbfrange", re.DOTALL)
+_BF_TOK_RE = re.compile(r"<([0-9A-Fa-f]+)>|(\[)|(\])")
+
+
+class _CMap:
+    __slots__ = ("nbytes", "map")
+
+    def __init__(self, nbytes: int, mapping: dict[int, str]) -> None:
+        self.nbytes = nbytes
+        self.map = mapping
+
+    def apply(self, s: str) -> str:
+        """Map a show-string (latin-1 byte-preserving) of glyph codes to
+        unicode. Codes missing from the CMap (and a trailing partial
+        code unit) are dropped — deterministic, never throws."""
+        bs = s.encode("latin-1", "replace")
+        n = self.nbytes
+        return "".join(self.map.get(int.from_bytes(bs[i:i + n], "big"), "")
+                       for i in range(0, len(bs) - n + 1, n))
+
+
+def _utf16_dst(hexstr: str) -> str:
+    """bfchar/bfrange destination hex → text (UTF-16BE; ligature targets
+    are multiple code units)."""
+    if len(hexstr) % 2:
+        hexstr += "0"
+    try:
+        return bytes.fromhex(hexstr).decode("utf-16-be", "ignore")
+    except ValueError:
+        return ""
+
+
+def _utf16_dst_inc(hexstr: str, k: int) -> str:
+    """bfrange incrementing destination: dst + k with the increment
+    applied to the LAST UTF-16 code unit (PDF 1.7 §9.10.3)."""
+    if len(hexstr) % 2:
+        hexstr += "0"
+    try:
+        b = bytearray(bytes.fromhex(hexstr))
+    except ValueError:
+        return ""
+    if len(b) >= 2:
+        u = (int.from_bytes(b[-2:], "big") + k) & 0xFFFF
+        b[-2:] = u.to_bytes(2, "big")
+    elif b:
+        b[-1] = (b[-1] + k) & 0xFF
+    return bytes(b).decode("utf-16-be", "ignore")
+
+
+def _parse_cmap(text: str) -> "_CMap | None":
+    m = _CODESPACE_RE.search(text)
+    nbytes = max(1, len(m.group(1)) // 2) if m else 2
+    mapping: dict[int, str] = {}
+    for sec in _BFCHAR_RE.findall(text):
+        toks = [t.group(1) for t in _BF_TOK_RE.finditer(sec) if t.group(1)]
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            mapping[int(src, 16)] = _utf16_dst(dst)
+    for sec in _BFRANGE_RE.findall(text):
+        toks = [(t.group(1) or t.group(2) or t.group(3))
+                for t in _BF_TOK_RE.finditer(sec)]
+        i = 0
+        while i + 1 < len(toks):
+            if toks[i] in "[]" or toks[i + 1] in "[]":
+                i += 1
+                continue
+            lo, hi = int(toks[i], 16), int(toks[i + 1], 16)
+            i += 2
+            if i >= len(toks):
+                break
+            if toks[i] == "[":  # array form: one dst per code
+                i += 1
+                k = 0
+                while i < len(toks) and toks[i] != "]":
+                    if lo + k <= hi:
+                        mapping[lo + k] = _utf16_dst(toks[i])
+                    k += 1
+                    i += 1
+                i += 1  # closing ]
+            else:
+                dst = toks[i]
+                i += 1
+                for k in range(min(hi - lo, 0xFFFF) + 1):
+                    mapping[lo + k] = _utf16_dst_inc(dst, k)
+    return _CMap(nbytes, mapping) if mapping else None
+
+
+def _parse_objects(payload: bytes) -> dict[int, bytes]:
+    """Best-effort top-level object map (num → body bytes). First
+    definition wins — duplicate numbers from accidental matches inside
+    binary stream data can't displace the real layout scanned earlier
+    in the file when the real object comes first; either way the result
+    is deterministic."""
+    objs: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(payload):
+        end = payload.find(b"endobj", m.end())
+        objs.setdefault(int(m.group(1)),
+                        payload[m.end():end if end != -1 else len(payload)])
+    return objs
+
+
+def _objstm_bodies(params: bytes, raw: bytes):
+    """Yield (num, body) for dictionary objects packed in a decompressed
+    /ObjStm: the stream opens with `num offset` integer pairs, then the
+    concatenated bodies start at /First."""
+    nm, fm = _N_RE.search(params), _FIRST_RE.search(params)
+    if not nm or not fm:
+        return
+    first = int(fm.group(1))
+    try:
+        header = raw[:first].split()
+        nums = [int(x) for x in header[0::2]][:int(nm.group(1))]
+        offs = [int(x) for x in header[1::2]][:int(nm.group(1))]
+    except ValueError:
+        return
+    for i, (num, off) in enumerate(zip(nums, offs)):
+        end = first + (offs[i + 1] if i + 1 < len(offs) else len(raw) - first)
+        yield num, raw[first + off:end]
+
+
+def _font_cmaps(payload: bytes) -> dict[str, _CMap]:
+    """Resolve /Font resource names to parsed ToUnicode CMaps,
+    document-global (last resource dict wins on a name collision —
+    simple PDFs reuse one font set across pages)."""
+    objs = _parse_objects(payload)
+    spaces = [payload]
+    for params, raw in _iter_streams(payload):
+        if _OBJSTM_RE.search(params):
+            for num, body in _objstm_bodies(params, raw):
+                objs.setdefault(num, body)
+            spaces.append(raw)
+    cmaps: dict[str, _CMap] = {}
+    for space in spaces:
+        for fm in _FONTRES_RE.finditer(space):
+            for name, num in _FONTREF_RE.findall(fm.group(1)):
+                body = objs.get(int(num))
+                if body is None:
+                    continue
+                tm = _TOUNICODE_RE.search(body)
+                if not tm:
+                    continue
+                cm_body = objs.get(int(tm.group(1)))
+                if cm_body is None:
+                    continue
+                data = next(_iter_streams(cm_body), None)
+                if data is None:
+                    continue
+                cm = _parse_cmap(data[1].decode("latin-1", "replace"))
+                if cm:
+                    cmaps["/" + name.decode("latin-1")] = cm
+    return cmaps
+
+
+class _TextRun:
+    __slots__ = ("x", "y", "text", "quad")
+
+    def __init__(self, x: float, y: float, text: str, quad: int = 0) -> None:
         self.x = x
         self.y = y
         self.text = text
+        self.quad = quad
 
 
-def _interpret_text_ops(content: str) -> list[_TextRun]:
+def _interpret_text_ops(content: str,
+                        cmaps: "dict[str, _CMap] | None" = None
+                        ) -> list[_TextRun]:
     runs: list[_TextRun] = []
     tokens = _tokenize(content)
     stack: list = []
     in_text = False
+    # full text LINE matrix [la lb lc ld lex ley]; (x, y) is the device
+    # position of the next show op. Unit (a=d=1, b=c=0) reproduces the
+    # translation-only behavior exactly.
+    la, lb, lc, ld = 1.0, 0.0, 0.0, 1.0
+    lex = ley = 0.0
     x = y = 0.0
-    line_x = line_y = 0.0
+    quad = 0
     leading = 12.0
+    cur_cmap: _CMap | None = None
     in_array: list | None = None
+
+    def show(text: str) -> str:
+        if cur_cmap is not None:
+            text = cur_cmap.apply(text)
+        if text:
+            runs.append(_TextRun(x, y, text, quad))
+        return text
+
     for tok in tokens:
         if tok == "[":
             in_array = []
@@ -228,64 +422,77 @@ def _interpret_text_ops(content: str) -> list[_TextRun]:
         op = tok
         if op == "BT":
             in_text = True
-            x = y = line_x = line_y = 0.0
+            la, lb, lc, ld = 1.0, 0.0, 0.0, 1.0
+            lex = ley = x = y = 0.0
+            quad = 0
             stack.clear()
         elif op == "ET":
             in_text = False
             stack.clear()
+        elif op == "Tf":
+            # font selection persists across BT/ET like real graphics
+            # state; only the CMap binding matters for extraction
+            if (len(stack) >= 2 and isinstance(stack[-2], str)
+                    and stack[-2].startswith("/")):
+                cur_cmap = cmaps.get(stack[-2]) if cmaps else None
+            stack.clear()
         elif not in_text:
             stack.clear()
         elif op in ("Td", "TD"):
-            if len(stack) >= 2:
+            if (len(stack) >= 2 and isinstance(stack[-1], float)
+                    and isinstance(stack[-2], float)):
                 ty = stack.pop()
                 tx = stack.pop()
                 if op == "TD":
                     leading = -ty if ty else leading
-                line_x += tx
-                line_y += ty
-                x, y = line_x, line_y
+                # translate the LINE matrix along its own axes
+                lex += tx * la + ty * lc
+                ley += tx * lb + ty * ld
+                x, y = lex, ley
             stack.clear()
         elif op == "Tm":
             if len(stack) >= 6:
-                f = stack.pop()
-                e = stack.pop()
+                vals = stack[-6:]
                 stack.clear()
-                line_x, line_y = e, f
-                x, y = e, f
+                if all(isinstance(v, float) for v in vals):
+                    la, lb, lc, ld, lex, ley = vals
+                    x, y = lex, ley
+                    quad = round(math.atan2(lb, la) / (math.pi / 2)) % 4
             else:
                 stack.clear()
         elif op == "TL":
-            if stack:
+            if stack and isinstance(stack[-1], float):
                 leading = stack.pop()
             stack.clear()
         elif op == "T*":
-            line_y -= leading
-            x, y = line_x, line_y
+            lex += -leading * lc
+            ley += -leading * ld
+            x, y = lex, ley
             stack.clear()
         elif op == "Tj":
             if stack and isinstance(stack[-1], str):
-                text = stack.pop()
-                if text:
-                    runs.append(_TextRun(x, y, text))
-                    x += 5.0 * len(text)  # rough advance
+                shown = show(stack.pop())
+                x += 5.0 * len(shown) * la  # rough advance, line axis
+                y += 5.0 * len(shown) * lb
             stack.clear()
         elif op in ("'", '"'):
             # ' = T* then show; " = set word/char spacing (two numbers
             # below the string on the stack — ignored) then T* + show
-            line_y -= leading
-            x, y = line_x, line_y
+            lex += -leading * lc
+            ley += -leading * ld
+            x, y = lex, ley
             if stack and isinstance(stack[-1], str):
-                text = stack.pop()
-                if text:
-                    runs.append(_TextRun(x, y, text))
+                show(stack.pop())
             stack.clear()
         elif op == "TJ":
             if stack and isinstance(stack[-1], list):
                 arr = stack.pop()
-                text = "".join(p for p in arr if isinstance(p, str))
+                text = "".join(cur_cmap.apply(p) if cur_cmap else p
+                               for p in arr if isinstance(p, str))
                 if text:
-                    runs.append(_TextRun(x, y, text))
-                    x += 5.0 * len(text)
+                    runs.append(_TextRun(x, y, text, quad))
+                    x += 5.0 * len(text) * la
+                    y += 5.0 * len(text) * lb
             stack.clear()
         else:
             stack.clear()
@@ -299,9 +506,21 @@ _LINE_TOL = 2.0
 def _reading_order(runs: list[_TextRun]) -> list[str]:
     """Column clustering: sort distinct x starts, split on gaps >
     _COLUMN_GAP, order columns left→right, within a column sort by
-    descending y (PDF origin bottom-left), then x; merge same-line runs."""
+    descending y (PDF origin bottom-left), then x; merge same-line runs.
+
+    Rotated pages: run coordinates are first rotated back through the
+    DOMINANT quadrant (majority vote over runs; ties break to the
+    first-seen quadrant, deterministic) into the upright frame, so a
+    90/180/270° page reads in its text's own orientation. Quadrant
+    multiples of 90° use exact ±1/0 trig — no float drift."""
     if not runs:
         return []
+    q = Counter(r.quad for r in runs).most_common(1)[0][0]
+    if q:
+        cos = (1.0, 0.0, -1.0, 0.0)[q]
+        sin = (0.0, 1.0, 0.0, -1.0)[q]
+        runs = [_TextRun(r.x * cos + r.y * sin, -r.x * sin + r.y * cos,
+                         r.text, 0) for r in runs]
     xs = sorted({r.x for r in runs})
     col_starts = [xs[0]]
     for a, b in zip(xs, xs[1:]):
@@ -383,6 +602,9 @@ def extract_pdf_pages(payload: bytes) -> list[list[str]]:
         raise ExtractError(INVALID_PDF, "bad header", phase="pdf-parse")
     pages: list[list[str]] = []
     page_dicts_seen = bool(_PAGE_COUNT_RE.search(payload))
+    # composite-font ToUnicode maps, resolved once per document (only
+    # pay the object scan when a /ToUnicode key exists at all)
+    cmaps = _font_cmaps(payload) if b"/ToUnicode" in payload else {}
     for params, raw in _iter_streams(payload):
         if _XREFSTM_RE.search(params) or _IMAGE_RE.search(params):
             continue
@@ -396,7 +618,7 @@ def extract_pdf_pages(payload: bytes) -> list[list[str]]:
             continue
         if "BT" not in content:
             continue
-        runs = _interpret_text_ops(content)
+        runs = _interpret_text_ops(content, cmaps)
         if runs:
             pages.append(_reading_order(runs))
     if not pages and not page_dicts_seen:

@@ -781,3 +781,64 @@ def test_pdf_hex_invoice_fields_match_literal_twin():
         assert a == b
         assert a["invoice_number"].startswith("INV-")
         assert a["total_amount"] > 0 and a["line_items"]
+
+
+def test_pdf_tounicode_cmap_composite_font():
+    """Type0 /Identity-H font with a /ToUnicode CMap: 2-byte glyph
+    codes (ord+0x100 in the fixture) decode to the plain twin's text
+    ONLY through the CMap's bfrange — a latin-1 passthrough would be
+    control-character soup, so byte-identical twin output proves the
+    mapping path."""
+    import random
+    from extract_kit_spark.fixtures import _pdf_doc
+    for s in ("cmap:1", "cmap:2", "cmap:3"):
+        a = _pdf_doc(random.Random(s), cmap=True)
+        b = _pdf_doc(random.Random(s))
+        assert b"/ToUnicode" in a and b"/Identity-H" in a
+        assert pdf_text.extract_pdf_pages(a) == \
+            pdf_text.extract_pdf_pages(b)
+
+
+def test_pdf_cmap_bfchar_array_bfrange_and_ligatures():
+    """CMap details beyond the fixture: bfchar entries, the ARRAY form
+    of bfrange, multi-code-unit (ligature) destinations, and unmapped
+    codes dropping silently."""
+    cm = pdf_text._parse_cmap(
+        "1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        "2 beginbfchar <0001> <00C9> <0002> <00660066006C> endbfchar\n"
+        "1 beginbfrange <0010> <0012> [<0041> <215B> <0043>] endbfrange\n"
+        "1 beginbfrange <0100> <0102> <0061> endbfrange\n")
+    assert cm.nbytes == 2
+    assert cm.apply("\x00\x01") == "É"          # bfchar
+    assert cm.apply("\x00\x02") == "ffl"             # ligature target
+    assert cm.apply("\x00\x10\x00\x11\x00\x12") == "A⅛C"  # array form
+    assert cm.apply("\x01\x00\x01\x01\x01\x02") == "abc"  # incrementing
+    assert cm.apply("\x7f\x7f") == ""                # unmapped dropped
+    assert cm.apply("\x01\x00\x41") == "a"           # trailing partial unit
+
+
+def test_pdf_rotated_page_reads_upright():
+    """90°-rotated body (rotation carried in Tm): reading order must be
+    reconstructed in the text's own upright frame — byte-identical to
+    the unrotated twin, including two-column pages."""
+    import random
+    from extract_kit_spark.fixtures import _pdf_doc
+    for s in ("rot:1", "rot:2", "rot:3", "rot:4"):
+        a = _pdf_doc(random.Random(s), rotated=True)
+        b = _pdf_doc(random.Random(s))
+        assert b"0 1 -1 0" in a
+        assert pdf_text.extract_pdf_pages(a) == \
+            pdf_text.extract_pdf_pages(b)
+
+
+def test_pdf_rotated_180_and_td_along_rotated_axes():
+    """180° rotation plus relative Td line advances: Td/T* must
+    translate along the ROTATED line axes for the layout to invert
+    cleanly back to upright."""
+    content = (b"BT /F1 12 Tf -1 0 0 -1 540 100 Tm (First line) Tj "
+               b"0 -16 Td (Second line) Tj ET")
+    stream = b"<< /Length %d >>\nstream\n%s\nendstream" % (
+        len(content), content)
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n"
+           b"2 0 obj\n" + stream + b"\nendobj\n%%EOF")
+    assert pdf_text.extract_pdf_pages(pdf) == [["First line", "Second line"]]
