@@ -74,6 +74,12 @@ def curate_near(df: DataFrame, min_quality: float = 0.5,
     w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
     deduped = (kept.withColumn("rn", F.row_number().over(w))
                .where(F.col("rn") == 1))
+    # the deduped survivors feed BOTH the pair-graph branch and the
+    # final anti-join; without this, each branch re-runs the full
+    # gate+window over the corpus (two storage scans at 100 TB).
+    # Deferred local checkpoint: materialized once at first use,
+    # executor-local memory-with-disk-spill blocks, lineage truncated.
+    deduped = deduped.localCheckpoint(eager=False)
     pairs = jaccard_pairs(deduped, threshold=jaccard_threshold,
                           n=shingle_n, id_col=id_col,
                           text_col=text_col, max_df=max_df)

@@ -472,7 +472,8 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.45,
 
 def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                        id_b: str = "id_b",
-                       max_iters: int = 20) -> DataFrame:
+                       max_iters: int = 20,
+                       small_graph_edges: int = 1_000_000) -> DataFrame:
     """Connected components over a near-duplicate pair graph →
     (doc_id, cluster_id = min doc id reachable). The missing last step
     of every dedup pipeline: pairs say "these two match"; clusters say
@@ -493,7 +494,20 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     equality-shaped with no row explosion; ``localCheckpoint``
     truncates the growing lineage so round N doesn't replan rounds
     1..N-1 (the classic iterative-algorithm trap); the driver stops at
-    the first round with zero label changes."""
+    the first round with zero label changes.
+
+    TWO-PHASE FINISH (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14 §local-completion): when the pair
+    graph has at most ``small_graph_edges`` edges — an explicit,
+    broadcast-join-style bound, NOT an unbounded collect — the driver
+    solves it directly with min-root union-find and ships the labels
+    back through Arrow. The pair graph is the near-dup CANDIDATE set,
+    typically orders of magnitude smaller than the corpus, so even at
+    100 TB most runs finish here; graphs above the bound take the
+    distributed loop. 1M edges ≈ 16 MB on the driver — the same class
+    of bound as spark.sql.autoBroadcastJoinThreshold. Both paths are
+    asserted equal in tests (and both are covered by the recursive-CTE
+    transitive-closure oracle)."""
     sym = pairs.select(F.col(id_a).cast("long").alias("src"),
                        F.col(id_b).cast("long").alias("dst"))
     edges0 = (sym.union(sym.select(F.col("dst").alias("src"),
@@ -506,6 +520,8 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     # partition; count() reads the just-materialized checkpoint, and
     # the repartition re-checkpoints so rounds reuse the small layout.
     n_edges = edges0.count()
+    if n_edges <= small_graph_edges:
+        return _local_components(pairs.sparkSession, edges0)
     sc = pairs.sparkSession.sparkContext
     parts = max(1, min(sc.defaultParallelism,
                        n_edges // 100_000 + 1))
@@ -556,3 +572,34 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
             f"max_iters or inspect the pair graph for pathology")
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
+
+
+def _local_components(spark, edges: DataFrame) -> DataFrame:
+    """Driver-side finish for a BOUNDED pair graph: min-root union-find
+    with path compression. Unioning always attaches the larger root
+    under the smaller, so every root is its component's minimum id —
+    exactly the distributed loop's fixpoint. Labels return via an
+    Arrow-backed createDataFrame (no per-row Python serialization)."""
+    import pandas as pd
+    pdf = edges.toPandas()
+    parent: dict[int, int] = {}
+
+    def find(v: int) -> int:
+        root = v
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[v] != root:  # path compression
+            parent[v], v = root, parent[v]
+        return root
+
+    for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+        rs, rd = find(int(s)), find(int(d))
+        if rs < rd:
+            parent[rd] = rs
+        elif rd < rs:
+            parent[rs] = rd
+    ids = sorted(parent)
+    out = pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                        "cluster_id": pd.Series((find(i) for i in ids),
+                                                dtype="int64")})
+    return spark.createDataFrame(out)

@@ -267,9 +267,28 @@ def test_duplicate_clusters_long_chain_converges(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], ["id_a", "id_b"])
     got = {r["doc_id"]: r["cluster_id"]
-           for r in dedup.duplicate_clusters(pairs).collect()}
+           for r in dedup.duplicate_clusters(
+               pairs, small_graph_edges=0).collect()}
     assert len(got) == n + 1
     assert set(got.values()) == {0}
+
+
+def test_duplicate_clusters_local_and_distributed_agree(spark):
+    """The bounded driver-side union-find finish and the distributed
+    pointer-jumping loop are the SAME function: a messy random graph
+    (chains, triangles, islands, duplicate + reversed edges) must get
+    identical labels from both paths."""
+    import random as _r
+    rng = _r.Random("cc:paths")
+    edges = [(rng.randrange(400), rng.randrange(400)) for _ in range(300)]
+    edges += [(b, a) for a, b in edges[:50]] + edges[:30]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    local = {(r["doc_id"], r["cluster_id"])
+             for r in dedup.duplicate_clusters(pairs).collect()}
+    dist = {(r["doc_id"], r["cluster_id"])
+            for r in dedup.duplicate_clusters(
+                pairs, small_graph_edges=0).collect()}
+    assert local == dist and local
 
 
 def test_approx_goldens_parallelism_independent(spark, docs, emb):
