@@ -391,10 +391,29 @@ def _cmap_tj(text: str) -> str:
     return "<" + "".join(f"{ord(c) + 0x100:04X}" for c in text) + "> Tj"
 
 
+def _tj_kerned(text: str) -> str:
+    """Show-text as a TJ array with NO space glyphs: words separated by
+    a -250 inter-word kern (the space stands or falls with the kernel's
+    kern-as-space rule) and the first word split by a small -20
+    intra-word kern that must NOT become a space."""
+    words = text.split(" ")
+    frags: list[str] = []
+    w0 = words[0]
+    if len(w0) > 2:
+        mid = len(w0) // 2
+        frags.append(f"({w0[:mid]}) -20 ({w0[mid:]})")
+    else:
+        frags.append(f"({w0})")
+    for w in words[1:]:
+        frags.append(f"-250 ({w})")
+    return "[" + " ".join(frags) + "] TJ"
+
+
 def _pdf_doc(rng: random.Random, compress: bool = False,
              hex_strings: bool = False, scrambled: bool = False,
              pdf15: bool = False, cmap: bool = False,
-             rotated: bool = False) -> bytes:
+             rotated: bool = False, split_streams: bool = False,
+             tj_kerned: bool = False) -> bytes:
     """Plain text PDF. Variants (each a pure flag — the rng draw
     sequence for page CONTENT is identical across variants, so a
     variant and its plain twin must extract to byte-identical text):
@@ -414,6 +433,13 @@ def _pdf_doc(rng: random.Random, compress: bool = False,
       rotation; device coords are the rotated layout within the
       MediaBox) — extraction must recover reading order in the text's
       own upright frame
+    - ``split_streams``: every page's content is SPLIT across two
+      stream objects referenced by a /Contents ARRAY, and the two
+      objects are stored in reversed file order — page attribution
+      must follow the document structure, not stream order
+    - ``tj_kerned``: show ops are TJ arrays with no space glyphs —
+      words separated by -250 kerns (must decode as spaces), first
+      word split by a -20 kern (must not)
     """
     n_pages = rng.randint(1, 3)
     pages_runs: list[list[tuple[int, int, str]]] = []
@@ -450,6 +476,7 @@ def _pdf_doc(rng: random.Random, compress: bool = False,
                 ops.append(f"1 0 0 1 {x0} {y0} Tm")
             ops.append(_cmap_tj(text) if cmap
                        else _hex_tj(text) if hex_strings
+                       else _tj_kerned(text) if tj_kerned
                        else f"({text}) Tj")
         if hex_strings and p == 0:
             # fixed low-y block (body never descends past ~500)
@@ -457,7 +484,15 @@ def _pdf_doc(rng: random.Random, compress: bool = False,
                 ops.append(f"1 0 0 1 72 {80 - 16 * k} Tm")
                 ops.append(raw_op)
         ops.append("ET")
-        page_streams.append("\n".join(ops).encode("latin-1"))
+        if split_streams:
+            # split mid-ops (graphics/text state spans the page's
+            # concatenated /Contents streams, per spec — even BT..ET
+            # may straddle the boundary)
+            k = max(2, len(ops) // 2)
+            page_streams.append(["\n".join(ops[:k]).encode("latin-1"),
+                                 "\n".join(ops[k:]).encode("latin-1")])
+        else:
+            page_streams.append("\n".join(ops).encode("latin-1"))
     if pdf15:
         return _pdf_assemble_15(page_streams)
     return _pdf_assemble(page_streams, compress, cmap=cmap)
@@ -540,27 +575,38 @@ def _pdf_assemble(page_streams: list[bytes], compress: bool,
                    b"/Encoding /Identity-H /ToUnicode %d 0 R >>" % cm)
     else:
         font = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
-    if compress:
-        import zlib as _z
-        page_streams = [_z.compress(s, 6) for s in page_streams]
-        content_ids = [
-            add(b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s"
-                b"\nendstream" % (len(s), s)) for s in page_streams]
-    else:
-        content_ids = [
-            add(b"<< /Length %d >>\nstream\n%s\nendstream"
-                % (len(s), s)) for s in page_streams]
+    import zlib as _z
+
+    def stream_obj(s: bytes) -> int:
+        if compress:
+            c = _z.compress(s, 6)
+            return add(b"<< /Length %d /Filter /FlateDecode >>\nstream\n"
+                       b"%s\nendstream" % (len(c), c))
+        return add(b"<< /Length %d >>\nstream\n%s\nendstream"
+                   % (len(s), s))
+
+    # a page entry is one stream OR a list of chunks; multi-chunk pages
+    # store their stream objects in REVERSED file order while the
+    # /Contents array keeps logical order (page attribution, not file
+    # position, must decide)
+    content_ids: list[list[int]] = []
+    for entry in page_streams:
+        chunks = entry if isinstance(entry, list) else [entry]
+        ids_file = [stream_obj(c) for c in reversed(chunks)]
+        content_ids.append(list(reversed(ids_file)))
     page_ids = []
-    pages_id = len(objs) + len(page_streams) + 1  # reserved after pages
-    # simpler: two-pass — compute ids first
-    # layout: 1..k objects already added; pages node next, then page objs
     pages_node_id = len(objs) + 1
     objs.append(b"")  # placeholder for pages node
-    for cid in content_ids:
+    for cids in content_ids:
+        if len(cids) == 1:
+            contents = b"/Contents %d 0 R" % cids[0]
+        else:
+            contents = (b"/Contents [" +
+                        b" ".join(b"%d 0 R" % c for c in cids) + b"]")
         pid = add(
             b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
-            b"/Contents %d 0 R /Resources << /Font << /F1 %d 0 R >> >> >>"
-            % (pages_node_id, cid, font))
+            b"%s /Resources << /Font << /F1 %d 0 R >> >> >>"
+            % (pages_node_id, contents, font))
         page_ids.append(pid)
     kids = b" ".join(b"%d 0 R" % p for p in page_ids)
     objs[pages_node_id - 1] = (
@@ -756,8 +802,10 @@ def gen_page(i: int, seed: int = SEED, oversize_every: int = 0,
         # reference's extractInvoicePdf/extractReceiptPdf fixtures);
         # every other invoice uses HEX string literals. Plain pdfs
         # (i%4∈{0,2} ⇒ i%12∈{0,2,4,6,8,10}) cycle the writer variants:
-        # flate, Type0+ToUnicode-CMap, scrambled-Tm, PDF-1.5
-        # objstm/xref-stream, 90°-rotated, hex+escape edges. Every
+        # flate, Type0+ToUnicode-CMap (half the slot: TJ-kerned
+        # spaceless arrays), scrambled-Tm, PDF-1.5 objstm/xref-stream,
+        # 90°-rotated (half the slot: /Contents-array pages split
+        # across out-of-file-order streams), hex+escape edges. Every
         # variant extracts byte-identical to its plain twin (parity
         # tests), so the committed goldens are layout-invariant.
         # Structured pdfs stay uncompressed so the DuckDB oracles can
@@ -772,8 +820,12 @@ def gen_page(i: int, seed: int = SEED, oversize_every: int = 0,
             payload = _pdf_doc(rng, scrambled=True)
         elif i % 12 == 10:
             payload = _pdf_doc(rng, hex_strings=True)
+        elif i % 24 == 14:
+            payload = _pdf_doc(rng, tj_kerned=True)
         elif i % 12 == 2:
             payload = _pdf_doc(rng, cmap=True)
+        elif i % 24 == 20:
+            payload = _pdf_doc(rng, split_streams=True)
         elif i % 12 == 8:
             payload = _pdf_doc(rng, rotated=True)
         else:

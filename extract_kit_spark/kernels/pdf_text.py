@@ -35,6 +35,22 @@ rotated line axes, and reading order is reconstructed in the UPRIGHT
 frame by rotating run coordinates back through the page's dominant
 quadrant (0/90/180/270°), so sidewise pages read in their own text
 orientation.
+
+Page attribution: pages are resolved through the real document
+structure — catalog → /Pages /Kids tree (nested trees supported) →
+page dicts' /Contents (single ref or array) — so a page split across
+several content streams is interpreted as ONE page (graphics state
+spans the concatenation, per spec), and streams stored out of file
+order land on the right page in the right order. Documents whose
+structure can't be resolved (no parseable page dicts with /Contents)
+fall back to the historical stream-per-page heuristic.
+
+Word spacing: TJ kerning offsets at or below ``_TJ_SPACE_KERN``
+(thousandths of text-space units) decode as a word space — the common
+writer idiom that positions words with kerns instead of space glyphs.
+
+Encrypted documents (/Encrypt in the trailer) fail the validity gate
+with an explicit message instead of emitting ciphertext garbage.
 """
 
 from __future__ import annotations
@@ -67,6 +83,14 @@ _WHITESPACE = " \t\r\n\x0c\x00"
 
 _ESCAPES = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
             "(": "(", ")": ")", "\\": "\\"}
+
+# TJ kern-as-space threshold, thousandths of a text-space unit: writers
+# that omit space glyphs typically kern between words by -200..-600;
+# intra-word kerning sits around 0..-100. pdftotext-family extractors
+# use the same order of magnitude.
+_TJ_SPACE_KERN = -180.0
+
+_ENCRYPT_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R")
 
 
 def is_valid_pdf(payload: bytes) -> bool:
@@ -487,8 +511,15 @@ def _interpret_text_ops(content: str,
         elif op == "TJ":
             if stack and isinstance(stack[-1], list):
                 arr = stack.pop()
-                text = "".join(cur_cmap.apply(p) if cur_cmap else p
-                               for p in arr if isinstance(p, str))
+                parts: list[str] = []
+                for p in arr:
+                    if isinstance(p, str):
+                        parts.append(cur_cmap.apply(p) if cur_cmap else p)
+                    elif (isinstance(p, float) and p <= _TJ_SPACE_KERN
+                          and parts and not parts[-1].endswith(" ")):
+                        # inter-word kern standing in for a space glyph
+                        parts.append(" ")
+                text = "".join(parts)
                 if text:
                     runs.append(_TextRun(x, y, text, quad))
                     x += 5.0 * len(text) * la
@@ -556,71 +587,183 @@ def _reading_order(runs: list[_TextRun]) -> list[str]:
 _OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm")
 _XREFSTM_RE = re.compile(rb"/Type\s*/XRef")
 _IMAGE_RE = re.compile(rb"/Subtype\s*/Image")
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
+_CONTENTS_ONE_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
+_ROOT_PAGES_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+
+
+def _stream_bytes(payload: bytes, params: bytes,
+                  start: int) -> "bytes | None":
+    """Decode one stream's data given its dict and data start offset.
+    The byte range is the /Length slice when present — binary
+    (compressed) stream data can itself contain b"endstream" or end in
+    b"\\r", which a delimiter scan mis-handles; the exact byte count
+    can't. Returns None on an undecodable stream."""
+    lm = _LENGTH_RE.search(params)
+    if lm:
+        raw = payload[start:start + int(lm.group(1))]
+    else:
+        end = payload.find(b"endstream", start)
+        if end == -1:
+            return None
+        raw = payload[start:end]
+        if raw.endswith(b"\r\n"):
+            raw = raw[:-2]
+        elif raw.endswith(b"\n"):
+            raw = raw[:-1]
+    if b"/FlateDecode" in params:
+        try:
+            raw = zlib.decompress(raw)
+        except zlib.error:
+            return None
+    return raw
 
 
 def _iter_streams(payload: bytes):
-    """Yield (params, decoded_raw) for every stream object. The byte
-    range is the /Length slice when present — binary (compressed)
-    stream data can itself contain b"endstream" or end in b"\\r",
-    which a delimiter scan mis-handles; the exact byte count can't."""
+    """Yield (params, decoded_raw) for every stream object."""
     for m in _STREAM_HDR_RE.finditer(payload):
-        params = m.group(1)
-        start = m.end()
-        lm = _LENGTH_RE.search(params)
-        if lm:
-            raw = payload[start:start + int(lm.group(1))]
+        raw = _stream_bytes(payload, m.group(1), m.end())
+        if raw is not None:
+            yield m.group(1), raw
+
+
+def _ordered_page_contents(objs: dict[int, bytes]) -> list[list[int]]:
+    """True page order → list of per-page /Contents object numbers.
+
+    Order comes from walking catalog → /Pages → /Kids recursively
+    (nested page trees supported, cycle/depth guarded); when no walkable
+    root exists, page dicts fall back to first-seen (file) order.
+    Returns [] when no page dict carries a resolvable /Contents — the
+    caller then uses the stream-per-page heuristic."""
+    page_objs = {num: body for num, body in objs.items()
+                 if _PAGE_COUNT_RE.search(body) and b"/Contents" in body}
+    if not page_objs:
+        return []
+    order: list[int] = []
+    root = None
+    for body in objs.values():
+        if b"/Catalog" in body:
+            m = _ROOT_PAGES_RE.search(body)
+            if m:
+                root = int(m.group(1))
+                break
+    seen: set[int] = set()
+
+    def walk(num: int, depth: int) -> None:
+        if depth > 64 or num in seen:
+            return
+        seen.add(num)
+        body = objs.get(num)
+        if body is None:
+            return
+        if num in page_objs:
+            order.append(num)
+            return
+        km = _KIDS_RE.search(body)
+        if km:
+            for r in _REF_RE.findall(km.group(1)):
+                walk(int(r), depth + 1)
+
+    if root is not None:
+        walk(root, 0)
+    if not order:
+        order = list(page_objs)  # first-seen file order
+    out: list[list[int]] = []
+    for pn in order:
+        body = page_objs[pn]
+        am = _CONTENTS_ARR_RE.search(body)
+        if am:
+            out.append([int(r) for r in _REF_RE.findall(am.group(1))])
         else:
-            end = payload.find(b"endstream", start)
-            if end == -1:
-                continue
-            raw = payload[start:end]
-            if raw.endswith(b"\r\n"):
-                raw = raw[:-2]
-            elif raw.endswith(b"\n"):
-                raw = raw[:-1]
-        if b"/FlateDecode" in params:
-            try:
-                raw = zlib.decompress(raw)
-            except zlib.error:
-                continue
-        yield params, raw
+            sm = _CONTENTS_ONE_RE.search(body)
+            out.append([int(sm.group(1))] if sm else [])
+    return out
 
 
 def extract_pdf_pages(payload: bytes) -> list[list[str]]:
     """PDF bytes → list of pages, each a list of reading-ordered text
-    lines. Raises ExtractError(INVALID_PDF) on a failed validity gate.
+    lines. Raises ExtractError(INVALID_PDF) on a failed validity gate
+    and on /Encrypt-protected documents (no decryption support —
+    explicit quarantine beats emitting ciphertext).
+
+    Pages are attributed through the document structure when it
+    resolves (see module docstring): each page's /Contents streams are
+    concatenated — whitespace-joined per spec — and interpreted as one
+    page, in /Kids order. Unresolvable structure falls back to
+    stream-per-page in file order.
 
     PDF 1.5+ layouts: content streams are always top-level stream
     objects (the spec forbids streams inside object streams), so text
     extraction is unaffected by a compressed cross-reference — but
-    page DICTIONARIES may live inside /ObjStm object streams, so the
-    page-presence gate also looks inside decompressed object streams.
-    /XRef cross-reference streams and image XObjects are binary and
-    never interpreted as text (their decompressed bytes could contain
-    accidental ``BT``)."""
+    page DICTIONARIES may live inside /ObjStm object streams, so both
+    the page-presence gate and the structure walk also look inside
+    decompressed object streams. /XRef cross-reference streams and
+    image XObjects are binary and never interpreted as text (their
+    decompressed bytes could contain accidental ``BT``)."""
     if not payload.startswith(b"%PDF-"):
         raise ExtractError(INVALID_PDF, "bad header", phase="pdf-parse")
-    pages: list[list[str]] = []
+    if _ENCRYPT_RE.search(payload):
+        raise ExtractError(INVALID_PDF, "encrypted pdf (no decryption)",
+                           phase="pdf-parse")
     page_dicts_seen = bool(_PAGE_COUNT_RE.search(payload))
     # composite-font ToUnicode maps, resolved once per document (only
     # pay the object scan when a /ToUnicode key exists at all)
     cmaps = _font_cmaps(payload) if b"/ToUnicode" in payload else {}
-    for params, raw in _iter_streams(payload):
+    # object starts, to attribute each stream to its owning object
+    obj_marks = [(m.start(), int(m.group(1)))
+                 for m in _OBJ_RE.finditer(payload)]
+    text_streams: list[tuple[int, str]] = []  # (objnum, content), file order
+    objstm_objs: dict[int, bytes] = {}
+    for m in _STREAM_HDR_RE.finditer(payload):
+        params = m.group(1)
         if _XREFSTM_RE.search(params) or _IMAGE_RE.search(params):
+            continue
+        raw = _stream_bytes(payload, params, m.end())
+        if raw is None:
             continue
         if _OBJSTM_RE.search(params):
             if _PAGE_COUNT_RE.search(raw):
                 page_dicts_seen = True
+            for num, body in _objstm_bodies(params, raw):
+                objstm_objs.setdefault(num, body)
             continue
         try:
             content = raw.decode("latin-1")
         except Exception:
             continue
-        if "BT" not in content:
+        objnum = 0
+        for start, num in obj_marks:
+            if start > m.start():
+                break
+            objnum = num
+        # no BT gate here: a /Contents-referenced stream is page
+        # content by definition — a page CONTINUATION chunk (split
+        # /Contents array) legitimately has no BT of its own. The
+        # fallback path applies the gate itself.
+        text_streams.append((objnum, content))
+    pages: list[list[str]] = []
+    objs = _parse_objects(payload)
+    for num, body in objstm_objs.items():
+        objs.setdefault(num, body)
+    by_num: dict[int, str] = {}
+    for num, content in text_streams:
+        by_num.setdefault(num, content)
+    for nums in _ordered_page_contents(objs):
+        parts = [by_num[n] for n in nums if n in by_num]
+        if not parts:
             continue
-        runs = _interpret_text_ops(content, cmaps)
+        runs = _interpret_text_ops("\n".join(parts), cmaps)
         if runs:
             pages.append(_reading_order(runs))
+    if not pages:  # structure unresolvable: stream-per-page heuristic
+        for _, content in text_streams:
+            if "BT" not in content:
+                continue
+            runs = _interpret_text_ops(content, cmaps)
+            if runs:
+                pages.append(_reading_order(runs))
     if not pages and not page_dicts_seen:
         raise ExtractError(INVALID_PDF, "no pages / no text streams",
                            phase="pdf-parse")

@@ -842,3 +842,50 @@ def test_pdf_rotated_180_and_td_along_rotated_axes():
     pdf = (b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n"
            b"2 0 obj\n" + stream + b"\nendobj\n%%EOF")
     assert pdf_text.extract_pdf_pages(pdf) == [["First line", "Second line"]]
+
+
+def test_pdf_split_stream_pages_follow_document_structure():
+    """A page whose content is SPLIT across two stream objects via a
+    /Contents array — stored in reversed file order — must come back as
+    ONE page with the plain twin's exact text: page attribution follows
+    catalog → /Kids → /Contents, not stream position, and graphics/text
+    state spans the chunk boundary."""
+    import random
+    from extract_kit_spark.fixtures import _pdf_doc
+    for s in ("split:1", "split:2", "split:3"):
+        a = _pdf_doc(random.Random(s), split_streams=True)
+        b = _pdf_doc(random.Random(s))
+        assert b"/Contents [" in a
+        assert pdf_text.extract_pdf_pages(a) == \
+            pdf_text.extract_pdf_pages(b)
+        assert pdf_text.page_count(a) == pdf_text.page_count(b)
+
+
+def test_pdf_tj_kern_word_spacing():
+    """TJ arrays with no space glyphs: inter-word kerns at/below the
+    threshold decode as single spaces, small intra-word kerns don't —
+    byte-identical to the plain twin that uses real spaces."""
+    import random
+    from extract_kit_spark.fixtures import _pdf_doc, _tj_kerned
+    assert _tj_kerned("hello brave world") == \
+        "[(he) -20 (llo) -250 (brave) -250 (world)] TJ"
+    for s in ("tj:1", "tj:2", "tj:3"):
+        a = _pdf_doc(random.Random(s), tj_kerned=True)
+        b = _pdf_doc(random.Random(s))
+        assert b"] TJ" in a and b"-250" in a
+        assert pdf_text.extract_pdf_pages(a) == \
+            pdf_text.extract_pdf_pages(b)
+
+
+def test_pdf_encrypted_quarantines():
+    """/Encrypt in the trailer → explicit INVALID_PDF (no decryption
+    support), never ciphertext garbage."""
+    import random
+    from extract_kit_spark.fixtures import _pdf_doc
+    pdf = _pdf_doc(random.Random("enc:1"))
+    enc = pdf.replace(b"trailer\n<<",
+                      b"trailer\n<< /Encrypt 99 0 R", 1)
+    with pytest.raises(errors.ExtractError) as ei:
+        pdf_text.extract_pdf_pages(enc)
+    assert ei.value.code == errors.INVALID_PDF
+    assert "encrypt" in str(ei.value).lower()
