@@ -26,8 +26,14 @@ from .kernels.extract import MAX_DOC_BYTES, PROFILES
 
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p = argparse.ArgumentParser(prog="extract_kit_spark")
-    p.add_argument("--input", required=True,
-                   help="pages table path (parquet dir/file)")
+    p.add_argument("--input", default=None,
+                   help="pages table path (parquet dir/file); required "
+                        "unless --compact")
+    p.add_argument("--compact", action="store_true",
+                   help="instead of extracting, compact fragmented "
+                        "partitions of an existing --output table to "
+                        "~--target-partition-bytes files "
+                        "(Iceberg rewriteDataFiles analogue)")
     p.add_argument("--output", required=True,
                    help="output table dir (data/ + lineage/ + manifest)")
     p.add_argument("--job-id", default=None,
@@ -57,6 +63,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         p.error("--max-doc-bytes must be > 0")
     if args.n_buckets is not None and args.n_buckets <= 0:
         p.error("--n-buckets must be > 0")
+    if not args.compact and args.input is None:
+        p.error("--input is required (unless --compact)")
     return args
 
 
@@ -64,6 +72,24 @@ def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
     import glob
     import os
+    if args.compact:
+        from .compact import compact_output
+        from .session import get_spark
+        if "://" not in args.output and not os.path.isdir(
+                os.path.join(args.output, "data")):
+            print(f"extract_kit_spark: error: --output has no data/ "
+                  f"dir to compact: {args.output}", file=sys.stderr)
+            return 2
+        spark = get_spark(master=args.master,
+                          app_name="extract-kit-compact")
+        try:
+            summary = compact_output(
+                spark, args.output,
+                target_bytes=args.target_partition_bytes)
+            print(json.dumps(summary), flush=True)
+            return 0
+        finally:
+            spark.stop()
     if "://" not in args.input:
         if not os.path.exists(args.input):
             print(f"extract_kit_spark: error: --input path does not "

@@ -237,3 +237,54 @@ def test_oversize_cap_quarantines_without_parse(spark, tmp_path_factory):
     too_large = df.where(F.col("status") == "FILE_TOO_LARGE")
     assert too_large.count() >= 1
     assert df.count() == 60
+
+
+def test_compact_output_merges_small_files_preserving_bytes(
+        spark, pages_path, tmp_path_factory):
+    """Compaction (Iceberg rewriteDataFiles analogue): artificially
+    fragment one partition of a finished extraction table, compact,
+    and require (a) file counts back at the per-partition target,
+    (b) the full table byte-identical on (url → text md5, status)
+    through an INDEPENDENT reader (DuckDB), (c) second pass a no-op."""
+    import glob
+    import shutil
+    import duckdb
+    from extract_kit_spark.compact import compact_output
+
+    out = str(tmp_path_factory.mktemp("compact") / "x")
+    run_extraction(spark, pages_path, out, job_id="cmp",
+                   n_buckets=4, commit_group_size=4)
+    data = os.path.join(out, "data")
+    con = duckdb.connect()
+    q = (f"select url, md5(coalesce(extracted_text,'')) h, status "
+         f"from read_parquet('{data}/*/*.parquet') order by url")
+    before = con.sql(q).fetchall()
+
+    # fragment every partition: rewrite each dir as 6 tiny files
+    pdirs = sorted(glob.glob(os.path.join(data, "*=*")))
+    assert len(pdirs) >= 2
+    for pdir in pdirs:
+        frag = spark.read.parquet(pdir).repartition(6)
+        tmp = pdir + ".tmp"
+        frag.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(pdir)
+        os.replace(tmp, pdir)
+    n_files_frag = len(glob.glob(os.path.join(data, "*=*", "*.parquet")))
+    assert n_files_frag >= 6 * len(pdirs)
+
+    summary = compact_output(spark, out, target_bytes=256 * 1024 * 1024)
+    assert summary["compacted_partitions"] == len(pdirs)
+    assert summary["files_after"] == len(pdirs)  # 1 file per partition
+    n_files_now = len(glob.glob(os.path.join(data, "*=*", "*.parquet")))
+    assert n_files_now == len(pdirs)
+
+    after = con.sql(q).fetchall()
+    assert after == before
+
+    # idempotent: nothing left to do
+    again = compact_output(spark, out, target_bytes=256 * 1024 * 1024)
+    assert again["compacted_partitions"] == 0
+    # pass recorded in the append-only log
+    with open(os.path.join(out, "_compactions.json")) as f:
+        log = json.load(f)
+    assert len(log) == 1 and log[0]["files_after"] == len(pdirs)
