@@ -889,3 +889,31 @@ def test_pdf_encrypted_quarantines():
         pdf_text.extract_pdf_pages(enc)
     assert ei.value.code == errors.INVALID_PDF
     assert "encrypt" in str(ei.value).lower()
+
+
+def test_pdf_structure_walk_survives_cycles_and_dangling_refs():
+    """Adversarial document structure: a /Kids cycle must not hang
+    (visited-set guard), and a /Contents pointing at a missing object
+    falls back to the stream-per-page heuristic instead of losing the
+    text."""
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (Survivor text) Tj ET"
+    stream = b"<< /Length %d >>\nstream\n%s\nendstream" % (
+        len(content), content)
+    # catalog -> pages 2, kids [2 3]: node 2 cycles back to itself
+    cyclic = (b"%PDF-1.4\n"
+              b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+              b"2 0 obj\n<< /Type /Pages /Kids [2 0 R 3 0 R] /Count 1 >>"
+              b"\nendobj\n"
+              b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+              b"\nendobj\n"
+              b"4 0 obj\n" + stream + b"\nendobj\n%%EOF")
+    assert pdf_text.extract_pdf_pages(cyclic) == [["Survivor text"]]
+    # /Contents -> object 99 which does not exist
+    dangling = (b"%PDF-1.4\n"
+                b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+                b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+                b"\nendobj\n"
+                b"3 0 obj\n<< /Type /Page /Parent 2 0 R "
+                b"/Contents 99 0 R >>\nendobj\n"
+                b"4 0 obj\n" + stream + b"\nendobj\n%%EOF")
+    assert pdf_text.extract_pdf_pages(dangling) == [["Survivor text"]]
