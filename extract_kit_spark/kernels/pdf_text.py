@@ -345,11 +345,13 @@ def _objstm_bodies(params: bytes, raw: bytes):
         yield num, raw[first + off:end]
 
 
-def _font_cmaps(payload: bytes) -> dict[str, _CMap]:
+def _font_cmaps(payload: bytes,
+                objs: "dict[int, bytes] | None" = None) -> dict[str, _CMap]:
     """Resolve /Font resource names to parsed ToUnicode CMaps,
     document-global (last resource dict wins on a name collision —
-    simple PDFs reuse one font set across pages)."""
-    objs = _parse_objects(payload)
+    simple PDFs reuse one font set across pages). ``objs`` lets the
+    caller share an already-built object map (one payload scan)."""
+    objs = dict(objs) if objs is not None else _parse_objects(payload)
     spaces = [payload]
     for params, raw in _iter_streams(payload):
         if _OBJSTM_RE.search(params):
@@ -708,12 +710,18 @@ def extract_pdf_pages(payload: bytes) -> list[list[str]]:
         raise ExtractError(INVALID_PDF, "encrypted pdf (no decryption)",
                            phase="pdf-parse")
     page_dicts_seen = bool(_PAGE_COUNT_RE.search(payload))
-    # composite-font ToUnicode maps, resolved once per document (only
-    # pay the object scan when a /ToUnicode key exists at all)
-    cmaps = _font_cmaps(payload) if b"/ToUnicode" in payload else {}
-    # object starts, to attribute each stream to its owning object
-    obj_marks = [(m.start(), int(m.group(1)))
-                 for m in _OBJ_RE.finditer(payload)]
+    # ONE object scan serves stream attribution, the structure walk,
+    # and (when present) ToUnicode font resolution
+    obj_marks: list[tuple[int, int]] = []
+    objs: dict[int, bytes] = {}
+    for om in _OBJ_RE.finditer(payload):
+        num = int(om.group(1))
+        obj_marks.append((om.start(), num))
+        end = payload.find(b"endobj", om.end())
+        objs.setdefault(num, payload[om.end():end if end != -1
+                                     else len(payload)])
+    cmaps = (_font_cmaps(payload, objs)
+             if b"/ToUnicode" in payload else {})
     text_streams: list[tuple[int, str]] = []  # (objnum, content), file order
     objstm_objs: dict[int, bytes] = {}
     for m in _STREAM_HDR_RE.finditer(payload):
@@ -744,7 +752,6 @@ def extract_pdf_pages(payload: bytes) -> list[list[str]]:
         # fallback path applies the gate itself.
         text_streams.append((objnum, content))
     pages: list[list[str]] = []
-    objs = _parse_objects(payload)
     for num, body in objstm_objs.items():
         objs.setdefault(num, body)
     by_num: dict[int, str] = {}
