@@ -108,3 +108,54 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             # share the normalization work
             .withColumn("fingerprint", F.md5(lnorm))
             .withColumn("lang_pred", lang_pred))
+
+
+def tfidf_top_terms(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 5,
+                    min_df: int = 2,
+                    max_df_ratio: float = 0.5,
+                    n_docs: int | None = None) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the keyword/topic signal a
+    curation pipeline attaches to every document.
+
+    Whitespace tokens (lowered), term frequency per doc, smoothed
+    ``idf = ln((N+1)/(df+1))``, score = tf·idf rounded to 6 dp, top-k
+    by (score desc, term asc) — a total order, so results are exact and
+    partition-independent. Terms below ``min_df`` (hapax noise) or in
+    more than ``max_df_ratio``·N documents (corpus-wide stopwords)
+    are dropped.
+
+    Scale shape: explode → two hash aggregations → broadcast-size df
+    join → per-doc window. The hot-term skew in the (doc, term) agg is
+    absorbed by map-side partial aggregation (term counts combine
+    before the shuffle); the df table after the max_df cut is
+    vocabulary-sized, orders of magnitude under the corpus. All
+    expressions are JVM built-ins — no Python in the plan.
+    ``n_docs`` lets the caller pass a known corpus size; otherwise one
+    column-pruned count() runs up front.
+    """
+    from pyspark.sql import Window
+    if n_docs is None:
+        n_docs = docs.count()
+    toks = (docs
+            .where(F.trim(F.col(text_col)) != "")
+            .select(F.col(id_col),
+                    F.explode(
+                        F.split(F.lower(F.trim(F.col(text_col))),
+                                r"\s+")).alias("term"))
+            .where(F.col("term") != ""))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (tf.join(dfreq, "term")
+              .where((F.col("df") >= min_df)
+                     & (F.col("df") <= max_df_ratio * n_docs))
+              .withColumn(
+                  "score",
+                  F.round(F.col("tf")
+                          * F.log((n_docs + 1.0)
+                                  / (F.col("df") + F.lit(1.0))), 6)))
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(),
+                                           F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(id_col, "term", "tf", "df", "score", "rank"))

@@ -665,6 +665,44 @@ FROM d
 """
 
 
+def q_ts_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms (ops/textstats.tfidf_top_terms):
+    explode → two partial-aggregated groupBys → df join → per-doc
+    window; exact and partition-independent (total order on
+    score desc, term asc)."""
+    docs = _read_parallel(spark, _t(sf_dir, "documents"))
+    # max_df 0.95: the synthetic corpus has a ~30-word closed
+    # vocabulary, so the production default (0.5) would cut nearly
+    # every term; 0.95 keeps the query's output corpus-sized while
+    # still exercising the stopword cut
+    return textstats.tfidf_top_terms(docs, k=5, min_df=2,
+                                     max_df_ratio=0.95)
+
+
+_ORACLE_TS_TFIDF = """
+WITH nd AS (SELECT count(*) AS n FROM documents),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+s AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         round(t.tf * ln((nd.n + 1.0) / (d.df + 1.0)), 6) AS score
+  FROM tf t JOIN df d USING (term), nd
+  WHERE d.df >= 2 AND d.df <= 0.95 * nd.n),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM s)
+SELECT doc_id, term, tf, df, score, rank::INTEGER AS rank
+FROM r WHERE rank <= 5
+"""
+
+
 # -- corpus curation ------------------------------------------------------------
 
 MIN_QUALITY = 0.5
@@ -1519,6 +1557,7 @@ QUERIES = {
     "ext_pdf_invoice_fields_hex": q_ext_pdf_invoice_fields_hex,
     "ext_pdf_receipt_fields": q_ext_pdf_receipt_fields,
     "ts_stats": q_ts_stats,
+    "ts_tfidf_topk": q_ts_tfidf,
     "corpus_split": q_corpus_split,
     "corpus_curate": q_corpus_curate,
     "corpus_curate_near": q_corpus_curate_near,
@@ -1612,6 +1651,7 @@ ORACLES = {
     "ext_pdf_invoice_fields_hex": _ORACLE_PDF_INVOICE_HEX,
     "ext_pdf_receipt_fields": _ORACLE_PDF_RECEIPT,
     "ts_stats": _ORACLE_TS_STATS,
+    "ts_tfidf_topk": _ORACLE_TS_TFIDF,
     "corpus_split": _ORACLE_SPLIT,
     "corpus_curate": _ORACLE_CURATE,
     "corpus_curate_near": _ORACLE_CURATE_NEAR,

@@ -177,3 +177,12 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     b = {tuple(r) for r in
          QUERIES["web_domain_join_salted"](spark, SF_DIR).collect()}
     assert a == b
+
+
+def test_ts_tfidf_is_jvm_only_with_partial_aggs(spark):
+    """TF-IDF: no Python node anywhere, and the (doc, term) count
+    runs as partial+final HashAggregate pairs (map-side combine is
+    what absorbs hot-term skew at scale)."""
+    plan = _plan(QUERIES["ts_tfidf_topk"](spark, SF_DIR))
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    assert plan.count("HashAggregate") >= 4  # two aggs, each 2-phase
