@@ -219,6 +219,8 @@ def _decode_hex(tok: str) -> str:
 
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
 _FONTRES_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
+_XOBJRES_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.DOTALL)
+_FORM_RE = re.compile(rb"/Subtype\s*/Form")
 _FONTREF_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
 _TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
 _N_RE = re.compile(rb"/N\s+(\d+)")
@@ -391,8 +393,9 @@ class _TextRun:
 
 
 def _interpret_text_ops(content: str,
-                        cmaps: "dict[str, _CMap] | None" = None
-                        ) -> list[_TextRun]:
+                        cmaps: "dict[str, _CMap] | None" = None,
+                        forms: "dict[str, str] | None" = None,
+                        _depth: int = 0) -> list[_TextRun]:
     runs: list[_TextRun] = []
     tokens = _tokenize(content)
     stack: list = []
@@ -461,6 +464,19 @@ def _interpret_text_ops(content: str,
             if (len(stack) >= 2 and isinstance(stack[-2], str)
                     and stack[-2].startswith("/")):
                 cur_cmap = cmaps.get(stack[-2]) if cmaps else None
+            stack.clear()
+        elif op == "Do":
+            # paint a Form XObject (headers/footers/letterheads live
+            # here): splice its interpreted runs in place. Forms carry
+            # their own BT/ET and absolute Tm coords in the common
+            # writer pattern; depth-guarded against self-reference.
+            if (forms and _depth < 8 and stack
+                    and isinstance(stack[-1], str)
+                    and stack[-1].startswith("/")):
+                body = forms.get(stack[-1])
+                if body is not None:
+                    runs.extend(_interpret_text_ops(
+                        body, cmaps, forms, _depth + 1))
             stack.clear()
         elif not in_text:
             stack.clear()
@@ -724,6 +740,7 @@ def extract_pdf_pages(payload: bytes) -> list[list[str]]:
              if b"/ToUnicode" in payload else {})
     text_streams: list[tuple[int, str]] = []  # (objnum, content), file order
     objstm_objs: dict[int, bytes] = {}
+    form_objs: set[int] = set()
     for m in _STREAM_HDR_RE.finditer(payload):
         params = m.group(1)
         if _XREFSTM_RE.search(params) or _IMAGE_RE.search(params):
@@ -746,6 +763,8 @@ def extract_pdf_pages(payload: bytes) -> list[list[str]]:
             if start > m.start():
                 break
             objnum = num
+        if _FORM_RE.search(params):
+            form_objs.add(objnum)
         # no BT gate here: a /Contents-referenced stream is page
         # content by definition — a page CONTINUATION chunk (split
         # /Contents array) legitimately has no BT of its own. The
@@ -757,18 +776,28 @@ def extract_pdf_pages(payload: bytes) -> list[list[str]]:
     by_num: dict[int, str] = {}
     for num, content in text_streams:
         by_num.setdefault(num, content)
+    # Form XObjects (headers/footers): resource-name → content, spliced
+    # at their Do call sites; document-global name resolution like fonts
+    forms: dict[str, str] = {}
+    if form_objs:
+        for space in [payload] + [b for _, b in objstm_objs.items()]:
+            for xm in _XOBJRES_RE.finditer(space):
+                for name, num in _FONTREF_RE.findall(xm.group(1)):
+                    n = int(num)
+                    if n in form_objs and n in by_num:
+                        forms["/" + name.decode("latin-1")] = by_num[n]
     for nums in _ordered_page_contents(objs):
         parts = [by_num[n] for n in nums if n in by_num]
         if not parts:
             continue
-        runs = _interpret_text_ops("\n".join(parts), cmaps)
+        runs = _interpret_text_ops("\n".join(parts), cmaps, forms)
         if runs:
             pages.append(_reading_order(runs))
     if not pages:  # structure unresolvable: stream-per-page heuristic
-        for _, content in text_streams:
-            if "BT" not in content:
+        for num, content in text_streams:
+            if "BT" not in content or num in form_objs:
                 continue
-            runs = _interpret_text_ops(content, cmaps)
+            runs = _interpret_text_ops(content, cmaps, forms)
             if runs:
                 pages.append(_reading_order(runs))
     if not pages and not page_dicts_seen:

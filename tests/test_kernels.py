@@ -917,3 +917,33 @@ def test_pdf_structure_walk_survives_cycles_and_dangling_refs():
                 b"/Contents 99 0 R >>\nendobj\n"
                 b"4 0 obj\n" + stream + b"\nendobj\n%%EOF")
     assert pdf_text.extract_pdf_pages(dangling) == [["Survivor text"]]
+
+
+def test_pdf_form_xobject_text_spliced_at_do():
+    """Text painted through a Form XObject (the header/letterhead
+    pattern) is spliced into its page at the Do call site — and a form
+    that references itself terminates via the depth guard."""
+    form = (b"<< /Subtype /Form /Length 58 >>\nstream\n"
+            b"BT /F1 9 Tf 1 0 0 1 72 780 Tm (Corp Letterhead) Tj ET"
+            b"\nendstream")
+    body = (b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (Body text) Tj ET\n"
+            b"/Fm1 Do")
+    stream = b"<< /Length %d >>\nstream\n%s\nendstream" % (
+        len(body), body)
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+           b"/Resources << /XObject << /Fm1 5 0 R >> >> >>\nendobj\n"
+           b"4 0 obj\n" + stream + b"\nendobj\n"
+           b"5 0 obj\n" + form + b"\nendobj\n%%EOF")
+    assert pdf_text.extract_pdf_pages(pdf) == \
+        [["Corp Letterhead", "Body text"]]
+    # self-referencing form: must terminate, body text intact
+    evil_form = (b"<< /Subtype /Form /Length 69 >>\nstream\n"
+                 b"BT /F1 9 Tf 1 0 0 1 72 780 Tm (Loop) Tj ET\n"
+                 b"/Fm1 Do"
+                 b"\nendstream")
+    evil = pdf.replace(form, evil_form)
+    out = pdf_text.extract_pdf_pages(evil)
+    assert out and "Body text" in out[0][-1]
