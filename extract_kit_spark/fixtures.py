@@ -333,16 +333,26 @@ def _docx_doc(rng: random.Random) -> bytes:
         "</m:sup></m:sSup></m:oMath></m:oMathPara>")
     xml = _DOCX_XML_TMPL.format(body="".join(body))
     buf = io.BytesIO()
+
+    # zipfile.writestr(str_name, ...) stamps CURRENT wall-clock time
+    # into each member header, silently breaking gen_page's
+    # pure-function-of-(i, seed) contract at the byte level; pin the
+    # DOS epoch instead
+    def zstr(z: zipfile.ZipFile, name: str, data) -> None:
+        zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+        zi.compress_type = zipfile.ZIP_DEFLATED
+        z.writestr(zi, data)
+
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
-        z.writestr("[Content_Types].xml",
-                   '<?xml version="1.0"?><Types/>')
-        z.writestr("word/document.xml", xml)
-        z.writestr("word/_rels/document.xml.rels",
-                   _DOCX_RELS.format(href=href))
-        z.writestr("word/numbering.xml", _DOCX_NUMBERING)
-        z.writestr("word/footnotes.xml",
-                   _DOCX_FOOTNOTES.format(note=_words(rng, 6)))
-        z.writestr("word/media/image1.png", b"\x89PNG\r\n\x1a\nstub")
+        zstr(z, "[Content_Types].xml",
+             '<?xml version="1.0"?><Types/>')
+        zstr(z, "word/document.xml", xml)
+        zstr(z, "word/_rels/document.xml.rels",
+             _DOCX_RELS.format(href=href))
+        zstr(z, "word/numbering.xml", _DOCX_NUMBERING)
+        zstr(z, "word/footnotes.xml",
+             _DOCX_FOOTNOTES.format(note=_words(rng, 6)))
+        zstr(z, "word/media/image1.png", b"\x89PNG\r\n\x1a\nstub")
     return buf.getvalue()
 
 

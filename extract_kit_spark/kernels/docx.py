@@ -98,7 +98,13 @@ def preprocess_docx(payload: bytes) -> bytes:
                             data.decode("utf-8")).encode("utf-8")
                     except Exception:
                         pass  # keep original member (reference fallback)
-                zout.writestr(name, data)
+                # pinned timestamp: writestr(str, ...) would stamp
+                # wall-clock time, making the rewritten bytes
+                # nondeterministic across runs
+                zi = zipfile.ZipInfo(name,
+                                     date_time=(1980, 1, 1, 0, 0, 0))
+                zi.compress_type = zipfile.ZIP_DEFLATED
+                zout.writestr(zi, data)
         return out.getvalue()
     except ExtractError:
         raise

@@ -442,10 +442,16 @@ def test_extraction_deterministic_and_order_independent():
 
 
 def test_fixture_generation_deterministic():
+    """gen_page is a pure function of (i, seed) down to the BYTES —
+    the sleep forces a wall-clock second boundary between the two
+    passes, pinning the zipfile-timestamp regression (writestr with a
+    bare name stamps current time into DOCX member headers)."""
+    import time as _time
     h1 = hashlib.sha256()
     h2 = hashlib.sha256()
     for i in range(100):
         h1.update(gen_page(i)["html"])
+    _time.sleep(1.05)
     for i in range(100):
         h2.update(gen_page(i)["html"])
     assert h1.hexdigest() == h2.hexdigest()
