@@ -91,6 +91,8 @@ _ESCAPES = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
 _TJ_SPACE_KERN = -180.0
 
 _ENCRYPT_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R")
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+_INLINE_EI_RE = re.compile(r"\sEI(?=\s|$)")
 
 
 def is_valid_pdf(payload: bytes) -> bool:
@@ -153,7 +155,17 @@ def _tokenize(content: str) -> list[str]:
             continue
         m = _OTHER_TOKEN_RE.match(content, i)
         if m and m.end() > i:
-            toks.append(m.group())
+            tok = m.group()
+            if tok == "BI":
+                # inline image: BI <dict> ID <raw binary> EI — the
+                # binary can contain any delimiter byte, so skip to
+                # the whitespace-delimited EI instead of tokenizing
+                id_pos = content.find("ID", m.end())
+                ei = _INLINE_EI_RE.search(
+                    content, id_pos + 2 if id_pos != -1 else m.end())
+                i = ei.end() if ei else n
+                continue
+            toks.append(tok)
             i = m.end()
             continue
         i += 1  # stray delimiter ({, }, lone >) — skip
@@ -631,10 +643,26 @@ def _stream_bytes(payload: bytes, params: bytes,
             raw = raw[:-2]
         elif raw.endswith(b"\n"):
             raw = raw[:-1]
-    if b"/FlateDecode" in params:
+    # filters apply in declaration order; chains like
+    # [/ASCII85Decode /FlateDecode] are the wire-safe transport form
+    fm = _FILTER_RE.search(params)
+    names = re.findall(rb"/([A-Za-z0-9]+)", fm.group(1)) if fm else []
+    for name in names:
         try:
-            raw = zlib.decompress(raw)
-        except zlib.error:
+            if name == b"FlateDecode":
+                raw = zlib.decompress(raw)
+            elif name == b"ASCIIHexDecode":
+                hx = re.sub(rb"[\s>]", b"", raw.split(b">", 1)[0])
+                if len(hx) % 2:
+                    hx += b"0"
+                raw = bytes.fromhex(hx.decode("ascii"))
+            elif name == b"ASCII85Decode":
+                import base64
+                data = raw.split(b"~>", 1)[0]
+                raw = base64.a85decode(re.sub(rb"\s", b"", data))
+            else:
+                return None  # LZW/DCT/CCITT etc.: not text transports
+        except Exception:
             return None
     return raw
 

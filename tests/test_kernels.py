@@ -953,3 +953,48 @@ def test_pdf_form_xobject_text_spliced_at_do():
     evil = pdf.replace(form, evil_form)
     out = pdf_text.extract_pdf_pages(evil)
     assert out and "Body text" in out[0][-1]
+
+
+def test_pdf_ascii_filters_and_chains():
+    """ASCIIHexDecode, ASCII85Decode, and the wire-safe chain
+    [/ASCII85Decode /FlateDecode] all decode to the same text as the
+    plain stream; unknown filters (LZW/DCT) are skipped, not garbled."""
+    import base64
+    import zlib as _z
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (Filtered text) Tj ET"
+
+    def onedoc(raw: bytes, filt: bytes) -> bytes:
+        stream = (b"<< /Length %d %s >>\nstream\n" % (len(raw), filt)
+                  + raw + b"\nendstream")
+        return (b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n"
+                b"2 0 obj\n" + stream + b"\nendobj\n%%EOF")
+
+    hexed = content.hex().encode() + b">"
+    a85 = base64.a85encode(content) + b"~>"
+    chain = base64.a85encode(_z.compress(content)) + b"~>"
+    assert pdf_text.extract_pdf_pages(
+        onedoc(hexed, b"/Filter /ASCIIHexDecode")) == [["Filtered text"]]
+    assert pdf_text.extract_pdf_pages(
+        onedoc(a85, b"/Filter /ASCII85Decode")) == [["Filtered text"]]
+    assert pdf_text.extract_pdf_pages(
+        onedoc(chain, b"/Filter [/ASCII85Decode /FlateDecode]")) == \
+        [["Filtered text"]]
+    # unknown filter: stream skipped, page gate still sees the page dict
+    out = pdf_text.extract_pdf_pages(
+        onedoc(b"\x01\x02junk", b"/Filter /LZWDecode"))
+    assert out == []
+
+
+def test_pdf_inline_image_binary_skipped():
+    """BI..ID <binary> EI inside a content stream: the raw bytes (which
+    contain '(' and 'BT'-like sequences) must not derail tokenization
+    of the surrounding text."""
+    content = (b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (Before image) Tj ET\n"
+               b"BI /W 2 /H 2 /BPC 8 /CS /G ID \x28\x42\x54\x00 EI\n"
+               b"BT 1 0 0 1 72 680 Tm (After image) Tj ET")
+    stream = b"<< /Length %d >>\nstream\n%s\nendstream" % (
+        len(content), content)
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n"
+           b"2 0 obj\n" + stream + b"\nendobj\n%%EOF")
+    assert pdf_text.extract_pdf_pages(pdf) == \
+        [["Before image", "After image"]]
