@@ -380,7 +380,27 @@ def docx_xml_to_html(document_xml: str,
                     cell_html = "".join(
                         _para_inner_html(p, rels, footmarks)
                         for p in tc.findall(f"{_W}p"))
+                    # merged cells: markdown tables need a RECTANGULAR
+                    # grid, so a gridSpan-N cell is padded with N-1
+                    # empty cells and a vMerge continuation (no
+                    # val="restart") renders as one empty cell —
+                    # content stays in its true column
+                    tcpr = tc.find(f"{_W}tcPr")
+                    span = 1
+                    if tcpr is not None:
+                        gs = tcpr.find(f"{_W}gridSpan")
+                        if gs is not None:
+                            try:
+                                span = max(1, int(
+                                    gs.get(f"{_W}val", "1")))
+                            except ValueError:
+                                span = 1
+                        vm = tcpr.find(f"{_W}vMerge")
+                        if vm is not None and \
+                                vm.get(f"{_W}val") != "restart":
+                            cell_html = ""
                     cells.append(f"<td>{cell_html}</td>")
+                    cells.extend("<td></td>" for _ in range(span - 1))
                 rows.append("<tr>" + "".join(cells) + "</tr>")
             out.append("<table>" + "".join(rows) + "</table>")
     close_list()

@@ -998,3 +998,32 @@ def test_pdf_inline_image_binary_skipped():
            b"2 0 obj\n" + stream + b"\nendobj\n%%EOF")
     assert pdf_text.extract_pdf_pages(pdf) == \
         [["Before image", "After image"]]
+
+
+def test_docx_merged_cells_keep_rectangular_grid():
+    """gridSpan (colspan) pads the row with empty cells and a vMerge
+    continuation renders empty — the markdown table grid stays
+    rectangular with content in its true column."""
+    import io
+    import zipfile
+    from extract_kit_spark.kernels.docx import docx_xml_to_html
+    W = ("xmlns:w=\"http://schemas.openxmlformats.org/wordprocessingml"
+         "/2006/main\"")
+    xml = f"""<w:document {W}><w:body>
+<w:tbl>
+ <w:tr>
+  <w:tc><w:tcPr><w:gridSpan w:val="2"/></w:tcPr>
+    <w:p><w:r><w:t>wide</w:t></w:r></w:p></w:tc>
+  <w:tc><w:tcPr><w:vMerge w:val="restart"/></w:tcPr>
+    <w:p><w:r><w:t>tall</w:t></w:r></w:p></w:tc>
+ </w:tr>
+ <w:tr>
+  <w:tc><w:p><w:r><w:t>a</w:t></w:r></w:p></w:tc>
+  <w:tc><w:p><w:r><w:t>b</w:t></w:r></w:p></w:tc>
+  <w:tc><w:tcPr><w:vMerge/></w:tcPr><w:p/></w:tc>
+ </w:tr>
+</w:tbl>
+</w:body></w:document>"""
+    html = docx_xml_to_html(xml)
+    assert ("<tr><td>wide</td><td></td><td>tall</td></tr>"
+            "<tr><td>a</td><td>b</td><td></td></tr>") in html
