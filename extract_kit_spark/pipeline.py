@@ -372,6 +372,55 @@ def read_extractions(spark: SparkSession, output_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(output_dir, "data"))
 
 
+def reprocess_quarantined(spark: SparkSession, input_path: str,
+                          output_dir: str, profile: str = "auto",
+                          max_doc_bytes: int = MAX_DOC_BYTES) -> dict:
+    """Quarantine replay: after a kernel upgrade or config fix (larger
+    byte cap, new format support), re-extract ONLY the quarantined rows
+    and merge the results back into the output table in place.
+
+    At 10^12 documents a 1-2% quarantine rate is tens of billions of
+    rows — re-running the whole job to pick them up is the wrong shape.
+    This reads the output's failed rows (status != 'ok'), joins their
+    urls back to the pages table, re-runs the extraction stage on just
+    that slice, and rewrites ONLY the affected partitions with dynamic
+    partition overwrite (surviving ok rows + replacement rows, same
+    either-old-or-new crash semantics as the original write). Works on
+    both layouts — rows keep their original partition (group /
+    p_bucket) so lineage dirs and resume state stay meaningful.
+    Returns {reprocessed, partitions, now_ok}."""
+    out = read_extractions(spark, output_dir)
+    scan = "src_file" in out.columns
+    pcol = "group" if scan else "p_bucket"
+    sel = ["url", pcol] + (["src_file"] if scan else [])
+    bad_keys = out.where(F.col("status") != "ok").select(*sel)
+    n_bad = bad_keys.count()
+    if n_bad == 0:
+        return {"reprocessed": 0, "partitions": 0, "now_ok": 0}
+    parts = [r[0] for r in bad_keys.select(pcol).distinct().collect()]
+    pages = (spark.read.parquet(input_path)
+             .select("url", "warc_ts", "html")
+             .join(bad_keys, "url"))
+    batch = _make_extract_batch(profile, max_doc_bytes,
+                                "src_file" if scan else "p_bucket")
+    fixed = pages.mapInPandas(
+        batch, schema=STAGE_SCHEMA_SCAN if scan else STAGE_SCHEMA)
+    if scan:  # reattach the partition value from the old row
+        fixed = fixed.join(bad_keys.select("url", pcol), "url")
+    fixed = fixed.localCheckpoint(eager=False)  # used by write + count
+    keep = out.where(F.col(pcol).isin(parts)
+                     & (F.col("status") == "ok"))
+    merged = keep.unionByName(fixed.select(*out.columns))
+    (merged.sortWithinPartitions("url")
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(pcol)
+     .parquet(os.path.join(output_dir, "data")))
+    now_ok = fixed.where(F.col("status") == "ok").count()
+    return {"reprocessed": int(n_bad), "partitions": len(parts),
+            "now_ok": int(now_ok)}
+
+
 def write_bucketed_table(df: DataFrame, table_name: str, path: str,
                          n_buckets: int = 16, key: str = "url") -> None:
     """Persist a DataFrame as a Spark BUCKETED+SORTED table: rows are

@@ -288,3 +288,40 @@ def test_compact_output_merges_small_files_preserving_bytes(
     with open(os.path.join(out, "_compactions.json")) as f:
         log = json.load(f)
     assert len(log) == 1 and log[0]["files_after"] == len(pdirs)
+
+
+def test_reprocess_quarantined_replays_only_failures(
+        spark, pages_path, tmp_path_factory):
+    """Quarantine replay: run with a tiny byte cap (most docs
+    quarantined FILE_TOO_LARGE), then reprocess with the default cap —
+    only the failed slice is re-extracted, merged in place, and the
+    final table is byte-identical (url → md5(text), status) to a fresh
+    full run at the default cap."""
+    import duckdb
+    from extract_kit_spark.pipeline import (reprocess_quarantined,
+                                            run_extraction_scan)
+
+    out = str(tmp_path_factory.mktemp("replay") / "x")
+    ref = str(tmp_path_factory.mktemp("replayref") / "x")
+    run_extraction_scan(spark, pages_path, out, job_id="rp",
+                        n_groups=4, max_doc_bytes=2000)
+    crippled = read_extractions(spark, out)
+    n_bad = crippled.where(F.col("status") != "ok").count()
+    assert n_bad > N_ROWS * 0.3  # the tiny cap quarantined plenty
+
+    summary = reprocess_quarantined(spark, pages_path, out)
+    assert summary["reprocessed"] == n_bad
+    assert summary["now_ok"] > 0
+
+    # ground truth: a fresh full run at the default cap
+    run_extraction_scan(spark, pages_path, ref, job_id="rpref",
+                        n_groups=4)
+    con = duckdb.connect()
+    q = ("select url, md5(coalesce(extracted_text,'')) h, status "
+         "from read_parquet('%s/data/*/*.parquet') order by url")
+    assert con.sql(q % out).fetchall() == con.sql(q % ref).fetchall()
+
+    # idempotent second replay: same genuinely-broken rows, no churn
+    again = reprocess_quarantined(spark, pages_path, out)
+    assert again["now_ok"] == 0
+    assert con.sql(q % out).fetchall() == con.sql(q % ref).fetchall()
