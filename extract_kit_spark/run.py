@@ -34,6 +34,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "partitions of an existing --output table to "
                         "~--target-partition-bytes files "
                         "(Iceberg rewriteDataFiles analogue)")
+    p.add_argument("--reprocess-quarantined", action="store_true",
+                   help="instead of a full run, re-extract ONLY the "
+                        "quarantined rows of an existing --output "
+                        "table (after a kernel/config fix) and merge "
+                        "them back in place")
     p.add_argument("--output", required=True,
                    help="output table dir (data/ + lineage/ + manifest)")
     p.add_argument("--job-id", default=None,
@@ -65,6 +70,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         p.error("--n-buckets must be > 0")
     if not args.compact and args.input is None:
         p.error("--input is required (unless --compact)")
+    if args.compact and args.reprocess_quarantined:
+        p.error("--compact and --reprocess-quarantined are exclusive")
     return args
 
 
@@ -104,9 +111,16 @@ def main(argv: list[str] | None = None) -> int:
                   f"parquet files: {args.input}", file=sys.stderr)
             return 2
     from .session import get_spark
-    from .pipeline import run_extraction_bucketed, run_extraction_scan
+    from .pipeline import (reprocess_quarantined,
+                           run_extraction_bucketed, run_extraction_scan)
     spark = get_spark(master=args.master, app_name="extract-kit-run")
     try:
+        if args.reprocess_quarantined:
+            summary = reprocess_quarantined(
+                spark, args.input, args.output, profile=args.profile,
+                max_doc_bytes=args.max_doc_bytes)
+            print(json.dumps(summary), flush=True)
+            return 0
         if args.layout == "scan":
             summary = run_extraction_scan(
                 spark, args.input, args.output,
