@@ -325,3 +325,27 @@ def test_reprocess_quarantined_replays_only_failures(
     again = reprocess_quarantined(spark, pages_path, out)
     assert again["now_ok"] == 0
     assert con.sql(q % out).fetchall() == con.sql(q % ref).fetchall()
+
+
+def test_reprocess_quarantined_bucketed_layout(
+        spark, pages_path, tmp_path_factory):
+    """Quarantine replay on the BUCKETED layout: rows keep their
+    p_bucket, only affected partitions are rewritten, and recovered
+    rows match the clean-run distribution."""
+    from extract_kit_spark.pipeline import reprocess_quarantined
+
+    out = str(tmp_path_factory.mktemp("replayb") / "x")
+    run_extraction(spark, pages_path, out, job_id="rpb", n_buckets=4,
+                   commit_group_size=4, max_doc_bytes=2000)
+    df0 = read_extractions(spark, out)
+    n_bad = df0.where(F.col("status") != "ok").count()
+    assert n_bad > N_ROWS * 0.3
+    summary = reprocess_quarantined(spark, pages_path, out)
+    assert summary["reprocessed"] == n_bad and summary["now_ok"] > 0
+    df = read_extractions(spark, out)
+    assert df.count() == N_ROWS
+    assert df.select("url").distinct().count() == N_ROWS
+    # recovered rows kept their original url-hash bucket
+    expected_bucket = F.pmod(F.xxhash64("url"),
+                             F.lit(4)).cast("int")
+    assert df.where(F.col("p_bucket") != expected_bucket).count() == 0
