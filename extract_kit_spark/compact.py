@@ -70,12 +70,18 @@ def _partition_stats(data_dir: str) -> "tuple[str, dict] | None":
 
 
 def _row_checksum(df: DataFrame):
-    """Order-independent row fingerprint: count + bit_xor of per-row
-    xxhash64 over the identity columns (xor is commutative and can't
-    overflow, unlike sum under ANSI arithmetic)."""
+    """Order-independent FULL-row fingerprint: count + bit_xor of
+    per-row xxhash64 over every column (xor is commutative and can't
+    overflow, unlike sum under ANSI arithmetic). Hashing only
+    (url, status) would let payload corruption — a truncated
+    extracted_text, a nulled struct — slip through the rewrite
+    verification (ADVICE r3); xxhash64 natively folds nested
+    struct/array columns, so the whole row participates. Columns are
+    name-sorted so the fingerprint is schema-order-independent."""
+    cols = [F.col(c) for c in sorted(df.columns)]
     return df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.bit_xor(F.xxhash64("url", "status")).alias("h")).collect()[0]
+        F.bit_xor(F.xxhash64(*cols)).alias("h")).collect()[0]
 
 
 def compact_output(spark: SparkSession, output_dir: str,

@@ -91,8 +91,30 @@ _ESCAPES = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
 _TJ_SPACE_KERN = -180.0
 
 _ENCRYPT_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R")
+_LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+(\d+)\s+R")
+_TRAILER_RE = re.compile(rb"trailer\b")
 _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
 _INLINE_EI_RE = re.compile(r"\sEI(?=\s|$)")
+
+
+def _is_encrypted(payload: bytes) -> bool:
+    """True iff an /Encrypt entry appears where the spec puts it: in a
+    ``trailer`` dictionary, or in the dictionary of a /Type /XRef
+    cross-reference stream (PDF 1.5+ trailer-less layout). Scanning
+    the WHOLE payload would false-positively quarantine a valid file
+    whose compressed stream bytes happen to contain the pattern —
+    plausible at 10^12 documents (ADVICE r3). The 2 KiB window after
+    each ``trailer`` keyword covers the trailer dict without needing a
+    balanced-dict parse; stream data never sits inside that window
+    because the trailer follows the last ``endstream``."""
+    for m in _TRAILER_RE.finditer(payload):
+        if _ENCRYPT_RE.search(payload, m.end(), m.end() + 2048):
+            return True
+    for m in _STREAM_HDR_RE.finditer(payload):
+        params = m.group(1)
+        if _XREFSTM_RE.search(params) and _ENCRYPT_RE.search(params):
+            return True
+    return False
 
 
 def is_valid_pdf(payload: bytes) -> bool:
@@ -631,9 +653,25 @@ def _stream_bytes(payload: bytes, params: bytes,
     (compressed) stream data can itself contain b"endstream" or end in
     b"\\r", which a delimiter scan mis-handles; the exact byte count
     can't. Returns None on an undecodable stream."""
-    lm = _LENGTH_RE.search(params)
-    if lm:
-        raw = payload[start:start + int(lm.group(1))]
+    # "/Length 12 0 R" (indirect reference, common in incremental
+    # writers) must NOT be read as a literal 12-byte length — that
+    # truncates the stream to garbage (ADVICE r3). Resolve the
+    # referenced integer object when it parses, else fall back to the
+    # endstream-delimiter scan below.
+    length = None
+    rm = _LENGTH_REF_RE.search(params)
+    if rm:
+        om = re.search(rb"(?<![0-9])" + rm.group(1) +
+                       rb"\s+" + rm.group(2) +
+                       rb"\s+obj\b\s*(\d+)\s*endobj", payload)
+        if om:
+            length = int(om.group(1))
+    else:
+        lm = _LENGTH_RE.search(params)
+        if lm:
+            length = int(lm.group(1))
+    if length is not None:
+        raw = payload[start:start + length]
     else:
         end = payload.find(b"endstream", start)
         if end == -1:
@@ -750,7 +788,7 @@ def extract_pdf_pages(payload: bytes) -> list[list[str]]:
     decompressed bytes could contain accidental ``BT``)."""
     if not payload.startswith(b"%PDF-"):
         raise ExtractError(INVALID_PDF, "bad header", phase="pdf-parse")
-    if _ENCRYPT_RE.search(payload):
+    if _is_encrypted(payload):
         raise ExtractError(INVALID_PDF, "encrypted pdf (no decryption)",
                            phase="pdf-parse")
     page_dicts_seen = bool(_PAGE_COUNT_RE.search(payload))

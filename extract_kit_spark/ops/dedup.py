@@ -602,4 +602,7 @@ def _local_components(spark, edges: DataFrame) -> DataFrame:
     out = pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
                         "cluster_id": pd.Series((find(i) for i in ids),
                                                 dtype="int64")})
-    return spark.createDataFrame(out)
+    # explicit schema: an EMPTY pair graph (no near-dup candidates — a
+    # normal production corpus) yields an empty frame, and schema
+    # inference on zero rows raises CANNOT_INFER_EMPTY_SCHEMA
+    return spark.createDataFrame(out, "doc_id long, cluster_id long")

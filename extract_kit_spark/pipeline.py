@@ -49,6 +49,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from .kernels.extract import extract_document, MAX_DOC_BYTES
 from .manifest import Manifest
@@ -372,9 +373,33 @@ def read_extractions(spark: SparkSession, output_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(output_dir, "data"))
 
 
+def _replay_pages(spark: SparkSession, input_path: str,
+                  bad_keys: DataFrame, n_bad: int,
+                  broadcast_max_keys: int) -> DataFrame:
+    """The replay scan: filter the pages table to the quarantined urls
+    via an EXPLICIT broadcast of the key-set (up to
+    ``broadcast_max_keys`` keys — above that, shuffled join, AQE
+    decides), so the 100 TB html payload never crosses an Exchange on
+    its way into the extraction kernel (plan-asserted in tests).
+    De-dup AFTER the broadcast filter — only the quarantined slice
+    shuffles — picking the max warc_ts row per url so a url appearing
+    in multiple input rows can't inflate the replay output. The key
+    frame's extra skinny columns (partition carrier: group/p_bucket,
+    src_file) ride along so the batch kernel sees them."""
+    keys = (F.broadcast(bad_keys) if n_bad <= broadcast_max_keys
+            else bad_keys)
+    pages = (spark.read.parquet(input_path)
+             .select("url", "warc_ts", "html")
+             .join(keys, "url"))
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    return (pages.withColumn("__rn", F.row_number().over(w))
+            .where("__rn = 1").drop("__rn"))
+
+
 def reprocess_quarantined(spark: SparkSession, input_path: str,
                           output_dir: str, profile: str = "auto",
-                          max_doc_bytes: int = MAX_DOC_BYTES) -> dict:
+                          max_doc_bytes: int = MAX_DOC_BYTES,
+                          broadcast_max_keys: int = 2_000_000) -> dict:
     """Quarantine replay: after a kernel upgrade or config fix (larger
     byte cap, new format support), re-extract ONLY the quarantined rows
     and merge the results back into the output table in place.
@@ -388,37 +413,63 @@ def reprocess_quarantined(spark: SparkSession, input_path: str,
     either-old-or-new crash semantics as the original write). Works on
     both layouts — rows keep their original partition (group /
     p_bucket) so lineage dirs and resume state stay meaningful.
-    Returns {reprocessed, partitions, now_ok}."""
+
+    Shuffle discipline: the quarantine key-set is tiny relative to the
+    pages table (1-2% of urls, two skinny columns), so up to
+    ``broadcast_max_keys`` keys it is explicitly ``F.broadcast``-hinted
+    — the 100 TB html payload is filtered in place by a
+    BroadcastHashJoin and never crosses an Exchange (plan-asserted in
+    tests); above the bound we fall back to the shuffled join and let
+    AQE decide. Row accounting: a quarantined url ABSENT from the
+    input table (pages expired/deleted) gets no replacement row — its
+    original quarantined row is carried forward unchanged and counted
+    in ``missing`` rather than silently vanishing; a url appearing in
+    multiple input rows is de-duplicated (max warc_ts wins,
+    deterministic) so replay can't inflate the output.
+    Returns {reprocessed, partitions, now_ok, missing}."""
     out = read_extractions(spark, output_dir)
     scan = "src_file" in out.columns
     pcol = "group" if scan else "p_bucket"
     sel = ["url", pcol] + (["src_file"] if scan else [])
-    bad_keys = out.where(F.col("status") != "ok").select(*sel)
+    bad_rows = out.where(F.col("status") != "ok")
+    bad_keys = bad_rows.select(*sel).localCheckpoint()
     n_bad = bad_keys.count()
     if n_bad == 0:
-        return {"reprocessed": 0, "partitions": 0, "now_ok": 0}
+        return {"reprocessed": 0, "partitions": 0, "now_ok": 0,
+                "missing": 0}
     parts = [r[0] for r in bad_keys.select(pcol).distinct().collect()]
-    pages = (spark.read.parquet(input_path)
-             .select("url", "warc_ts", "html")
-             .join(bad_keys, "url"))
+    pages = _replay_pages(spark, input_path, bad_keys, n_bad,
+                          broadcast_max_keys)
     batch = _make_extract_batch(profile, max_doc_bytes,
                                 "src_file" if scan else "p_bucket")
     fixed = pages.mapInPandas(
         batch, schema=STAGE_SCHEMA_SCAN if scan else STAGE_SCHEMA)
     if scan:  # reattach the partition value from the old row
-        fixed = fixed.join(bad_keys.select("url", pcol), "url")
-    fixed = fixed.localCheckpoint(eager=False)  # used by write + count
+        fixed = fixed.join(F.broadcast(bad_keys.select("url", pcol)),
+                           "url")
+    fixed = fixed.localCheckpoint()  # used by write + counts + anti
+    n_fixed = fixed.count()
+    # quarantined urls with no input row: carry the original row
+    # forward (and report), don't drop it from the table
+    carried = bad_rows.join(F.broadcast(fixed.select("url")),
+                            "url", "left_anti").localCheckpoint()
+    n_missing = carried.count()
     keep = out.where(F.col(pcol).isin(parts)
                      & (F.col("status") == "ok"))
-    merged = keep.unionByName(fixed.select(*out.columns))
+    merged = (keep.unionByName(fixed.select(*out.columns))
+              .unionByName(carried.select(*out.columns)))
     (merged.sortWithinPartitions("url")
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy(pcol)
      .parquet(os.path.join(output_dir, "data")))
+    if n_fixed + n_missing != n_bad:
+        raise RuntimeError(
+            f"quarantine replay accounting mismatch: {n_bad} bad rows "
+            f"but {n_fixed} replacements + {n_missing} carried")
     now_ok = fixed.where(F.col("status") == "ok").count()
     return {"reprocessed": int(n_bad), "partitions": len(parts),
-            "now_ok": int(now_ok)}
+            "now_ok": int(now_ok), "missing": int(n_missing)}
 
 
 def write_bucketed_table(df: DataFrame, table_name: str, path: str,

@@ -1027,3 +1027,51 @@ def test_docx_merged_cells_keep_rectangular_grid():
     html = docx_xml_to_html(xml)
     assert ("<tr><td>wide</td><td></td><td>tall</td></tr>"
             "<tr><td>a</td><td>b</td><td></td></tr>") in html
+
+
+def test_pdf_encrypt_gate_scoped_to_trailer():
+    """/Encrypt-shaped bytes INSIDE stream data (page text, compressed
+    payload bytes) must NOT quarantine a valid unencrypted file — at
+    10^12 docs the accidental pattern is a certainty (ADVICE r3). Only
+    a trailer-dict (or /XRef stream dict) /Encrypt entry gates."""
+    content = (b"BT /F1 12 Tf 1 0 0 1 72 700 Tm"
+               b" (See /Encrypt 9 0 R for details) Tj ET")
+    stream = b"<< /Length %d >>\nstream\n%s\nendstream" % (
+        len(content), content)
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+           b"\nendobj\n"
+           b"4 0 obj\n" + stream + b"\nendobj\n"
+           b"trailer\n<< /Root 1 0 R >>\n%%EOF")
+    assert pdf_text.extract_pdf_pages(pdf) == \
+        [["See /Encrypt 9 0 R for details"]]
+    # the real thing still quarantines (trailer dict)
+    enc = pdf.replace(b"<< /Root 1 0 R >>",
+                      b"<< /Root 1 0 R /Encrypt 9 0 R >>")
+    with pytest.raises(errors.ExtractError) as ei:
+        pdf_text.extract_pdf_pages(enc)
+    assert ei.value.code == errors.INVALID_PDF
+
+
+def test_pdf_length_indirect_reference_resolved():
+    """'/Length 5 0 R' (indirect length object — common incremental
+    writers) must resolve the referenced integer, or at worst fall back
+    to the endstream scan — never read the literal '5' as the byte
+    count and truncate the stream to garbage (ADVICE r3)."""
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (Full stream text) Tj ET"
+    for length_obj, note in [
+            (b"5 0 obj\n%d\nendobj\n" % len(content), "resolvable"),
+            (b"", "dangling -> endstream fallback")]:
+        pdf = (b"%PDF-1.4\n"
+               b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+               b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+               b"\nendobj\n"
+               b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+               b"\nendobj\n"
+               b"4 0 obj\n<< /Length 5 0 R >>\nstream\n" + content +
+               b"\nendstream\nendobj\n" + length_obj +
+               b"trailer\n<< /Root 1 0 R >>\n%%EOF")
+        assert pdf_text.extract_pdf_pages(pdf) == \
+            [["Full stream text"]], note

@@ -321,3 +321,16 @@ def test_approx_goldens_parallelism_independent(spark, docs, emb):
                emb.repartition(13), queries, k=5,
                n_centroids=32, nprobe=12).collect()}
     assert got == want
+
+
+def test_duplicate_clusters_empty_pair_graph(spark):
+    """A corpus with NO near-dup candidate pairs — a normal production
+    case — must yield an empty typed result, not
+    CANNOT_INFER_EMPTY_SCHEMA (ADVICE r3). Both CC paths."""
+    from extract_kit_spark.ops.dedup import duplicate_clusters
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    for small in (1_000_000, 0):  # driver finish / distributed loop
+        out = duplicate_clusters(empty, small_graph_edges=small)
+        assert out.count() == 0
+        assert [f.simpleString() for f in out.schema.fields] == \
+            ["doc_id:bigint", "cluster_id:bigint"]

@@ -349,3 +349,71 @@ def test_reprocess_quarantined_bucketed_layout(
     expected_bucket = F.pmod(F.xxhash64("url"),
                              F.lit(4)).cast("int")
     assert df.where(F.col("p_bucket") != expected_bucket).count() == 0
+
+
+def test_reprocess_missing_input_url_carried_forward(
+        spark, pages_path, tmp_path_factory):
+    """A quarantined url ABSENT from the input table (pages
+    expired/deleted between runs) must not silently vanish from the
+    output: its original quarantined row is carried forward unchanged
+    and reported in summary['missing'] (ADVICE r3)."""
+    from extract_kit_spark.pipeline import (reprocess_quarantined,
+                                            run_extraction_scan)
+
+    out = str(tmp_path_factory.mktemp("replaymiss") / "x")
+    run_extraction_scan(spark, pages_path, out, job_id="rm",
+                        n_groups=4, max_doc_bytes=2000)
+    df0 = read_extractions(spark, out)
+    bad_urls = [r[0] for r in df0.where(F.col("status") != "ok")
+                .select("url").collect()]
+    assert len(bad_urls) > 10
+    dropped = set(bad_urls[:5])
+
+    # a shrunken input: five quarantined urls no longer exist
+    shrunk = str(tmp_path_factory.mktemp("replaymiss") / "pages2")
+    (spark.read.parquet(pages_path)
+     .where(~F.col("url").isin(*dropped))
+     .write.parquet(shrunk))
+
+    summary = reprocess_quarantined(spark, shrunk, out)
+    assert summary["missing"] == len(dropped)
+    assert summary["reprocessed"] == len(bad_urls)
+    df = read_extractions(spark, out)
+    # cardinality preserved: nothing vanished, nothing duplicated
+    assert df.count() == N_ROWS
+    assert df.select("url").distinct().count() == N_ROWS
+    # the carried rows are still quarantined, byte-for-byte the same
+    carried = df.where(F.col("url").isin(*dropped))
+    assert carried.count() == len(dropped)
+    assert carried.where(F.col("status") == "ok").count() == 0
+
+
+def test_reprocess_duplicate_input_urls_not_inflated(
+        spark, pages_path, tmp_path_factory):
+    """A url appearing in MULTIPLE input rows (re-crawl snapshots) must
+    yield exactly one replay row — max warc_ts wins, deterministically
+    — instead of duplicating output rows (ADVICE r3)."""
+    from extract_kit_spark.pipeline import (reprocess_quarantined,
+                                            run_extraction_scan)
+
+    out = str(tmp_path_factory.mktemp("replaydup") / "x")
+    run_extraction_scan(spark, pages_path, out, job_id="rd",
+                        n_groups=4, max_doc_bytes=2000)
+    n_bad = (read_extractions(spark, out)
+             .where(F.col("status") != "ok").count())
+    assert n_bad > 10
+
+    # an input with EVERY page present twice at an earlier timestamp
+    dup = str(tmp_path_factory.mktemp("replaydup") / "pages2")
+    base = spark.read.parquet(pages_path)
+    (base.unionByName(
+        base.withColumn("warc_ts",
+                        F.col("warc_ts") - F.expr("interval 1 hour")))
+     .write.parquet(dup))
+
+    summary = reprocess_quarantined(spark, dup, out)
+    assert summary["reprocessed"] == n_bad
+    assert summary["missing"] == 0
+    df = read_extractions(spark, out)
+    assert df.count() == N_ROWS
+    assert df.select("url").distinct().count() == N_ROWS

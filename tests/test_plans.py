@@ -186,3 +186,25 @@ def test_ts_tfidf_is_jvm_only_with_partial_aggs(spark):
     plan = _plan(QUERIES["ts_tfidf_topk"](spark, SF_DIR))
     assert "InPandas" not in plan and "EvalPython" not in plan
     assert plan.count("HashAggregate") >= 4  # two aggs, each 2-phase
+
+
+def test_replay_pages_broadcasts_quarantine_keys(spark):
+    """Quarantine replay (pipeline._replay_pages): the key-set is
+    explicitly broadcast under the bound, so the pages payload reaches
+    the extraction kernel through a BroadcastHashJoin — the html bytes
+    never cross an Exchange. The only allowed Exchange is the
+    post-filter per-url window over the already-filtered 1-2% slice."""
+    from pyspark.sql import functions as F
+    from extract_kit_spark.pipeline import _replay_pages
+    ensure_pages()
+    bad = (spark.read.parquet(PAGES_PATH).select("url").limit(5)
+           .localCheckpoint())
+    df = _replay_pages(spark, PAGES_PATH, bad, n_bad=5,
+                       broadcast_max_keys=2_000_000)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # pre-join payload side must be Scan -> BroadcastHashJoin directly;
+    # every Exchange in the plan is the post-join window shuffle
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange <= 1
