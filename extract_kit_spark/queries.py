@@ -1016,6 +1016,60 @@ SELECT doc_id::BIGINT AS media_id,
 FROM p
 """
 
+def _synth_png(doc_id: int, text: str) -> bytes:
+    """Deterministic per-doc PNG payload for the decode query: pixel
+    bytes derive from a sha256 of the doc's content, dims / color type
+    / scanline filter / zlib level all cycle with doc_id so every
+    inverse-filter path and channel count is exercised; every 17th doc
+    is truncated (corrupt) and every 23rd gets a JPEG magic
+    (unsupported) to pin the typed failure statuses."""
+    import hashlib
+    from .kernels import png
+    seed = hashlib.sha256(f"{doc_id}:{text[:64]}".encode()).digest()
+    color_type = (0, 2, 6)[doc_id % 3]
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    w, h = 4 + doc_id % 13, 3 + doc_id % 7
+    n = w * h * ch
+    pixels = (seed * (n // len(seed) + 1))[:n]
+    payload = png.encode_png(w, h, pixels, color_type,
+                             filter_type=doc_id % 5,
+                             level=4 + doc_id % 3)
+    if doc_id % 23 == 0:
+        return b"\xff\xd8\xff\xe0" + payload  # JPEG magic
+    if doc_id % 17 == 0:
+        return payload[:-7]  # truncated chunk
+    return payload
+
+
+def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: synthesize a deterministic PNG
+    per document (Arrow batch stage), then decode with the stdlib
+    codec — true dims + pixel sha256, typed corrupt/unsupported rows.
+    Both stages are mapInPandas over the same scan: no shuffle."""
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "payload": [_synth_png(int(i), t) for i, t in
+                            zip(pdf["doc_id"], pdf["text"])]})
+    docs = (_read_parallel(spark, _t(sf_dir, "documents"))
+            .select("doc_id", "text")
+            .mapInPandas(synth, schema="media_id long, payload binary"))
+    out = multimodal.decode_image_pixels(docs, "media_id", "payload")
+    # sentinel-coalesce the failure-row nulls: the hash compare sorts
+    # values, and None breaks total ordering; the op itself keeps
+    # honest nulls
+    return out.select(
+        "media_id", "n_bytes",
+        F.coalesce("fmt", F.lit("")).alias("fmt"),
+        F.coalesce("width", F.lit(-1)).alias("width"),
+        F.coalesce("height", F.lit(-1)).alias("height"),
+        F.coalesce("bit_depth", F.lit(-1)).alias("bit_depth"),
+        F.coalesce("channels", F.lit(-1)).alias("channels"),
+        F.coalesce("pixel_sha256", F.lit("")).alias("pixel_sha256"),
+        "decode_status")
+
+
 FRAME_STRIDE = 64
 
 
@@ -1572,6 +1626,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "mm_media_meta": q_mm_media_meta,
     "mm_frame_plan": q_mm_frame_plan,
+    "mm_decode": q_mm_decode,
     "web_domain_stats": q_web_domain_stats,
     "web_domain_join_salted": q_web_domain_join_salted,
     "web_domain_join_aqe": q_web_domain_join_aqe,
@@ -1631,6 +1686,18 @@ _ORACLE_REACH_GOLDEN = _approx_golden_oracle(
     "evt_user_reach_approx",
     "event_type, approx_users::BIGINT AS approx_users, "
     "exact_users::BIGINT AS exact_users")
+# mm_decode is EXACT-deterministic (not approximate) but its semantics
+# — zlib inflate + PNG scanline unfilter — are not SQL-expressible, so
+# it uses the same committed-registry mechanism for a hard driver
+# signal; decoder correctness is independently pinned by the
+# twin-parity unit tests (same pixels under every filter type/zlib
+# level decode to one hash; hand-computed filter-0 case).
+_ORACLE_MM_DECODE = _approx_golden_oracle(
+    "mm_decode",
+    "media_id::BIGINT AS media_id, n_bytes::BIGINT AS n_bytes, fmt, "
+    "width::INTEGER AS width, height::INTEGER AS height, "
+    "bit_depth::INTEGER AS bit_depth, channels::INTEGER AS channels, "
+    "pixel_sha256, decode_status")
 
 
 # queries WITHOUT oracle entries (non-SQL-expressible):
@@ -1667,6 +1734,7 @@ ORACLES = {
     "evt_user_reach_approx": _ORACLE_REACH_GOLDEN,
     "mm_media_meta": _ORACLE_MM_META,
     "mm_frame_plan": _ORACLE_MM_FRAMES,
+    "mm_decode": _ORACLE_MM_DECODE,
     "web_domain_stats": _ORACLE_DOMAIN_STATS,
     "web_domain_join_salted": _ORACLE_DOMAIN_JOIN,
     "web_domain_join_aqe": _ORACLE_DOMAIN_JOIN,

@@ -35,7 +35,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 QUERY_NAMES = ("dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk",
-               "ann_ivf_topk", "evt_user_reach_approx")
+               "ann_ivf_topk", "evt_user_reach_approx",
+               # mm_decode is exact-deterministic but non-SQL-
+               # expressible (zlib inflate + PNG unfilter), so it uses
+               # the same registry mechanism; codec correctness is
+               # pinned independently in tests/test_kernels.py
+               "mm_decode")
 
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
 

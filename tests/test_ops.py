@@ -334,3 +334,43 @@ def test_duplicate_clusters_empty_pair_graph(spark):
         assert out.count() == 0
         assert [f.simpleString() for f in out.schema.fields] == \
             ["doc_id:bigint", "cluster_id:bigint"]
+
+
+def test_decode_image_pixels_real_and_typed_failures(spark):
+    """The un-stubbed decode stage: real PNGs come back with true dims
+    + pixel sha256; JPEG magic -> 'unsupported'; structural damage ->
+    'corrupt: ...' — one typed row per input, never a task failure."""
+    import hashlib
+    from extract_kit_spark.kernels import png
+    from extract_kit_spark.ops import multimodal
+    pixels = bytes((i * 7 + 3) % 256 for i in range(6 * 4 * 3))
+    good = png.encode_png(6, 4, pixels, 2, filter_type=3)
+    rows = [(1, good), (2, b"\xff\xd8\xff\xe0jpegish"),
+            (3, good[:-9]), (4, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in
+           multimodal.decode_image_pixels(df).collect()}
+    assert len(out) == 4
+    ok = out[1]
+    assert (ok["width"], ok["height"], ok["channels"]) == (6, 4, 3)
+    assert ok["pixel_sha256"] == hashlib.sha256(pixels).hexdigest()
+    assert ok["decode_status"] == "ok"
+    assert out[2]["decode_status"] == "unsupported"
+    assert out[3]["decode_status"].startswith("corrupt")
+    assert out[4]["decode_status"] == "unsupported"
+
+
+def test_mm_decode_query_deterministic(spark):
+    """mm_decode over the documents table: fully deterministic (golden
+    registry depends on it), covers ok/corrupt/unsupported statuses,
+    and decodes one row per document."""
+    from extract_kit_spark.queries import QUERIES
+    a = {r["media_id"]: r for r in
+         QUERIES["mm_decode"](spark, "/root/testdata/sf0.001").collect()}
+    b = {r["media_id"]: r for r in
+         QUERIES["mm_decode"](spark, "/root/testdata/sf0.001").collect()}
+    assert a == b and len(a) == 500
+    statuses = {r["decode_status"].split(":")[0] for r in a.values()}
+    assert statuses == {"ok", "corrupt", "unsupported"}
+    n_ok = sum(r["decode_status"] == "ok" for r in a.values())
+    assert n_ok > 400
