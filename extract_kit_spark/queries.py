@@ -1386,9 +1386,17 @@ def q_evt_value_quantiles_approx(spark: SparkSession,
     """The 100 TB twin of evt_value_quantiles: approx_percentile
     (Greenwald-Khanna mergeable sketch, accuracy 10000 → ε≈1e-4) IS
     map-side combinable, so the holistic sort per group disappears —
-    this is the form that survives scale. Approximate by design → no
-    SQL oracle; the relative error vs the exact query is asserted in
-    tests (pattern of test_evt_user_reach_approx_error_bound)."""
+    this is the form that survives scale. The rank-error bound vs the
+    exact query is asserted in tests; the VALUE is additionally pinned
+    by a committed golden registry. Determinism contract for the
+    registry: for a fixed parquet file set, the sketch result is
+    stable across executor counts and repeat runs — verified
+    empirically at local[2] vs local[32] × repeated runs on both sf
+    dirs (the per-split GK summaries always see each file-split's rows
+    in file order, and at ε≈1e-4 the summary stays effectively exact
+    at these cardinalities, so merge order can't shift a quantile).
+    Any change to accuracy, the events fixtures, or Spark's
+    QuantileSummaries ⇒ rerun tests/gen_approx_goldens.py."""
     ev = spark.read.parquet(_t(sf_dir, "events"))
     acc = F.lit(10000)
     return (ev.groupBy("event_type")
@@ -1700,12 +1708,12 @@ _ORACLE_MM_DECODE = _approx_golden_oracle(
     "pixel_sha256, decode_status")
 
 
-# queries WITHOUT oracle entries (non-SQL-expressible):
-#   evt_value_quantiles_approx — GK-sketch percentiles; the GK merge
-#       is ORDER-DEPENDENT (compression thresholds depend on merge
-#       order, which depends on partitioning), so a pinned golden
-#       would be brittle; relative rank error vs the exact
-#       evt_value_quantiles is asserted in tests instead.
+_ORACLE_EVT_QUANTILES_APPROX = _approx_golden_oracle(
+    "evt_value_quantiles_approx",
+    "event_type, n::BIGINT AS n, p50, p95, p99")
+# every registry query now carries an oracle except nothing — the GK
+# quantile twin (last grey row) is pinned by a committed registry
+# under the determinism contract documented on the query.
 ORACLES = {
     "ext_flagship": _ORACLE_FLAGSHIP,
     "ext_flagship_handpinned": _ORACLE_HANDPINNED,
@@ -1743,6 +1751,7 @@ ORACLES = {
     "evt_hourly_windows": _ORACLE_EVT_WINDOWS,
     "evt_asof_click": _ORACLE_ASOF,
     "evt_value_quantiles": _ORACLE_EVT_QUANTILES,
+    "evt_value_quantiles_approx": _ORACLE_EVT_QUANTILES_APPROX,
     "rel_pricing_summary": _ORACLE_PRICING,
     "rel_top_revenue": _ORACLE_TOP_REVENUE,
     "rel_latest_order": _ORACLE_LATEST_ORDER,

@@ -36,6 +36,10 @@ sys.path.insert(0, REPO)
 
 QUERY_NAMES = ("dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk",
                "ann_ivf_topk", "evt_user_reach_approx",
+               # GK quantile twin: stable across executor counts for a
+               # fixed file set (determinism contract documented on
+               # the query; probed local[2] vs local[32] both sf dirs)
+               "evt_value_quantiles_approx",
                # mm_decode is exact-deterministic but non-SQL-
                # expressible (zlib inflate + PNG unfilter), so it uses
                # the same registry mechanism; codec correctness is
