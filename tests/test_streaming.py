@@ -288,3 +288,184 @@ def test_streaming_dedup_first_seen_wins(spark, tmp_path_factory):
     urls = {r["url"] for r in got2.collect()}
     assert "u5" in urls and "u4" not in urls
     assert got2.count() == 3
+
+
+# -- crash recovery: SIGKILL between microbatches, restart, exactly-once --
+
+_CHILD_TEMPLATE = """\
+import sys
+sys.path.insert(0, {repo!r})
+from extract_kit_spark.session import get_spark
+from extract_kit_spark import streaming
+spark = get_spark(master="local[2]", app_name="crash-child",
+                  shuffle_partitions=2)
+streaming.{fn}(spark, {src!r}, {out!r}, max_files_per_trigger=1{extra})
+print("CHILD_COMPLETED", flush=True)
+"""
+
+
+def _run_child_until_killed(tmp_path_factory, fn, src, out,
+                            extra="", min_commits=3,
+                            n_batches_total=10**9):
+    """Start the stream in a CHILD process (own JVM), poll the
+    checkpoint commit log, and SIGKILL the whole process group the
+    moment >= min_commits microbatches have committed — an unclean
+    stop with a batch typically in flight. Returns commits-at-kill.
+    Asserts the child was genuinely incomplete when killed."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = str(tmp_path_factory.mktemp("crash") / "child.py")
+    with open(script, "w") as fh:
+        fh.write(_CHILD_TEMPLATE.format(repo=repo, fn=fn, src=src,
+                                        out=out, extra=extra))
+    commits_dir = os.path.join(out, "_checkpoint", "commits")
+    child = subprocess.Popen([sys.executable, script],
+                             stdout=subprocess.PIPE,
+                             stderr=subprocess.DEVNULL,
+                             start_new_session=True)
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            if child.poll() is not None:
+                raise AssertionError(
+                    "child finished before the kill landed — raise the "
+                    "file count to widen the kill window")
+            try:
+                n = len([f for f in os.listdir(commits_dir)
+                         if not f.startswith(".")])
+            except FileNotFoundError:
+                n = 0
+            if n >= min_commits:
+                # SIGKILL the process GROUP: py4j's JVM is a separate
+                # child and would otherwise finish the stream
+                os.killpg(os.getpgid(child.pid), signal.SIGKILL)
+                break
+            time.sleep(0.02)
+        else:
+            raise AssertionError("no progress within 180s")
+        child.wait(timeout=30)
+    finally:
+        if child.poll() is None:
+            os.killpg(os.getpgid(child.pid), signal.SIGKILL)
+    n_at_kill = len([f for f in os.listdir(commits_dir)
+                     if not f.startswith(".")])
+    assert n_at_kill < n_batches_total, "stream completed before kill"
+    return n_at_kill
+
+
+def test_streaming_extraction_crash_recovery(spark, tmp_path_factory):
+    """Kill -9 the extraction stream mid-run (checkpoint has committed
+    some microbatches, one is typically in flight), restart from the
+    same checkpoint, and prove EXACTLY-ONCE: the final table equals a
+    clean never-killed stream run row-for-row — no lost urls, no
+    duplicated urls, orphaned uncommitted sink files invisible."""
+    import os
+    from extract_kit_spark.streaming import run_extraction_stream
+
+    src = str(tmp_path_factory.mktemp("crashsrc") / "pages")
+    out = str(tmp_path_factory.mktemp("crashout") / "x")
+    ref = str(tmp_path_factory.mktemp("crashref") / "x")
+    write_pages_dir(src, 300, n_files=30)  # 30 one-file microbatches
+
+    n_at_kill = _run_child_until_killed(
+        tmp_path_factory, "run_extraction_stream", src, out,
+        min_commits=3, n_batches_total=30)
+    assert 0 < n_at_kill < 30
+
+    # restart from the same checkpoint in THIS session: processes only
+    # the unfinished remainder
+    run_extraction_stream(spark, src, out, max_files_per_trigger=1)
+    got = spark.read.parquet(os.path.join(out, "data"))
+    assert got.count() == 300
+    assert got.select("url").distinct().count() == 300
+
+    # row-for-row equality with a clean, never-killed run
+    run_extraction_stream(spark, src, ref)
+    want = spark.read.parquet(os.path.join(ref, "data"))
+    key = lambda df: {(r["url"], r["status"],
+                       r["extracted_text"]) for r in
+                      df.select("url", "status",
+                                "extracted_text").collect()}
+    assert key(got) == key(want)
+
+
+def test_streaming_sessionize_crash_recovery(spark, tmp_path_factory):
+    """Kill -9 the STATEFUL sessionizer mid-run — per-user session
+    state spans the kill point — restart from the checkpoint, and
+    prove the final emitted sessions equal a clean run's: sessions
+    straddling the crash are merged correctly from recovered state,
+    already-emitted sessions are not re-emitted (sink exactly-once),
+    and nothing is lost."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    from pyspark.sql import functions as F
+    from extract_kit_spark.streaming import run_session_stream
+
+    src = str(tmp_path_factory.mktemp("scrashsrc") / "events")
+    out = str(tmp_path_factory.mktemp("scrashout") / "s")
+    ref = str(tmp_path_factory.mktemp("scrashref") / "s")
+    os.makedirs(src, exist_ok=True)
+    base = dt.datetime(2024, 1, 1)
+
+    def write(rows, fname):
+        df = spark.createDataFrame(
+            [(i, base + dt.timedelta(minutes=m), uid, "e", v, "{}")
+             for i, (uid, m, v) in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string")
+        tmp = src + ".tmp-" + fname
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0],
+                    src + "/" + fname + ".parquet")
+        shutil.rmtree(tmp)
+
+    # users 1-4: one event every 10 min for 15 files -> each user has a
+    # single long session spanning every microbatch (state straddles
+    # the kill); user 5: one event in the first file only, whose
+    # session finalizes EARLY (1-minute watermark delay) so some rows
+    # are already emitted when the kill lands
+    for k in range(15):
+        rows = [(uid, k * 10, float(uid)) for uid in (1, 2, 3, 4)]
+        if k == 0:
+            rows.append((5, 0, 50.0))
+        write(rows, f"b{k:02d}")
+    # far-future event advances the watermark past every open session
+    write([(999, 100000, 0.0)], "zflush")
+
+    n_at_kill = _run_child_until_killed(
+        tmp_path_factory, "run_session_stream", src, out,
+        extra=", watermark_delay='1 minute'",
+        min_commits=5, n_batches_total=16)
+    assert 0 < n_at_kill < 16
+
+    run_session_stream(spark, src, out, watermark_delay="1 minute",
+                       max_files_per_trigger=1)
+    got = spark.read.parquet(os.path.join(out, "data"))
+
+    run_session_stream(spark, src, ref, watermark_delay="1 minute",
+                       max_files_per_trigger=1)
+    want = spark.read.parquet(os.path.join(ref, "data"))
+
+    key = lambda df: {(r["user_id"], r["session_start"],
+                       r["session_end"], r["n_events"],
+                       r["total_value"]) for r in df.collect()}
+    assert key(got) == key(want)
+    # the spanning sessions were stitched across the crash: one
+    # session per user covering minutes 0..140 with all 15 events
+    rows = {r["user_id"]: r for r in got.collect()}
+    for uid in (1, 2, 3, 4):
+        r = rows[uid]
+        assert r["n_events"] == 15
+        assert r["session_start"] == base
+        assert r["session_end"] == base + dt.timedelta(minutes=140)
+    assert rows[5]["n_events"] == 1 and rows[5]["total_value"] == 50.0
+    # exactly-once on the emitted stream
+    assert got.groupBy("user_id", "session_start").count() \
+        .where(F.col("count") > 1).count() == 0
