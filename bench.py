@@ -31,9 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "40000"))
-# cache key: bump when fixtures.py changes page bytes (v9: pinned
-# DOCX zip timestamps — gen_page byte-deterministic)
-BENCH_PAGES_PATH = f"/tmp/ekspark_bench_pages_v9_{N_BENCH_PAGES}.parquet"
+# cache key: bump when fixtures.py changes page bytes (v10: LZW/RLE
+# PDF filter variants — gen_page stays byte-deterministic)
+BENCH_PAGES_PATH = f"/tmp/ekspark_bench_pages_v10_{N_BENCH_PAGES}.parquet"
 
 
 def log(msg: str) -> None:

@@ -419,7 +419,7 @@ def _tj_kerned(text: str) -> str:
     return "[" + " ".join(frags) + "] TJ"
 
 
-def _pdf_doc(rng: random.Random, compress: bool = False,
+def _pdf_doc(rng: random.Random, compress: "bool | str" = False,
              hex_strings: bool = False, scrambled: bool = False,
              pdf15: bool = False, cmap: bool = False,
              rotated: bool = False, split_streams: bool = False,
@@ -428,7 +428,9 @@ def _pdf_doc(rng: random.Random, compress: bool = False,
     sequence for page CONTENT is identical across variants, so a
     variant and its plain twin must extract to byte-identical text):
 
-    - ``compress``: FlateDecode content streams (classic xref)
+    - ``compress``: FlateDecode content streams (classic xref); the
+      string values ``"lzw85"`` ([/ASCII85Decode /LZWDecode] chain)
+      and ``"rle"`` (/RunLengthDecode) select the r4 filter variants
     - ``hex_strings``: show-text ops as hex literals + a block of
       escape-edge literal strings (page 0)
     - ``scrambled``: text runs emitted in SHUFFLED stream order with
@@ -570,6 +572,93 @@ def _pdf_receipt(rng: random.Random) -> bytes:
     return _pdf_from_lines(lines)
 
 
+def _lzw_encode(data: bytes) -> bytes:
+    """Writer twin of the kernel's /LZWDecode (TIFF-style LZW,
+    EarlyChange=1 — the PDF spec default, PDF 32000-1 §7.4.4). MSB-first
+    bit packing, 9→12-bit codes, 256=ClearTable, 257=EOD. The width
+    bump is one code EARLY: codes are written at width+1 bits as soon
+    as the next free code exceeds 2^width - 1 (so the first 10-bit
+    code is the one emitted when the table holds 512 entries). The
+    kernel's decoder mirrors this exactly; the round-trip and the
+    TIFF-spec vector are pinned in test_kernels."""
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        bitbuf &= (1 << nbits) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(256)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code > (1 << width) - 1 and width < 12:
+            width += 1
+        w = bytes([byte])
+        if next_code >= 4093:  # table nearly full: flush + clear
+            emit(table[w])
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+            w = b""
+    if w:
+        emit(table[w])
+    emit(257)
+    if nbits:  # flush the partial final byte, zero-padded
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """Writer twin of /RunLengthDecode (PDF 32000-1 §7.4.5): repeats
+    of ≥3 become (257-n, byte) repeat runs; everything else literal
+    chunks of ≤128 bytes; EOD 128."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    lit_start = i
+
+    def flush_literals(end: int) -> None:
+        nonlocal lit_start
+        while lit_start < end:
+            chunk = data[lit_start:min(end, lit_start + 128)]
+            out.append(len(chunk) - 1)
+            out.extend(chunk)
+            lit_start += len(chunk)
+
+    while i < n:
+        j = i
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            flush_literals(i)
+            out.append(257 - (j - i))
+            out.append(data[i])
+            i = j
+            lit_start = i
+        else:
+            i = j
+    flush_literals(n)
+    out.append(128)
+    return bytes(out)
+
+
 def _pdf_assemble(page_streams: list[bytes], compress: bool,
                   cmap: bool = False) -> bytes:
     objs: list[bytes] = []
@@ -588,6 +677,20 @@ def _pdf_assemble(page_streams: list[bytes], compress: bool,
     import zlib as _z
 
     def stream_obj(s: bytes) -> int:
+        # ``compress`` is False (raw), True/"flate" (FlateDecode),
+        # "lzw85" ([/ASCII85Decode /LZWDecode] — the wire-safe chain,
+        # filters DECLARED in decode order so LZW-compressed bytes ride
+        # inside an ASCII85 armor), or "rle" (RunLengthDecode).
+        if compress == "lzw85":
+            import base64 as _b64
+            c = _b64.a85encode(_lzw_encode(s)) + b"~>"
+            return add(b"<< /Length %d /Filter [/ASCII85Decode"
+                       b" /LZWDecode] >>\nstream\n%s\nendstream"
+                       % (len(c), c))
+        if compress == "rle":
+            c = _rle_encode(s)
+            return add(b"<< /Length %d /Filter /RunLengthDecode >>\n"
+                       b"stream\n%s\nendstream" % (len(c), c))
         if compress:
             c = _z.compress(s, 6)
             return add(b"<< /Length %d /Filter /FlateDecode >>\nstream\n"
@@ -838,6 +941,13 @@ def gen_page(i: int, seed: int = SEED, oversize_every: int = 0,
             payload = _pdf_doc(rng, split_streams=True)
         elif i % 12 == 8:
             payload = _pdf_doc(rng, rotated=True)
+        elif i % 48 == 24:
+            # quarter of the flate slot: [/ASCII85Decode /LZWDecode]
+            # chain (r4) — same text as the flate twin
+            payload = _pdf_doc(rng, compress="lzw85")
+        elif i % 48 == 36:
+            # quarter of the flate slot: /RunLengthDecode (r4)
+            payload = _pdf_doc(rng, compress="rle")
         else:
             payload = _pdf_doc(rng, compress=(i % 12 == 0))
     else:

@@ -646,6 +646,88 @@ _ROOT_PAGES_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 
 
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF /LZWDecode: TIFF-style LZW (PDF 32000-1 §7.4.4). MSB-first
+    bit packing, 9→12-bit variable code width, 256=ClearTable,
+    257=EOD. ``early_change=1`` (the spec default) widens the code one
+    entry EARLY — i.e. when the next free code reaches 2^width - 1 —
+    matching what every mainstream writer emits; /DecodeParms
+    /EarlyChange 0 defers to 2^width. Raises on a corrupt code so the
+    caller's quarantine path engages (parity with the reference's
+    isValidPDF reject, pdf-processor/src/core/file-processor.ts:46-49:
+    undecodable input is rejected, never half-decoded)."""
+    out = bytearray()
+    table: list[bytes] = []
+    prev: bytes | None = None
+    width = 9
+
+    def _reset() -> None:
+        nonlocal table, prev, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        prev = None
+        width = 9
+
+    _reset()
+    bitbuf = 0
+    nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                _reset()
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code > 255:
+                    raise ValueError("LZW: first code after clear > 255")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]  # the KwKwK case
+                table.append(entry)
+            else:
+                raise ValueError("LZW: code beyond table")
+            out += entry
+            prev = entry
+            if len(table) >= (1 << width) - early_change and width < 12:
+                width += 1
+    return bytes(out)  # tolerant of a missing EOD marker
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """PDF /RunLengthDecode (PDF 32000-1 §7.4.5): length byte L<128 →
+    copy the next L+1 literal bytes; L>128 → repeat the next byte
+    257-L times; L==128 → EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = data[i]
+        if run == 128:
+            break
+        if run < 128:
+            end = i + 2 + run
+            if end > n:
+                raise ValueError("RunLength: truncated literal run")
+            out += data[i + 1:end]
+            i = end
+        else:
+            if i + 1 >= n:
+                raise ValueError("RunLength: truncated repeat run")
+            out += data[i + 1:i + 2] * (257 - run)
+            i += 2
+    return bytes(out)
+
+
+_EARLY_CHANGE_RE = re.compile(rb"/EarlyChange\s+(\d)")
+
+
 def _stream_bytes(payload: bytes, params: bytes,
                   start: int) -> "bytes | None":
     """Decode one stream's data given its dict and data start offset.
@@ -698,8 +780,13 @@ def _stream_bytes(payload: bytes, params: bytes,
                 import base64
                 data = raw.split(b"~>", 1)[0]
                 raw = base64.a85decode(re.sub(rb"\s", b"", data))
+            elif name == b"LZWDecode":
+                em = _EARLY_CHANGE_RE.search(params)
+                raw = _lzw_decode(raw, int(em.group(1)) if em else 1)
+            elif name == b"RunLengthDecode":
+                raw = _runlength_decode(raw)
             else:
-                return None  # LZW/DCT/CCITT etc.: not text transports
+                return None  # DCT/CCITT/JBIG2 etc.: not text transports
         except Exception:
             return None
     return raw

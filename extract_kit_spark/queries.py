@@ -28,7 +28,7 @@ from .ops import corpus, dedup, multimodal, similarity, textstats
 # scan parallelizes; the DuckDB oracle reads the same files via glob) --------
 
 N_PAGES = 1200
-PAGES_PATH = f"/tmp/ekspark_pages_v7_{N_PAGES}"  # v7: pdf variants (hex/objstm/scrambled)
+PAGES_PATH = f"/tmp/ekspark_pages_v8_{N_PAGES}"  # v8: +lzw85/rle filter variants
 PAGES_GLOB = f"{PAGES_PATH}/*.parquet"
 
 

@@ -958,7 +958,7 @@ def test_pdf_form_xobject_text_spliced_at_do():
 def test_pdf_ascii_filters_and_chains():
     """ASCIIHexDecode, ASCII85Decode, and the wire-safe chain
     [/ASCII85Decode /FlateDecode] all decode to the same text as the
-    plain stream; unknown filters (LZW/DCT) are skipped, not garbled."""
+    plain stream; unknown filters (DCT/CCITT) are skipped, not garbled."""
     import base64
     import zlib as _z
     content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (Filtered text) Tj ET"
@@ -981,7 +981,7 @@ def test_pdf_ascii_filters_and_chains():
         [["Filtered text"]]
     # unknown filter: stream skipped, page gate still sees the page dict
     out = pdf_text.extract_pdf_pages(
-        onedoc(b"\x01\x02junk", b"/Filter /LZWDecode"))
+        onedoc(b"\x01\x02junk", b"/Filter /DCTDecode"))
     assert out == []
 
 
@@ -1151,3 +1151,152 @@ def test_png_decode_rejects_corruption_typed():
         ">I", _z.crc32(b"IHDR" + ihdr_body) & 0xFFFFFFFF)
     with _pytest.raises(png.PngError, match="interlace"):
         png.decode_png(bytes(interlaced))
+
+
+def test_pdf_lzw_tiff_spec_vector():
+    """HAND-COMPUTED pin of /LZWDecode against the published TIFF-6
+    LZW example (the PDF spec §7.4.4 defines its LZW as TIFF's):
+    input bytes 7,7,7,8,8,7,7,6,6 encode to the code sequence
+    256,7,258,8,8,258,6,6,257 packed MSB-first at 9 bits. Both
+    directions are pinned so the fixture encoder and the kernel
+    decoder are each checked against the spec, not just each other."""
+    from extract_kit_spark.fixtures import _lzw_encode
+    from extract_kit_spark.kernels.pdf_text import _lzw_decode
+    codes = [256, 7, 258, 8, 8, 258, 6, 6, 257]
+    buf = n = 0
+    wire = bytearray()
+    for c in codes:
+        buf = (buf << 9) | c
+        n += 9
+        while n >= 8:
+            wire.append((buf >> (n - 8)) & 0xFF)
+            n -= 8
+    if n:
+        wire.append((buf << (8 - n)) & 0xFF)
+    plain = bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+    assert _lzw_decode(bytes(wire)) == plain
+    assert _lzw_encode(plain) == bytes(wire)
+
+
+def test_pdf_lzw_width_boundaries_and_clear():
+    """Round-trips that cross the 9→10→11→12-bit width bumps (the
+    classic early-change off-by-one) and the table-full ClearTable
+    reset; plus the KwKwK self-referential code (a run of repeats
+    forces code == next_free on the decoder side)."""
+    import random as _r
+    from extract_kit_spark.fixtures import _lzw_encode
+    from extract_kit_spark.kernels.pdf_text import _lzw_decode
+    # all 256 byte values cycled: the dictionary blows straight
+    # through 511/1023/2047 and (at *80) the 4093 clear threshold
+    for reps in (3, 8, 80):
+        data = (bytes(range(256))[::-1] + bytes(range(256))) * reps
+        assert _lzw_decode(_lzw_encode(data)) == data
+    assert _lzw_decode(_lzw_encode(b"aaaaaaa")) == b"aaaaaaa"  # KwKwK
+    rng = _r.Random(7)
+    for n in (0, 1, 2000, 40000):
+        blob = bytes(rng.randrange(256) for _ in range(n))
+        assert _lzw_decode(_lzw_encode(blob)) == blob
+        text = bytes(rng.choice(b"BT ET Tj Tm (strm) 0123456789")
+                     for _ in range(n))
+        assert _lzw_decode(_lzw_encode(text)) == text
+
+
+def test_pdf_lzw_early_change_zero():
+    """/DecodeParms << /EarlyChange 0 >> defers every width bump by
+    exactly one code. Encode with a local late-change twin of the
+    fixture encoder and decode through the full stream path so the
+    DecodeParms parse itself is exercised."""
+    from extract_kit_spark.kernels import pdf_text
+
+    def late_encode(data: bytes) -> bytes:
+        out = bytearray()
+        buf = n = 0
+        width = 9
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+
+        def emit(code: int) -> None:
+            nonlocal buf, n
+            buf = (buf << width) | code
+            n += width
+            while n >= 8:
+                out.append((buf >> (n - 8)) & 0xFF)
+                n -= 8
+            buf &= (1 << n) - 1
+
+        emit(256)
+        w = b""
+        for b in data:
+            wc = w + bytes([b])
+            if wc in table:
+                w = wc
+                continue
+            emit(table[w])
+            table[wc] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:  # LATE bump
+                width += 1
+            w = bytes([b])
+        if w:
+            emit(table[w])
+        emit(257)
+        if n:
+            out.append((buf << (8 - n)) & 0xFF)
+        return bytes(out)
+
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (Late change) Tj ET"
+    # pad so the dictionary crosses 511 (width bump actually differs)
+    content += b" % " + (bytes(range(256))[::-1] + bytes(range(256))) * 2
+    raw = late_encode(content)
+    assert pdf_text._lzw_decode(raw, early_change=0) == content
+    stream = (b"<< /Length %d /Filter /LZWDecode /DecodeParms "
+              b"<< /EarlyChange 0 >> >>\nstream\n" % len(raw)
+              + raw + b"\nendstream")
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n"
+           b"2 0 obj\n" + stream + b"\nendobj\n%%EOF")
+    assert pdf_text.extract_pdf_pages(pdf) == [["Late change"]]
+
+
+def test_pdf_runlength_decode_and_corrupt():
+    """/RunLengthDecode: literal runs, repeat runs (incl. the 128-byte
+    maximum), EOD handling, and the corrupt-stream path (truncated run
+    → stream skipped, not garbled — parity with the reference's
+    reject-don't-guess rule, file-processor.ts:46-49)."""
+    from extract_kit_spark.fixtures import _rle_encode
+    from extract_kit_spark.kernels import pdf_text
+    from extract_kit_spark.kernels.pdf_text import _runlength_decode
+    # hand-computed: 2 literals, a 4-repeat, EOD, trailing junk ignored
+    assert _runlength_decode(b"\x01ab\xfdz\x80IGNORED") == b"abzzzz"
+    data = b"x" * 1000 + b"interleaved" + b"\x00" * 300 + b"tail"
+    assert _runlength_decode(_rle_encode(data)) == data
+    for bad in (b"\x05ab", b"\xfd"):  # truncated literal / repeat
+        with pytest.raises(ValueError):
+            _runlength_decode(bad)
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (RLE text) Tj ET"
+    enc = _rle_encode(content)
+    stream = (b"<< /Length %d /Filter /RunLengthDecode >>\nstream\n"
+              % len(enc) + enc + b"\nendstream")
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n"
+           b"2 0 obj\n" + stream + b"\nendobj\n%%EOF")
+    assert pdf_text.extract_pdf_pages(pdf) == [["RLE text"]]
+    # corrupt payload under a declared RunLengthDecode → skipped
+    bad_pdf = pdf.replace(enc, b"\x70" + b"x" * 3)  # literal overruns
+    assert pdf_text.extract_pdf_pages(bad_pdf) == []
+
+
+def test_pdf_lzw_and_rle_variants_match_plain_twin():
+    """The r4 writer variants — [/ASCII85Decode /LZWDecode] chained
+    content streams and /RunLengthDecode streams — extract
+    byte-identical to the plain twin built from the same rng draws
+    (same independence scheme as the cmap/rotated/split variants:
+    codec correctness is pinned by the hand-computed spec vectors
+    above; the twin parity then transfers the hand-pinned plain-twin
+    texts to these variants)."""
+    import random as _r
+    from extract_kit_spark.fixtures import _pdf_doc
+    for kw in ({"compress": "lzw85"}, {"compress": "rle"}):
+        for s in range(6):
+            rng_v, rng_p = _r.Random(f"t:{s}"), _r.Random(f"t:{s}")
+            got = extract_pdf_pages(_pdf_doc(rng_v, **kw))
+            want = extract_pdf_pages(_pdf_doc(rng_p))
+            assert got == want and got, (kw, s)
