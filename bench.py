@@ -340,7 +340,7 @@ def write_bench_md(extraction: dict, scaling: dict,
 HEADLINE = ("ext_invoice_fields", "ext_pdf_invoice_fields",
             "ext_pdf_receipt_fields", "web_domain_stats",
             "web_domain_join_salted", "web_kind_rollup", "ts_stats",
-            "ts_tfidf_topk",
+            "ts_tfidf_topk", "ts_tfidf_zipf",
             "corpus_split", "corpus_curate", "corpus_curate_near",
             "dedup_exact", "dedup_jaccard", "dedup_clusters",
             "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",

@@ -1007,3 +1007,94 @@ def write_pages_dir(path: str, n: int, n_files: int = 8,
             r.pop("_kind")
         pq.write_table(_rows_to_arrow(rows),
                        os.path.join(path, f"part-{f:04d}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Zipf documents corpus (r4): an open few-thousand-word vocabulary with
+# power-law document frequencies, so text-analysis ops run at their
+# PRODUCTION thresholds (tfidf max_df 0.5) instead of the relaxed ones
+# the driver's 31-word `documents` table forces. Same determinism bar
+# as gen_page: every row is a pure function of (seed, i).
+# ---------------------------------------------------------------------------
+
+ZIPF_VOCAB_SIZE = 4000
+
+_SYLLABLES = (
+    "ba be bi bo bu da de di do du fa fe fi fo fu ga ge gi go gu "
+    "ka ke ki ko ku la li lo lu ma me mi mo mu na ne ni no nu "
+    "pa pe pi po pu ra re ri ro ru sa se si so su ta te ti to tu "
+    "va ve vi vo vu za ze zi zo zu").split()
+
+
+def zipf_word(rank: int) -> str:
+    """Word for vocabulary rank ``rank`` (0-based): ``rank+1`` spelled
+    in bijective base-len(_SYLLABLES). Unique by construction, and
+    frequent words come out shorter — Zipf's law of abbreviation for
+    free. NOT drawn from an rng: the vocabulary is a fixed total
+    function, so corpus growth never reshuffles it."""
+    n = rank + 1
+    syls = []
+    b = len(_SYLLABLES)
+    while n > 0:
+        n, rem = divmod(n - 1, b)
+        syls.append(_SYLLABLES[rem])
+    return "".join(reversed(syls))
+
+
+def gen_zipf_doc(i: int, seed: int = SEED,
+                 vocab_size: int = ZIPF_VOCAB_SIZE) -> dict:
+    """One row of the Zipf corpus, schema-compatible with the driver's
+    documents table (doc_id, text, lang, source, n_chars). Content
+    words draw rank = floor(V^u) with u uniform — density ∝ 1/rank, a
+    Zipf(s≈1) tail — so a handful of head words exceed any max_df cut
+    while the tail stays rare; ~1/3 of tokens are REAL en/fr stopwords
+    matching the doc's lang column, making language-ID a non-trivial
+    prediction. Sentences end with '.' attached to the final token
+    (punct_ratio signal)."""
+    from .ops.textstats import EN_STOPWORDS, FR_STOPWORDS
+    rng = random.Random(f"{seed}:zipf:{i}")
+    lang = "fr" if rng.random() < 0.25 else "en"
+    stops = FR_STOPWORDS if lang == "fr" else EN_STOPWORDS
+    n_tokens = rng.randint(30, 150)
+    toks: list[str] = []
+    sent_left = rng.randint(6, 14)
+    for _ in range(n_tokens):
+        if rng.random() < 0.34:
+            w = stops[rng.randrange(len(stops))]
+        else:
+            w = zipf_word(int(vocab_size ** rng.random()) - 1)
+        sent_left -= 1
+        if sent_left == 0:
+            w += "."
+            sent_left = rng.randint(6, 14)
+        toks.append(w)
+    text = " ".join(toks)
+    return {"doc_id": i, "text": text, "lang": lang,
+            "source": f"zsrc{i % 8}", "n_chars": len(text)}
+
+
+def write_zipf_docs_dir(path: str, n: int, n_files: int = 8,
+                        seed: int = SEED) -> None:
+    """Write the Zipf corpus as a directory of parquet part files
+    (same layout contract as write_pages_dir: one scan task per file,
+    DuckDB reads the identical bytes via glob)."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    os.makedirs(path, exist_ok=True)
+    per = -(-n // n_files)
+    for f in range(n_files):
+        lo, hi = f * per, min((f + 1) * per, n)
+        if lo >= hi:
+            break
+        rows = [gen_zipf_doc(i, seed) for i in range(lo, hi)]
+        tbl = pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows],
+                               type=pa.int64()),
+            "text": [r["text"] for r in rows],
+            "lang": [r["lang"] for r in rows],
+            "source": [r["source"] for r in rows],
+            "n_chars": pa.array([r["n_chars"] for r in rows],
+                                type=pa.int64()),
+        })
+        pq.write_table(tbl, os.path.join(path, f"part-{f:04d}.parquet"))

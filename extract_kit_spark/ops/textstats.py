@@ -89,11 +89,18 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_ratio = F.round(
         F.when(n_tok > 0, (en + fr).cast("double") / n_tok)
         .otherwise(F.lit(0.0)), 6)
-    # quality: length signal x penalty for punctuation soup; bounded [0,1]
-    quality = F.round(
+    # quality: length signal x penalty for punctuation soup; bounded [0,1].
+    # Quantized via floor(x*1e6 + 0.5)/1e6 rather than round(x, 6):
+    # the product of two 6-dp ratios can land EXACTLY on a 5e-7
+    # boundary (e.g. 0.869405 * 0.7 = 0.6085835), where Spark's
+    # BigDecimal HALF_UP of the binary double and DuckDB's decimal
+    # rounding disagree by 1 ulp. floor of the same IEEE double is
+    # engine-independent; the oracle mirrors the same expression.
+    raw_quality = (
         F.least(F.lit(1.0), n_tok.cast("double") / F.lit(50.0))
         * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * 5))
-        * (F.lit(1.0) - F.least(F.lit(1.0), stop_ratio)), 6)
+        * (F.lit(1.0) - F.least(F.lit(1.0), stop_ratio)))
+    quality = F.floor(raw_quality * 1e6 + F.lit(0.5)) / 1e6
     lang_pred = (F.when(fr > en, F.lit("fr"))
                  .when(en > fr, F.lit("en"))
                  .otherwise(F.lit("und")))

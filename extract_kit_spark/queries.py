@@ -40,6 +40,26 @@ def ensure_pages(path: str = PAGES_PATH, n: int = N_PAGES) -> str:
     return path
 
 
+# -- Zipf documents corpus (r4): open ~4000-word vocabulary with
+# power-law document frequencies, so text-analysis queries run at
+# PRODUCTION thresholds (tfidf max_df 0.5) and language-ID is a real
+# prediction. The driver's `documents` table (31-word closed
+# vocabulary, read-only) stays the input of the original ts_* queries.
+N_ZIPF_DOCS = 4000
+ZIPF_DOCS_PATH = f"/tmp/ekspark_zipfdocs_v1_{N_ZIPF_DOCS}"
+ZIPF_DOCS_GLOB = f"{ZIPF_DOCS_PATH}/*.parquet"
+
+
+def ensure_zipf_docs(path: str = ZIPF_DOCS_PATH,
+                     n: int = N_ZIPF_DOCS) -> str:
+    from .fixtures import write_zipf_docs_dir
+    if not os.path.isdir(path):
+        tmp = path + ".tmp"
+        write_zipf_docs_dir(tmp, n, n_files=8)
+        os.replace(tmp, path)
+    return path
+
+
 def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -654,9 +674,10 @@ SELECT doc_id,
        n_tokens::INTEGER AS n_tokens,
        punct_ratio,
        stopword_ratio,
-       round(least(1.0, n_tokens / 50.0)
+       floor(least(1.0, n_tokens / 50.0)
              * (1.0 - least(1.0, punct_ratio * 5))
-             * (1.0 - least(1.0, stopword_ratio)), 6) AS quality_score,
+             * (1.0 - least(1.0, stopword_ratio)) * 1e6 + 0.5) / 1e6
+           AS quality_score,
        md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
            AS fingerprint,
        CASE WHEN fr > en THEN 'fr' WHEN en > fr THEN 'en'
@@ -701,6 +722,42 @@ r AS (
 SELECT doc_id, term, tf, df, score, rank::INTEGER AS rank
 FROM r WHERE rank <= 5
 """
+
+
+def q_ts_stats_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_stats over the Zipf corpus (fixtures.gen_zipf_doc): same op,
+    richer input — ~4000-word open vocabulary, real en/fr stopwords at
+    ~34% density, sentence punctuation — so stopword_ratio,
+    punct_ratio, and lang_pred all carry real signal (the lang-ID
+    accuracy floor is pinned in test_ops)."""
+    ensure_zipf_docs()
+    docs = _read_parallel(spark, ZIPF_DOCS_GLOB)
+    return textstats.with_text_stats(docs).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+        "quality_score", "fingerprint", "lang_pred")
+
+
+def q_ts_tfidf_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-terms at the PRODUCTION default max_df (0.5) — the
+    Zipf corpus has a real document-frequency spread, so the head
+    (syllable-frequent words + injected stopwords, df > 0.5·N) is cut
+    while the ~4000-word tail scores normally. The original
+    ts_tfidf_topk keeps the driver's documents table and its relaxed
+    0.95 cut; this query is the threshold the op ships with."""
+    ensure_zipf_docs()
+    docs = _read_parallel(spark, ZIPF_DOCS_GLOB)
+    return textstats.tfidf_top_terms(docs, k=5, min_df=2,
+                                     max_df_ratio=0.5)
+
+
+# The zipf-corpus oracles are the SAME SQL with the table source (and,
+# for tfidf, the max_df threshold) swapped — derived mechanically so
+# the twins can never drift semantically from the originals.
+_ORACLE_TS_STATS_ZIPF = _ORACLE_TS_STATS.replace(
+    "FROM documents", f"FROM read_parquet('{ZIPF_DOCS_GLOB}')")
+_ORACLE_TS_TFIDF_ZIPF = _ORACLE_TS_TFIDF.replace(
+    "FROM documents", f"FROM read_parquet('{ZIPF_DOCS_GLOB}')").replace(
+    "0.95 * nd.n", "0.5 * nd.n")
 
 
 # -- corpus curation ------------------------------------------------------------
@@ -1619,7 +1676,9 @@ QUERIES = {
     "ext_pdf_invoice_fields_hex": q_ext_pdf_invoice_fields_hex,
     "ext_pdf_receipt_fields": q_ext_pdf_receipt_fields,
     "ts_stats": q_ts_stats,
+    "ts_stats_zipf": q_ts_stats_zipf,
     "ts_tfidf_topk": q_ts_tfidf,
+    "ts_tfidf_zipf": q_ts_tfidf_zipf,
     "corpus_split": q_corpus_split,
     "corpus_curate": q_corpus_curate,
     "corpus_curate_near": q_corpus_curate_near,
@@ -1726,7 +1785,9 @@ ORACLES = {
     "ext_pdf_invoice_fields_hex": _ORACLE_PDF_INVOICE_HEX,
     "ext_pdf_receipt_fields": _ORACLE_PDF_RECEIPT,
     "ts_stats": _ORACLE_TS_STATS,
+    "ts_stats_zipf": _ORACLE_TS_STATS_ZIPF,
     "ts_tfidf_topk": _ORACLE_TS_TFIDF,
+    "ts_tfidf_zipf": _ORACLE_TS_TFIDF_ZIPF,
     "corpus_split": _ORACLE_SPLIT,
     "corpus_curate": _ORACLE_CURATE,
     "corpus_curate_near": _ORACLE_CURATE_NEAR,

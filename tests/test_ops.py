@@ -374,3 +374,36 @@ def test_mm_decode_query_deterministic(spark):
     assert statuses == {"ok", "corrupt", "unsupported"}
     n_ok = sum(r["decode_status"] == "ok" for r in a.values())
     assert n_ok > 400
+
+
+def test_zipf_corpus_statistics_and_langid(spark):
+    """The r4 Zipf corpus carries the signal its queries claim:
+    (a) deterministic rows; (b) an open vocabulary (thousands of
+    distinct terms) with a power-law head — some terms exceed the
+    production max_df 0.5 cut, most fall under it, so
+    tfidf(max_df=0.5) is a real filter, not a no-op or a wipe-out;
+    (c) language-ID over it is a genuine prediction: injected
+    stopwords match the doc's lang column, so lang_pred must agree
+    with lang on ≥95% of docs (the driver's 31-word table can't test
+    this — its texts have no language signal)."""
+    from extract_kit_spark.fixtures import gen_zipf_doc
+    from extract_kit_spark.ops.textstats import with_text_stats
+    from extract_kit_spark.queries import (ZIPF_DOCS_GLOB, N_ZIPF_DOCS,
+                                           ensure_zipf_docs)
+    assert gen_zipf_doc(123) == gen_zipf_doc(123)
+    ensure_zipf_docs()
+    docs = spark.read.parquet(ZIPF_DOCS_GLOB)
+    assert docs.count() == N_ZIPF_DOCS
+    df_counts = (docs
+                 .select(F.col("doc_id"),
+                         F.explode(F.array_distinct(
+                             F.split(F.lower(F.trim("text")),
+                                     r"\s+"))).alias("term"))
+                 .groupBy("term").count())
+    n_terms = df_counts.count()
+    n_head = df_counts.where(F.col("count") > 0.5 * N_ZIPF_DOCS).count()
+    assert n_terms > 2000, n_terms
+    assert 5 <= n_head <= 60, n_head
+    stats = with_text_stats(docs).select("lang", "lang_pred")
+    agree = stats.where(F.col("lang") == F.col("lang_pred")).count()
+    assert agree / N_ZIPF_DOCS >= 0.95, agree / N_ZIPF_DOCS
