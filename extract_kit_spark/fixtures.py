@@ -1098,3 +1098,81 @@ def write_zipf_docs_dir(path: str, n: int, n_files: int = 8,
                                 type=pa.int64()),
         })
         pq.write_table(tbl, os.path.join(path, f"part-{f:04d}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Skew-stress corpus (r4): the adversarial shape for the dedup pipeline
+# at scale — one ~10k-document EXACT-duplicate mega-cluster (a hot
+# fingerprint key in the dedup groupBy; mega-clusters of identical
+# bytes are what 10^12-page crawls actually contain), a block of
+# 4-document NEAR-duplicate star clusters (the Jaccard pair graph), and
+# a long unique tail with mixed language/quality for the gate. Pure
+# function of (seed, i) like gen_page, so executors generate it
+# embarrassingly parallel at any scale.
+# ---------------------------------------------------------------------------
+
+SKEW_HOT_DOCS = 10_000       # exact-duplicate mega-cluster size
+SKEW_NEAR_DOCS = 30_000      # near-dup block: 7,500 star clusters of 4
+
+
+def _skew_cluster_tokens(rng: random.Random, n_tokens: int,
+                         salt: str) -> list[str]:
+    """EN-stopword-laced tokens that pass the curation gate
+    (n_tokens ≥ ~55 → length signal 1.0; no punctuation; stopword
+    share ~0.15 → quality ≈ 0.85, far above the 0.5 gate so one-token
+    variants can't flip across it; lang_pred = en — en-stop count ~9
+    vs ~0 fr collisions). Content words carry a CLUSTER salt: near-dup
+    documents in the wild share *rare* content, so a cluster's
+    shingles must be cluster-local (df ≤ cluster size), not drawn from
+    the corpus-wide head. Without the salt, head-word trigrams
+    ("ba ba ba"…) cross the max_df hot-shingle cut as the corpus
+    grows, shaving measured Jaccard on star edges and breaking the
+    stress run's exact survivor accounting. Only pure-stopword
+    trigrams remain shareable across clusters, and at 0.15 density a
+    specific stop trigram lands in ~(0.01)³·58·N docs — double-digit
+    df at N=400k, far under the cut."""
+    from .ops.textstats import EN_STOPWORDS
+    toks = []
+    for _ in range(n_tokens):
+        if rng.random() < 0.15:
+            toks.append(EN_STOPWORDS[rng.randrange(len(EN_STOPWORDS))])
+        else:
+            toks.append(salt +
+                        zipf_word(int(ZIPF_VOCAB_SIZE ** rng.random()) - 1))
+    return toks
+
+
+def gen_skew_doc(i: int, seed: int = SEED, hot: int = SKEW_HOT_DOCS,
+                 near: int = SKEW_NEAR_DOCS) -> dict:
+    """Row i of the skew-stress corpus.
+
+    - ``i < hot``: byte-identical text (ONE fingerprint carrying 10k
+      rows — the exact-dedup window's hot key). Identical docs never
+      reach the Jaccard stage: the pipeline collapses them first,
+      which is precisely why a mega-cluster does NOT explode the pair
+      graph (pairs would be O(hot²) ≈ 5·10⁷).
+    - ``hot ≤ i < hot+near``: star clusters of 4 — v0 is the cluster
+      base (~60 tokens), v1..v3 each replace ONE token at a distinct
+      position with a cluster-unique marker. 3-gram Jaccard
+      (v0, vk) ≈ (S-3)/(S+3) ≈ 0.9 ≥ threshold, while (v1, v2) ≈ 0.8
+      may fall under it — connectivity comes from the star's center
+      via connected components, exactly the chain-closure case the
+      CC stage exists for.
+    - tail: unique zipf docs, 25% fr (gated out by langs=('en',)) and
+      short docs (gated by quality) mixed in."""
+    if i < hot:
+        rng = random.Random(f"{seed}:skewhot")
+        text = " ".join(_skew_cluster_tokens(rng, 60, "h"))
+        return {"doc_id": i, "text": text, "lang": "en",
+                "source": "hotdup", "n_chars": len(text)}
+    if i < hot + near:
+        g, v = divmod(i - hot, 4)
+        rng = random.Random(f"{seed}:skewnear:{g}")
+        toks = _skew_cluster_tokens(rng, 60, f"c{g}")
+        if v > 0:
+            toks[(7 * v) % len(toks)] = f"zq{g}x{v}"
+        text = " ".join(toks)
+        return {"doc_id": i, "text": text, "lang": "en",
+                "source": f"near{v}", "n_chars": len(text)}
+    return {**gen_zipf_doc(i, seed=seed), "doc_id": i,
+            "source": "tail"}

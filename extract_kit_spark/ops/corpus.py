@@ -56,7 +56,9 @@ def curate_near(df: DataFrame, min_quality: float = 0.5,
                 id_col: str = "doc_id", text_col: str = "text",
                 salt: str = "split-v1:",
                 jaccard_threshold: float = 0.8, shingle_n: int = 3,
-                max_df: int | None = None) -> DataFrame:
+                max_df: int | None = None,
+                cc_stats_out: dict | None = None,
+                cc_small_graph_edges: int = 1_000_000) -> DataFrame:
     """``curate`` + NEAR-duplicate removal: after the quality/lang gate
     and exact dedup, build the n-gram-Jaccard pair graph over the
     survivors, collapse it to connected components
@@ -83,7 +85,8 @@ def curate_near(df: DataFrame, min_quality: float = 0.5,
     pairs = jaccard_pairs(deduped, threshold=jaccard_threshold,
                           n=shingle_n, id_col=id_col,
                           text_col=text_col, max_df=max_df)
-    losers = (duplicate_clusters(pairs)
+    losers = (duplicate_clusters(pairs, stats_out=cc_stats_out,
+                                 small_graph_edges=cc_small_graph_edges)
               .where(F.col("cluster_id") != F.col("doc_id"))
               .select(F.col("doc_id").alias(id_col)))
     survivors = deduped.join(losers, on=id_col, how="left_anti")

@@ -153,7 +153,18 @@ def jaccard_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3,
                   max_df: int | None = None) -> DataFrame:
     """Exact n-gram-Jaccard similar pairs (id_a < id_b, jaccard ≥ t)
     via the shingle inverted index. ``max_df`` caps shingle document
-    frequency (skew guard; None = off for small data)."""
+    frequency (skew guard; None = off for small data).
+
+    With ``max_df`` on, the score is the Jaccard of the POST-cut
+    shingle sets — one consistent filtered space for intersection and
+    sizes both. The mixed definition (post-cut intersection over
+    pre-cut sizes) is subtly wrong at scale: every common shingle that
+    crosses the df cut shrinks the numerator but not the denominator,
+    so J decays ~1.8× per cut shingle instead of staying put, two
+    byte-identical documents that share hot shingles score J < 1, and
+    real near-dup edges break once corpus-wide stopword n-grams cross
+    any fixed cut (reproduced at 400k docs: 4-5 cut stop-trigrams per
+    doc severed 32/22,500 star edges at threshold 0.8)."""
     # join key = xxhash64(shingle): long keys shuffle/compare far
     # cheaper than the shingle strings; a 64-bit collision would need
     # ~2^32 distinct shingles per partition to matter (set sizes are
@@ -161,9 +172,17 @@ def jaccard_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3,
     postings = (_shingle_postings(df, n, id_col, text_col)
                 .select("id", "sh_size",
                         F.xxhash64("shingle").alias("sh")))
+    hot_n = None
     if max_df is not None:
         hot = (postings.groupBy("sh").count()
                .where(F.col("count") > max_df).select("sh"))
+        # per-doc count of cut shingles, to correct sh_size to the
+        # post-cut set size. Shuffle discipline: the semi join is a
+        # broadcast (hot is the handful of shingles over the df cap),
+        # so only the HOT postings — not the full postings table —
+        # cross the groupBy exchange, pre-combined map-side by id.
+        hot_n = (postings.join(F.broadcast(hot), "sh", "semi")
+                 .groupBy("id").agg(F.count(F.lit(1)).alias("n_hot")))
         postings = postings.join(F.broadcast(hot), "sh", "left_anti")
     a = postings.alias("a")
     b = postings.alias("b")
@@ -176,6 +195,22 @@ def jaccard_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3,
               .agg(F.count(F.lit(1)).alias("shared"),
                    F.first(F.col("a.sh_size")).alias("size_a"),
                    F.first(F.col("b.sh_size")).alias("size_b")))
+    if hot_n is not None:
+        # correct sizes on the CANDIDATE-PAIR table (tiny relative to
+        # postings) rather than re-aggregating the full postings by id
+        # — two skinny equality joins, AQE picks the strategy
+        shared = (shared
+                  .join(hot_n.select(F.col("id").alias("id_a"),
+                                     F.col("n_hot").alias("__ha")),
+                        "id_a", "left")
+                  .join(hot_n.select(F.col("id").alias("id_b"),
+                                     F.col("n_hot").alias("__hb")),
+                        "id_b", "left")
+                  .withColumn("size_a", F.col("size_a")
+                              - F.coalesce("__ha", F.lit(0)))
+                  .withColumn("size_b", F.col("size_b")
+                              - F.coalesce("__hb", F.lit(0)))
+                  .drop("__ha", "__hb"))
     return (shared
             .withColumn("jaccard", F.round(
                 F.col("shared").cast("double")
@@ -473,7 +508,8 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.45,
 def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                        id_b: str = "id_b",
                        max_iters: int = 20,
-                       small_graph_edges: int = 1_000_000) -> DataFrame:
+                       small_graph_edges: int = 1_000_000,
+                       stats_out: dict | None = None) -> DataFrame:
     """Connected components over a near-duplicate pair graph →
     (doc_id, cluster_id = min doc id reachable). The missing last step
     of every dedup pipeline: pairs say "these two match"; clusters say
@@ -520,8 +556,12 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     # partition; count() reads the just-materialized checkpoint, and
     # the repartition re-checkpoints so rounds reuse the small layout.
     n_edges = edges0.count()
+    if stats_out is not None:  # observability for scale stress/tests
+        stats_out.update(n_edges=n_edges, path="local", rounds=0)
     if n_edges <= small_graph_edges:
         return _local_components(pairs.sparkSession, edges0)
+    if stats_out is not None:
+        stats_out["path"] = "distributed"
     sc = pairs.sparkSession.sparkContext
     parts = max(1, min(sc.defaultParallelism,
                        n_edges // 100_000 + 1))
@@ -529,7 +569,9 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id"))
               .repartition(parts, "id").localCheckpoint())
-    for _ in range(max_iters):
+    for _round in range(max_iters):
+        if stats_out is not None:
+            stats_out["rounds"] = _round + 1
         neigh = (edges.join(labels.withColumnRenamed("id", "dst")
                             .withColumnRenamed("label", "dlabel"),
                             "dst")

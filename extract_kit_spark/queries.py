@@ -920,7 +920,11 @@ hot AS (SELECT shingle FROM e0 GROUP BY shingle
         HAVING count(*) > {JACCARD_MAX_DF}),
 e AS (SELECT doc_id, shingle FROM e0
       WHERE shingle NOT IN (SELECT shingle FROM hot)),
-sz AS (SELECT doc_id, len(grams) AS sh_size FROM g),
+-- POST-cut sizes: jaccard is measured over the filtered shingle
+-- space on both axes (mirrors ops/dedup.jaccard_pairs — the mixed
+-- pre-cut-size definition breaks real edges once corpus-wide
+-- stop-n-grams cross the df cut)
+sz AS (SELECT doc_id, count(*) AS sh_size FROM e GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
   FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -273,13 +273,14 @@ def test_pdf_two_column_reading_order():
 def test_pdf_flate_length_slice_regression():
     """Compressed content streams whose deflate bytes contain
     endstream-like sequences or trailing CR bytes must decode via the
-    /Length slice, not a delimiter scan. Fixture indices 3600/5688/
-    21648 are plain-compressed seeds (i%4∈{0,2}, i%12==0) whose deflate
-    bytes contain such sequences — a delimiter scan would lose pages."""
+    /Length slice, not a delimiter scan. Fixture indices 3600/7632/
+    21648 are plain-compressed seeds (i%12==0, outside the r4
+    lzw85/rle quarter-slots i%48∈{24,36}) whose deflate bytes contain
+    such sequences — a delimiter scan would lose pages."""
     import random
     from extract_kit_spark.fixtures import (_pdf_doc, _domain, _slug,
                                             gen_page)
-    for i in (3600, 5688, 21648):
+    for i in (3600, 7632, 21648):
         row = gen_page(i)
         assert row["_kind"] == "pdf_doc" and b"/FlateDecode" in row["html"]
         rng = random.Random(f"42:{i}")

@@ -44,6 +44,26 @@ def test_minhash_identical_docs_always_pair(spark):
             for r in pairs] == [(1, 2, 1.0)]
 
 
+def test_jaccard_max_df_uses_post_cut_sizes(spark):
+    """The r4 stress-run regression, minimized: with ``max_df`` on,
+    jaccard must be measured over the POST-cut shingle space on both
+    axes. Under the old mixed definition (post-cut intersection /
+    pre-cut sizes) the two identical docs below — which share a
+    corpus-hot trigram — scored 3/(4+4-3) = 0.6 and the pair vanished;
+    two
+    byte-identical documents must always score J = 1.0."""
+    common = "alpha beta gamma"          # hot: appears in every doc
+    twin = f"{common} delta epsilon zeta"  # 4 trigrams, 1 of them hot
+    rows = [(0, twin), (1, twin)]
+    rows += [(i, f"{common} unique{i}a unique{i}b unique{i}c")
+             for i in range(2, 12)]      # drive 'alpha beta gamma' df=12
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.jaccard_pairs(df, threshold=0.8, n=3,
+                                        max_df=11).collect()}
+    assert got == {(0, 1): 1.0}, got
+
+
 def test_simhash_near_identical(spark):
     base = ("the quick brown fox jumps over the lazy dog and runs far "
             "away into the deep dark forest tonight")
@@ -263,14 +283,22 @@ def test_duplicate_clusters_long_chain_converges(spark):
     neighbor-min propagation, which needs O(diameter)=200 rounds)
     must fully converge within the default max_iters thanks to
     pointer jumping (O(log diameter))."""
+    import math
     n = 200
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], ["id_a", "id_b"])
+    stats: dict = {}
     got = {r["doc_id"]: r["cluster_id"]
            for r in dedup.duplicate_clusters(
-               pairs, small_graph_edges=0).collect()}
+               pairs, small_graph_edges=0, stats_out=stats).collect()}
     assert len(got) == n + 1
     assert set(got.values()) == {0}
+    # the pointer-jumping complexity claim, pinned as a number: the
+    # label depth roughly halves per round, so a diameter-n path must
+    # converge in ≤ log2(n)+2 rounds (the same bound stress_scale.py
+    # asserts on a 10k-node chain at the 2M-edge graph size)
+    assert stats["path"] == "distributed"
+    assert stats["rounds"] <= math.log2(n) + 2, stats
 
 
 def test_duplicate_clusters_local_and_distributed_agree(spark):
