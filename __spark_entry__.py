@@ -17,7 +17,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from extract_kit_spark.queries import QUERIES, ORACLES, ensure_pages  # noqa: E402
+from extract_kit_spark.queries import (  # noqa: E402
+    QUERIES, ORACLES, ensure_pages, ensure_zipf_docs, ensure_url_log,
+    ensure_rep_docs, ensure_pii_docs, ensure_line_docs,
+    ensure_bench_items)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -33,5 +36,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    ensure_pages()  # extraction oracles read the shared pages parquet
+    # several oracles read shared fixture parquet directly (pages,
+    # zipf corpus, url log, repetition corpus) — materialize them
+    # here so the oracle side never depends on the Spark side having
+    # run first
+    ensure_pages()
+    ensure_zipf_docs()
+    ensure_url_log()
+    ensure_rep_docs()
+    ensure_pii_docs()
+    ensure_line_docs()
+    ensure_bench_items()
     return dict(ORACLES)

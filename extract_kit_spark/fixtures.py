@@ -1176,3 +1176,268 @@ def gen_skew_doc(i: int, seed: int = SEED, hot: int = SKEW_HOT_DOCS,
                 "source": f"near{v}", "n_chars": len(text)}
     return {**gen_zipf_doc(i, seed=seed), "doc_id": i,
             "source": "tail"}
+
+
+# ---------------------------------------------------------------------------
+# URL-variant crawl log (r4): groups of rows whose urls differ only by
+# canonicalization-removable noise — case in scheme/host, default
+# ports, fragments, tracking query params, trailing slashes — the
+# shape url-level dedup faces on a real crawl. Deterministic per
+# (seed, i); rows with v ≥ the group's variant count are holes, so the
+# log also contains singleton groups.
+# ---------------------------------------------------------------------------
+
+def gen_url_log_row(i: int, seed: int = SEED) -> "dict | None":
+    g, v = divmod(i, 4)
+    rng = random.Random(f"{seed}:urllog:{g}")
+    domain = _domain(rng)
+    path = f"/{_slug(rng)}-{g:07d}"
+    n_var = 1 + rng.randrange(4)
+    if v >= n_var:
+        return None
+    has_q = rng.random() < 0.3
+    q = f"?id={g}" if has_q else ""
+    if v == 0:
+        url = f"https://{domain}{path}{q}"
+    elif v == 1:
+        noisy = "".join(c.upper() if k % 2 == 0 else c
+                        for k, c in enumerate(domain))
+        url = f"HTTPS://{noisy}:443{path}{q}#frag{g}"
+    elif v == 2:
+        sep = "&" if has_q else "?"
+        url = (f"https://{domain}{path}{q}{sep}"
+               f"utm_source=news&fbclid=f{g}")
+    else:
+        url = (f"https://{domain}{path}?utm_campaign=c{g}&id={g}"
+               if has_q else f"https://{domain}{path}/")
+    return {"url": url,
+            "warc_ts": BASE_TS + _dt.timedelta(seconds=i)}
+
+
+def write_url_log_dir(path: str, n: int, n_files: int = 8,
+                      seed: int = SEED) -> None:
+    """Write the url-variant log as a directory of parquet part files
+    (same contract as write_pages_dir: Spark scans the files, DuckDB
+    reads the identical bytes via glob)."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    os.makedirs(path, exist_ok=True)
+    per = -(-n // n_files)
+    for f in range(n_files):
+        lo, hi = f * per, min((f + 1) * per, n)
+        if lo >= hi:
+            break
+        rows = [r for r in (gen_url_log_row(i, seed)
+                            for i in range(lo, hi)) if r]
+        tbl = pa.table({
+            "url": [r["url"] for r in rows],
+            "warc_ts": pa.array([r["warc_ts"] for r in rows],
+                                type=pa.timestamp("us")),
+        })
+        pq.write_table(tbl, os.path.join(path, f"part-{f:04d}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Repetition corpus (r4): natural Zipf prose interleaved with
+# template/spam documents whose REPETITION is the only tell — repeated
+# sentences and a dominant bigram at natural length/punct/stopword
+# ratios, i.e. exactly the pages Gopher-style repetition gates exist
+# to catch. Deterministic per (seed, i); schema-compatible with the
+# driver's documents table.
+# ---------------------------------------------------------------------------
+
+def gen_rep_doc(i: int, seed: int = SEED) -> dict:
+    if i % 3 != 2:
+        d = gen_zipf_doc(i, seed=seed)
+        d["source"] = "natural"
+        return d
+    rng = random.Random(f"{seed}:rep:{i}")
+    base = " ".join(
+        zipf_word(int(ZIPF_VOCAB_SIZE ** rng.random()) - 1)
+        for _ in range(rng.randint(4, 7)))
+    n_rep = rng.randint(3, 9)
+    uniq = [" ".join(zipf_word(int(ZIPF_VOCAB_SIZE ** rng.random()) - 1)
+                     for _ in range(rng.randint(5, 9)))
+            for _ in range(rng.randint(1, 4))]
+    sents = [base] * n_rep + uniq
+    rng.shuffle(sents)
+    text = ". ".join(sents) + "."
+    return {"doc_id": i, "text": text, "lang": "en",
+            "source": "template", "n_chars": len(text)}
+
+
+def write_rep_docs_dir(path: str, n: int, n_files: int = 8,
+                       seed: int = SEED) -> None:
+    """Write the repetition corpus as a directory of parquet part
+    files (same layout contract as write_pages_dir)."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    os.makedirs(path, exist_ok=True)
+    per = -(-n // n_files)
+    cols = ("doc_id", "text", "lang", "source", "n_chars")
+    for f in range(n_files):
+        lo, hi = f * per, min((f + 1) * per, n)
+        if lo >= hi:
+            break
+        rows = [gen_rep_doc(i, seed) for i in range(lo, hi)]
+        tbl = pa.table({c: [r[c] for r in rows] for c in cols})
+        pq.write_table(tbl, os.path.join(path, f"part-{f:04d}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# PII corpus (r4): zipf prose with a KNOWN number of injected emails /
+# phone numbers / IPv4 addresses per doc (the counts are carried as
+# columns so tests can assert the scrubber found exactly the
+# injections — zipf words carry no digits or '@', so there are no
+# accidental matches). Deterministic per (seed, i).
+# ---------------------------------------------------------------------------
+
+def gen_pii_doc(i: int, seed: int = SEED) -> dict:
+    rng = random.Random(f"{seed}:pii:{i}")
+    toks = [zipf_word(int(ZIPF_VOCAB_SIZE ** rng.random()) - 1)
+            for _ in range(rng.randint(25, 60))]
+    n_e = rng.randrange(3)
+    n_p = rng.randrange(3)
+    n_i = rng.randrange(2)
+    inject = (
+        [f"user{i}x{k}@mail{(i + k) % 7}.example.com"
+         for k in range(n_e)]
+        + [[f"555-{200 + (i + k) % 700}-{1000 + (3 * i + k) % 9000}",
+            f"({200 + (i + k) % 800}) {100 + i % 900} "
+            f"{1000 + (7 * i + k) % 9000}",
+            f"+{1 + (i + k) % 89} {20 + i % 80} {100 + k % 900} "
+            f"{1000 + i % 9000}"][(i + k) % 3]
+           for k in range(n_p)]
+        + [f"{10 + (i + k) % 240}.{i % 256}.{(3 * i + k) % 256}."
+           f"{(7 * i) % 256}" for k in range(n_i)])
+    for tok in inject:
+        toks.insert(rng.randrange(len(toks) + 1), tok)
+    return {"doc_id": i, "text": " ".join(toks),
+            "n_emails_true": n_e, "n_phones_true": n_p,
+            "n_ips_true": n_i}
+
+
+def write_pii_docs_dir(path: str, n: int, n_files: int = 8,
+                       seed: int = SEED) -> None:
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    os.makedirs(path, exist_ok=True)
+    per = -(-n // n_files)
+    cols = ("doc_id", "text", "n_emails_true", "n_phones_true",
+            "n_ips_true")
+    for f in range(n_files):
+        lo, hi = f * per, min((f + 1) * per, n)
+        if lo >= hi:
+            break
+        rows = [gen_pii_doc(i, seed) for i in range(lo, hi)]
+        tbl = pa.table({c: [r[c] for r in rows] for c in cols})
+        pq.write_table(tbl, os.path.join(path, f"part-{f:04d}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Newline-line corpus (r4): documents as '\n'-joined LINES (the C4 /
+# RefinedWeb unit of line-level dedup), where a global pool of
+# boilerplate lines ("subscribe ..." chrome) recurs across ~half the
+# docs — exactly the cross-document repeated-line signal line_dedup
+# removes. Deterministic per (seed, i).
+# ---------------------------------------------------------------------------
+
+N_BOILER_LINES = 6
+
+
+def _boiler_line(k: int, seed: int = SEED) -> str:
+    rng = random.Random(f"{seed}:boiler:{k}")
+    return "boiler " + " ".join(
+        zipf_word(rng.randrange(400)) for _ in range(4)) + f" b{k}"
+
+
+def gen_line_doc(i: int, seed: int = SEED) -> dict:
+    rng = random.Random(f"{seed}:lines:{i}")
+    lines = [" ".join(zipf_word(int(ZIPF_VOCAB_SIZE ** rng.random())
+                                - 1)
+                      for _ in range(rng.randint(5, 12)))
+             + f" u{i}l{j}"  # unique suffix: natural lines NEVER
+             for j in range(rng.randint(3, 8))]  # collide across docs
+    if rng.random() < 0.5:
+        for _ in range(rng.randint(1, 3)):
+            lines.insert(rng.randrange(len(lines) + 1),
+                         _boiler_line(rng.randrange(N_BOILER_LINES),
+                                      seed))
+    return {"doc_id": i, "text": "\n".join(lines)}
+
+
+def write_line_docs_dir(path: str, n: int, n_files: int = 8,
+                        seed: int = SEED) -> None:
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    os.makedirs(path, exist_ok=True)
+    per = -(-n // n_files)
+    for f in range(n_files):
+        lo, hi = f * per, min((f + 1) * per, n)
+        if lo >= hi:
+            break
+        rows = [gen_line_doc(i, seed) for i in range(lo, hi)]
+        tbl = pa.table({"doc_id": [r["doc_id"] for r in rows],
+                        "text": [r["text"] for r in rows]})
+        pq.write_table(tbl, os.path.join(path, f"part-{f:04d}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-items table (r4): eval items for decontamination testing.
+# 40% of items copy a contiguous 10-24-token span out of a driver
+# `documents` row (CONTAMINATED — the docs table is identical across
+# the sf dirs, so items built from the committed sf0.001 copy match
+# whichever sf dir a query runs against); the rest are fresh zipf
+# text sharing no 8-gram with any document.
+# ---------------------------------------------------------------------------
+
+def gen_bench_items(n: int, seed: int = SEED,
+                    docs_parquet: str =
+                    "/root/testdata/sf0.001/documents.parquet") -> list:
+    import pyarrow.parquet as pq
+    texts = pq.read_table(docs_parquet, columns=["doc_id", "text"]
+                          ).to_pydict()
+    by_id = dict(zip(texts["doc_id"], texts["text"]))
+    ids = sorted(by_id)
+    items = []
+    for i in range(n):
+        rng = random.Random(f"{seed}:bench:{i}")
+        if rng.random() < 0.4:
+            src = ids[rng.randrange(len(ids))]
+            toks = by_id[src].split()
+            span = rng.randint(10, min(24, len(toks)))
+            lo = rng.randrange(len(toks) - span + 1)
+            text, from_doc = " ".join(toks[lo:lo + span]), src
+        else:
+            # 'q' prefix keeps fresh tokens out of the documents
+            # vocabulary: no accidental 8-gram overlap
+            text = " ".join(
+                "q" + zipf_word(int(ZIPF_VOCAB_SIZE ** rng.random())
+                                - 1)
+                for _ in range(rng.randint(10, 24)))
+            from_doc = -1
+        items.append({"bench_id": i, "question": text,
+                      "from_doc": from_doc})
+    return items
+
+
+def write_bench_items_dir(path: str, n: int, n_files: int = 4,
+                          seed: int = SEED) -> None:
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    os.makedirs(path, exist_ok=True)
+    rows = gen_bench_items(n, seed)
+    per = -(-n // n_files)
+    cols = ("bench_id", "question", "from_doc")
+    for f in range(n_files):
+        lo, hi = f * per, min((f + 1) * per, n)
+        if lo >= hi:
+            break
+        part = rows[lo:hi]
+        tbl = pa.table({c: [r[c] for r in part] for c in cols})
+        pq.write_table(tbl, os.path.join(path, f"part-{f:04d}.parquet"))

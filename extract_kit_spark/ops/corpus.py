@@ -95,6 +95,41 @@ def curate_near(df: DataFrame, min_quality: float = 0.5,
                     "lang_pred", "bucket", "split"))
 
 
+def pack_plan(df: DataFrame, budget: int = 512, n_streams: int = 8,
+              id_col: str = "doc_id", text_col: str = "text",
+              salt: str = "pack-v1:") -> DataFrame:
+    """Sequence-packing PLAN for pretraining batch assembly: assign
+    every document a (stream, pack_id, pack_offset) such that packs
+    are contiguous ``budget``-token windows over the concatenation of
+    the stream's documents in ``id_col`` order — the standard
+    concat-then-chunk packing (documents may straddle pack
+    boundaries; the offset tells the loader where each doc starts in
+    its stream). The plan is a pure function of (salt, doc ids, token
+    counts): reruns, retries and engine changes produce the identical
+    packing — the same determinism contract as deterministic_split.
+
+    Scale shape: stream = hashed-id bucket (uniform — never data
+    order), so the only shuffle is a repartition into ``n_streams``
+    sort groups; the running sum is a within-partition window. Set
+    ``n_streams`` ~ O(cluster cores) at scale: each stream is one
+    reducer's linear scan, and packs never cross streams so streams
+    are embarrassingly parallel downstream."""
+    n_tok = F.size(F.split(F.col(text_col), r"\s+")).cast("long")
+    stream = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+            1, 8), 16, 10).cast("long"),
+        F.lit(n_streams)).cast("long")
+    w = (Window.partitionBy("stream").orderBy(F.col(id_col).asc()))
+    return (df.select(F.col(id_col), n_tok.alias("n_tokens"),
+                      stream.alias("stream"))
+            .withColumn("pack_offset",
+                        F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            .withColumn("pack_id",
+                        F.floor(F.col("pack_offset") / budget)
+                        .cast("long")))
+
+
 def curate(df: DataFrame, min_quality: float = 0.5,
            langs: tuple[str, ...] = ("en",), id_col: str = "doc_id",
            text_col: str = "text",

@@ -648,3 +648,50 @@ def _local_components(spark, edges: DataFrame) -> DataFrame:
     # normal production corpus) yields an empty frame, and schema
     # inference on zero rows raises CANNOT_INFER_EMPTY_SCHEMA
     return spark.createDataFrame(out, "doc_id long, cluster_id long")
+
+
+def line_dedup(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text",
+               max_doc_freq: int = 2) -> DataFrame:
+    """C4/RefinedWeb-style LINE-level dedup: a line ('\\n'-separated)
+    occurring in more than ``max_doc_freq`` DISTINCT documents is
+    boilerplate chrome (nav, subscribe prompts, cookie banners) and is
+    removed from every document; surviving lines are reassembled in
+    original order. Returns (id, clean_text, n_lines, n_kept) — one
+    row per input doc, docs whose every line was boilerplate included
+    with clean_text = ''.
+
+    Scale shape: posexplode → two shuffles keyed by line then id —
+    both combine map-side (the doc-frequency agg sees distinct
+    (line, id) partials). The hot-line set is NOT assumed
+    driver-small: it meets the lines relation in a left_anti equality
+    join (AQE broadcasts it when it is small, which on real corpora
+    it is — boilerplate is by definition few distinct strings). The
+    payload travels the explode as line-sized pieces, never as whole
+    documents glued to a skewed key."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("pos", "line"))
+    hot = (lines.groupBy("line")
+           .agg(F.count_distinct(id_col).alias("doc_freq"))
+           .where(F.col("doc_freq") > max_doc_freq)
+           .select("line"))
+    kept = lines.join(hot, "line", "left_anti")
+    reassembled = (
+        kept.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_kept"),
+             F.concat_ws(
+                 "\n",
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("pos", "line"))),
+                     lambda s: s["line"])).alias("clean_text")))
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("long")
+        .alias("n_lines"))
+    return (base.join(reassembled, id_col, "left")
+            .fillna({"clean_text": "", "n_kept": 0})
+            .select(id_col, "clean_text", "n_lines",
+                    F.col("n_kept").cast("long").alias("n_kept")))

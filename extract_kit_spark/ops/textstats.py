@@ -166,3 +166,51 @@ def tfidf_top_terms(docs: DataFrame, id_col: str = "doc_id",
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(id_col, "term", "tf", "df", "score", "rank"))
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals — the quality gates that catch
+    boilerplate-y, auto-generated and template pages that pass
+    length/punct/stopword checks:
+
+    - ``dup_sent_frac``: fraction of a document's sentences that are
+      duplicates of an earlier sentence (sentence = '. '-separated
+      span, trailing period normalized away).
+    - ``top_bigram_share``: the most frequent token-2-gram's share of
+      all 2-gram occurrences — near 1.0 for "buy now buy now buy now"
+      spam, ~1/(n-1) for natural prose.
+
+    Scale shape: sentence stats are pure expressions on the row (no
+    shuffle); the bigram share is explode → two partial-agg groupBys
+    keyed by (doc, gram) then doc — both combine map-side, so the hot
+    path shuffles per-doc partial counts, not token streams. The HOF
+    gram builder evaluates interpreted (CodegenFallback) but feeds an
+    explode whose downstream aggregation dominates; the per-element
+    cost is the same trade dedup.shingles() documents."""
+    sents = F.split(F.col(text_col), r"\. ")
+    norm = F.transform(sents,
+                       lambda s: F.regexp_replace(s, r"\.$", ""))
+    toks = F.split(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\.", ""), r"\s+")
+    base = df.select(
+        F.col(id_col),
+        F.size(sents).cast("long").alias("n_sents"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct(norm))
+                / F.size(sents), 6).alias("dup_sent_frac"),
+        toks.alias("__toks"))
+    k = F.size("__toks") - 1
+    grams = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("__toks", (i + 1).cast("int")),
+                F.element_at("__toks", (i + 2).cast("int")))))
+    counts = (base.select(F.col(id_col), F.explode(grams).alias("g"))
+              .groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("n")))
+    top = (counts.groupBy(id_col)
+           .agg(F.round(F.max("n") / F.sum("n"), 6)
+                .alias("top_bigram_share")))
+    return (base.drop("__toks")
+            .join(top, id_col, "left")
+            .fillna({"top_bigram_share": 0.0}))

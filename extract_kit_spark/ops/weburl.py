@@ -1,0 +1,90 @@
+"""URL-level corpus hygiene: canonicalization, url dedup, per-domain
+caps — the passes a Common-Crawl-style pipeline runs BEFORE content
+extraction, because they prune on the cheap key column and never touch
+the payload.
+
+- ``canonical_url``: pure-expression normalizer (lowercase scheme+host,
+  strip default ports / fragments / tracking params / trailing slash).
+  Whole-stage-codegen friendly — a chain of regexp_replace on a short
+  string column; every regex is RE2-safe (no lookaround, no
+  backreference) so the DuckDB oracle runs the LITERAL same patterns.
+- ``url_dedup``: group by the canonical key, keep deterministic
+  min(url)/min(ts) per group. One hash shuffle on a skinny
+  (canonical, url, ts) projection — the payload column is never
+  selected, so at 100 TB the shuffle moves only urls.
+- ``domain_cap``: keep the k earliest pages per domain. Real crawls
+  are Zipf-skewed (two hot domains own ~40% of the fixture corpus —
+  and of real crawls), so a single row_number window over domain puts
+  a hot domain's entire row set through one reducer. This runs the
+  SALTED two-phase shape instead: phase 1 ranks within
+  (domain, salt16) — each hot domain spread over n_salts reducers —
+  and keeps k per cell, so phase 2's global rank sees at most
+  n_salts*k rows per domain. Identical output to the naive window
+  (phase 1 keeps a superset of the global top-k; the oracle IS the
+  naive window), shuffle shape survives the hot key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .webstats import domain_of
+
+# tracking params stripped by canonicalization (the de-facto core set;
+# extend per deployment)
+_TRACKING_RE = r"(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?"
+_HEAD_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a url: lowercase scheme+host, default ports
+    (:80/:443) stripped, fragment stripped, tracking query params
+    (utm_*/fbclid/gclid) stripped with separator cleanup, trailing
+    slash stripped (root path kept). Path and real query params keep
+    their case and order — they are semantically significant."""
+    head = F.lower(F.regexp_extract(url, _HEAD_RE, 1))
+    head = F.regexp_replace(head, r":(80|443)$", "")
+    rest = F.regexp_replace(url, _HEAD_RE, "")
+    rest = F.regexp_replace(rest, r"#.*$", "")
+    rest = F.regexp_replace(rest, _TRACKING_RE, "")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    rest = F.when(rest == "/", rest).otherwise(
+        F.regexp_replace(rest, r"/$", ""))
+    return F.concat(head, rest)
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              ts_col: str = "warc_ts") -> DataFrame:
+    """One row per canonical url: variant count + deterministic
+    representative (min url, min ts). Skinny projection first — the
+    shuffle carries (canonical, url, ts) only, never a payload."""
+    c = df.select(canonical_url(F.col(url_col)).alias("canonical_url"),
+                  F.col(url_col).alias("__u"), F.col(ts_col))
+    return (c.groupBy("canonical_url")
+            .agg(F.count(F.lit(1)).alias("n_variants"),
+                 F.min("__u").alias("first_url"),
+                 F.min(ts_col).alias("first_ts")))
+
+
+def domain_cap(df: DataFrame, k: int = 5, url_col: str = "url",
+               ts_col: str = "warc_ts",
+               n_salts: int = 16) -> DataFrame:
+    """Keep the ``k`` earliest pages per domain (order: ts, then url
+    as the deterministic tiebreak), salted two-phase so a hot domain
+    never serializes onto one reducer. Returns
+    (url, domain, ts, rank_in_domain)."""
+    d = df.select(F.col(url_col), F.col(ts_col),
+                  domain_of(F.col(url_col)).alias("domain"),
+                  F.pmod(F.xxhash64(url_col),
+                         F.lit(n_salts)).alias("__salt"))
+    w1 = (Window.partitionBy("domain", "__salt")
+          .orderBy(F.col(ts_col).asc(), F.col(url_col).asc()))
+    pruned = (d.withColumn("__rn", F.row_number().over(w1))
+              .where(F.col("__rn") <= k).drop("__rn", "__salt"))
+    w2 = (Window.partitionBy("domain")
+          .orderBy(F.col(ts_col).asc(), F.col(url_col).asc()))
+    return (pruned
+            .withColumn("rank_in_domain",
+                        F.row_number().over(w2).cast("long"))
+            .where(F.col("rank_in_domain") <= k)
+            .select(url_col, "domain", ts_col, "rank_in_domain"))

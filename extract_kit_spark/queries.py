@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
 from .fixtures import write_pages_dir
-from .ops import corpus, dedup, multimodal, similarity, textstats
+from .ops import (corpus, contamination, dedup, multimodal, pii,
+                  similarity, textstats, weburl)
 
 # -- shared pages table (a DIRECTORY of part files so the no-shuffle
 # scan parallelizes; the DuckDB oracle reads the same files via glob) --------
@@ -1666,6 +1667,345 @@ SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
 """
 
 
+# -- url hygiene + repetition + packing (r4) ---------------------------------
+#
+# These run over two dedicated deterministic fixtures (url-variant
+# crawl log; repetition corpus) because the driver tables carry no
+# url-noise or repeated-sentence signal; both fixtures follow the
+# pages-table contract (directory of parquet parts, DuckDB reads the
+# identical bytes via glob).
+
+N_URLLOG = 6000
+URLLOG_PATH = f"/tmp/ekspark_urllog_v1_{N_URLLOG}"
+URLLOG_GLOB = f"{URLLOG_PATH}/*.parquet"
+
+N_REP_DOCS = 3000
+REP_DOCS_PATH = f"/tmp/ekspark_repdocs_v1_{N_REP_DOCS}"
+REP_DOCS_GLOB = f"{REP_DOCS_PATH}/*.parquet"
+
+
+def ensure_url_log(path: str = URLLOG_PATH, n: int = N_URLLOG) -> str:
+    from .fixtures import write_url_log_dir
+    if not os.path.isdir(path):
+        tmp = path + ".tmp"
+        write_url_log_dir(tmp, n, n_files=8)
+        os.replace(tmp, path)
+    return path
+
+
+def ensure_rep_docs(path: str = REP_DOCS_PATH,
+                    n: int = N_REP_DOCS) -> str:
+    from .fixtures import write_rep_docs_dir
+    if not os.path.isdir(path):
+        tmp = path + ".tmp"
+        write_rep_docs_dir(tmp, n, n_files=8)
+        os.replace(tmp, path)
+    return path
+
+
+def q_web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Url-level dedup over the variant crawl log: canonicalize
+    (pure-expression regex chain, WholeStageCodegen) then group — one
+    hash shuffle on a skinny (canonical, url, ts) projection. The
+    oracle runs the LITERAL same regex chain in DuckDB (every pattern
+    is RE2-safe by construction), so canonicalization semantics are
+    pinned cross-engine, not just the grouping."""
+    ensure_url_log()
+    log = _read_parallel(spark, URLLOG_GLOB)
+    return weburl.url_dedup(log)
+
+
+# the same five-step normalizer as weburl.canonical_url, staged
+# through CTEs; 'g' on the tracking-param strip mirrors Spark's
+# replace-all default
+_ORACLE_URL_CANON_CTE = f"""
+lg AS (SELECT url, warc_ts FROM read_parquet('{URLLOG_GLOB}')),
+st AS (SELECT url, warc_ts,
+  lower(regexp_extract(url,
+        '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1)) AS h0,
+  regexp_replace(url,
+        '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', '') AS r0
+ FROM lg),
+st2 AS (SELECT url, warc_ts,
+  regexp_replace(h0, ':(80|443)$', '') AS h,
+  regexp_replace(regexp_replace(regexp_replace(r0, '#.*$', ''),
+        '(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?', '', 'g'),
+        '[?&]+$', '') AS r1
+ FROM st),
+canon AS (SELECT url, warc_ts,
+  h || (CASE WHEN r1 = '/' THEN r1
+        ELSE regexp_replace(r1, '/$', '') END) AS canonical_url
+ FROM st2)"""
+
+_ORACLE_URL_DEDUP = f"""
+WITH {_ORACLE_URL_CANON_CTE}
+SELECT canonical_url, count(*)::BIGINT AS n_variants,
+       min(url) AS first_url, min(warc_ts) AS first_ts
+FROM canon GROUP BY 1
+"""
+
+DOMAIN_CAP_K = 3
+
+
+def q_web_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-frontier politeness pass: canonicalize → url-dedup →
+    keep the k earliest canonical pages per domain. The Spark side
+    runs the SALTED two-phase rank (a hot domain — the fixture's two
+    hot domains own 40% of urls, like real crawls — is spread over 16
+    reducers, then the global rank sees ≤ 16k rows/domain); the
+    oracle is the naive single window, proving the salted plan is
+    output-identical."""
+    ensure_url_log()
+    log = _read_parallel(spark, URLLOG_GLOB)
+    canon = weburl.url_dedup(log).select(
+        F.col("canonical_url").alias("url"),
+        F.col("first_ts").alias("warc_ts"))
+    return weburl.domain_cap(canon, k=DOMAIN_CAP_K)
+
+
+_ORACLE_DOMAIN_CAP = f"""
+WITH {_ORACLE_URL_CANON_CTE},
+grp AS (SELECT canonical_url AS url, min(warc_ts) AS warc_ts
+        FROM canon GROUP BY 1),
+r AS (SELECT url,
+        regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS domain,
+        warc_ts,
+        row_number() OVER (
+          PARTITION BY regexp_extract(url, '^[a-z]+://([^/]+)/', 1)
+          ORDER BY warc_ts ASC, url ASC)::BIGINT AS rank_in_domain
+      FROM grp)
+SELECT url, domain, warc_ts, rank_in_domain
+FROM r WHERE rank_in_domain <= {DOMAIN_CAP_K}
+"""
+
+
+def q_ts_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates over the repetition corpus (1/3
+    template-spam docs whose repeated sentences / dominant bigram are
+    the only tell). Sentence stats are pure row expressions; the
+    bigram share is explode → two partial-agg groupBys — the hot path
+    shuffles per-doc partial counts, never token streams."""
+    ensure_rep_docs()
+    docs = _read_parallel(spark, REP_DOCS_GLOB)
+    return textstats.repetition_stats(docs)
+
+
+_ORACLE_TS_REPETITION = f"""
+WITH d AS (SELECT doc_id, text FROM read_parquet('{REP_DOCS_GLOB}')),
+s AS (SELECT doc_id,
+        regexp_split_to_array(text, '\\. ') AS sents,
+        regexp_split_to_array(
+          regexp_replace(lower(text), '\\.', '', 'g'), '\\s+') AS toks
+      FROM d),
+base AS (SELECT doc_id,
+        len(sents)::BIGINT AS n_sents,
+        round(1.0 - len(list_distinct(list_transform(
+              sents, x -> regexp_replace(x, '\\.$', ''))))
+            / len(sents), 6) AS dup_sent_frac,
+        toks
+      FROM s),
+g AS (SELECT doc_id,
+        unnest(CASE WHEN len(toks) <= 1 THEN []::VARCHAR[]
+               ELSE list_transform(range(1, len(toks)),
+                    i -> concat_ws(' ', toks[i], toks[i+1])) END) AS gm
+      FROM base),
+c AS (SELECT doc_id, gm, count(*) AS n FROM g GROUP BY 1, 2),
+t AS (SELECT doc_id, round(max(n) / sum(n), 6) AS top_bigram_share
+      FROM c GROUP BY 1)
+SELECT b.doc_id, b.n_sents, b.dup_sent_frac,
+       coalesce(t.top_bigram_share, 0.0) AS top_bigram_share
+FROM base b LEFT JOIN t USING (doc_id)
+"""
+
+PACK_BUDGET = 512
+PACK_STREAMS = 8
+
+
+def q_corpus_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence-packing plan over the documents table:
+    (stream, pack_id, pack_offset) per doc for concat-then-chunk
+    pretraining batches. Pure function of (salt, ids, token counts) —
+    the oracle recomputes the identical md5-bucket stream assignment
+    and running-sum offsets in SQL."""
+    docs = _read_parallel(spark, _t(sf_dir, "documents"))
+    return corpus.pack_plan(docs, budget=PACK_BUDGET,
+                            n_streams=PACK_STREAMS)
+
+
+_ORACLE_PACK_PLAN = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(text, '\\s+'))::BIGINT AS n_tokens,
+         ((('0x' || substring(md5('pack-v1:' || doc_id::VARCHAR),
+             1, 8))::BIGINT) % {PACK_STREAMS}) AS stream
+  FROM documents),
+o AS (
+  SELECT doc_id, n_tokens, stream,
+         (sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id ASC)
+          - n_tokens)::BIGINT AS pack_offset
+  FROM t)
+SELECT doc_id, n_tokens, stream, pack_offset,
+       floor(pack_offset / {PACK_BUDGET})::BIGINT AS pack_id
+FROM o
+"""
+
+
+# -- PII / line-dedup / decontamination (r4) ---------------------------------
+
+N_PII_DOCS = 2000
+PII_DOCS_PATH = f"/tmp/ekspark_piidocs_v1_{N_PII_DOCS}"
+PII_DOCS_GLOB = f"{PII_DOCS_PATH}/*.parquet"
+
+N_LINE_DOCS = 3000
+LINE_DOCS_PATH = f"/tmp/ekspark_linedocs_v1_{N_LINE_DOCS}"
+LINE_DOCS_GLOB = f"{LINE_DOCS_PATH}/*.parquet"
+
+N_BENCH_ITEMS = 400
+BENCH_ITEMS_PATH = f"/tmp/ekspark_benchitems_v1_{N_BENCH_ITEMS}"
+BENCH_ITEMS_GLOB = f"{BENCH_ITEMS_PATH}/*.parquet"
+
+
+def ensure_pii_docs(path: str = PII_DOCS_PATH,
+                    n: int = N_PII_DOCS) -> str:
+    from .fixtures import write_pii_docs_dir
+    if not os.path.isdir(path):
+        tmp = path + ".tmp"
+        write_pii_docs_dir(tmp, n, n_files=8)
+        os.replace(tmp, path)
+    return path
+
+
+def ensure_line_docs(path: str = LINE_DOCS_PATH,
+                     n: int = N_LINE_DOCS) -> str:
+    from .fixtures import write_line_docs_dir
+    if not os.path.isdir(path):
+        tmp = path + ".tmp"
+        write_line_docs_dir(tmp, n, n_files=8)
+        os.replace(tmp, path)
+    return path
+
+
+def ensure_bench_items(path: str = BENCH_ITEMS_PATH,
+                       n: int = N_BENCH_ITEMS) -> str:
+    from .fixtures import write_bench_items_dir
+    if not os.path.isdir(path):
+        tmp = path + ".tmp"
+        write_bench_items_dir(tmp, n, n_files=4)
+        os.replace(tmp, path)
+    return path
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the injected-PII corpus: redacted text + staged
+    per-class counts, pure regexp expressions (ops/pii.py). The
+    oracle interpolates the SAME pattern constants into DuckDB, so
+    the redaction bytes — not just counts — are pinned cross-engine;
+    recall vs the fixture's known injection counts is pinned in
+    test_ops."""
+    ensure_pii_docs()
+    docs = _read_parallel(spark, PII_DOCS_GLOB)
+    return pii.scrub(docs)
+
+
+from .ops.pii import EMAIL_RE, IPV4_RE, PHONE_RE  # noqa: E402
+
+_ORACLE_PII = f"""
+WITH d AS (SELECT doc_id, text FROM read_parquet('{PII_DOCS_GLOB}')),
+s AS (SELECT doc_id, text AS t0,
+        regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+      FROM d),
+s2 AS (SELECT *, regexp_replace(t1, '{IPV4_RE}', '<IP>', 'g') AS t2
+       FROM s),
+s3 AS (SELECT *,
+        regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g') AS t3
+       FROM s2)
+SELECT doc_id, t3 AS clean_text,
+       len(regexp_extract_all(t0, '{EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(t1, '{IPV4_RE}'))::BIGINT AS n_ips,
+       len(regexp_extract_all(t2, '{PHONE_RE}'))::BIGINT AS n_phones,
+       (len(regexp_extract_all(t0, '{EMAIL_RE}'))
+        + len(regexp_extract_all(t1, '{IPV4_RE}'))
+        + len(regexp_extract_all(t2, '{PHONE_RE}'))) > 0 AS has_pii
+FROM s3
+"""
+
+LINE_MAX_DF = 2
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level dedup over the newline corpus (a 6-line
+    boilerplate pool recurs across ~half the docs; natural lines carry
+    unique suffixes): lines in > LINE_MAX_DF distinct docs are
+    removed everywhere, survivors reassembled in order. Oracle
+    recomputes hot lines in SQL and filters each doc's line array."""
+    ensure_line_docs()
+    docs = _read_parallel(spark, LINE_DOCS_GLOB)
+    return dedup.line_dedup(docs, max_doc_freq=LINE_MAX_DF)
+
+
+_ORACLE_LINE_DEDUP = f"""
+WITH d AS (SELECT doc_id,
+             regexp_split_to_array(text, chr(10)) AS ls
+           FROM read_parquet('{LINE_DOCS_GLOB}')),
+l AS (SELECT doc_id, unnest(ls) AS line FROM d),
+hot AS (SELECT line FROM l GROUP BY line
+        HAVING count(DISTINCT doc_id) > {LINE_MAX_DF}),
+hotl AS (SELECT coalesce(list(line), []::VARCHAR[]) AS hl FROM hot)
+SELECT doc_id,
+       array_to_string(list_filter(ls, x -> NOT list_contains(hl, x)),
+                       chr(10)) AS clean_text,
+       len(ls)::BIGINT AS n_lines,
+       len(list_filter(ls, x -> NOT list_contains(hl, x)))::BIGINT
+           AS n_kept
+FROM d, hotl
+"""
+
+CONTAM_N = 8
+
+
+def q_contamination_8gram(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every (training doc, eval item) pair
+    sharing an 8-gram, with the item's overlap fraction
+    (ops/contamination.py — distinct-gram explode on both sides, eval
+    side broadcast, training payload never reshuffled). The fixture
+    plants verbatim 10-24-token spans from 40% of items; recovery of
+    exactly those pairs is pinned in test_ops."""
+    ensure_bench_items()
+    docs = _read_parallel(spark, _t(sf_dir, "documents"))
+    bench = _read_parallel(spark, BENCH_ITEMS_GLOB)
+    return contamination.ngram_overlap(docs, bench, n=CONTAM_N)
+
+
+_ORACLE_CONTAM = f"""
+WITH dt AS (SELECT doc_id,
+              regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents),
+bt AS (SELECT bench_id,
+         regexp_split_to_array(lower(trim(question)), '\\s+') AS t
+       FROM read_parquet('{BENCH_ITEMS_GLOB}')),
+dg AS (SELECT DISTINCT doc_id, gm FROM (
+        SELECT doc_id, unnest(CASE WHEN len(t) < {CONTAM_N}
+          THEN []::VARCHAR[]
+          ELSE list_transform(range(1, len(t) - {CONTAM_N - 2}),
+               i -> array_to_string(t[i:i + {CONTAM_N - 1}], ' '))
+          END) AS gm FROM dt)),
+bg AS (SELECT DISTINCT bench_id, gm FROM (
+        SELECT bench_id, unnest(CASE WHEN len(t) < {CONTAM_N}
+          THEN []::VARCHAR[]
+          ELSE list_transform(range(1, len(t) - {CONTAM_N - 2}),
+               i -> array_to_string(t[i:i + {CONTAM_N - 1}], ' '))
+          END) AS gm FROM bt)),
+sz AS (SELECT bench_id, count(*) AS bench_grams FROM bg GROUP BY 1),
+h AS (SELECT d.doc_id, b.bench_id, count(*) AS n_shared
+      FROM dg d JOIN bg b ON d.gm = b.gm GROUP BY 1, 2)
+SELECT h.doc_id, h.bench_id, n_shared::BIGINT AS n_shared,
+       bench_grams::BIGINT AS bench_grams,
+       round(n_shared / bench_grams, 6) AS overlap_frac
+FROM h JOIN sz USING (bench_id)
+"""
+
+
 # -- registry --------------------------------------------------------------------
 
 QUERIES = {
@@ -1702,6 +2042,13 @@ QUERIES = {
     "web_domain_join_salted": q_web_domain_join_salted,
     "web_domain_join_aqe": q_web_domain_join_aqe,
     "web_kind_rollup": q_web_kind_rollup,
+    "web_url_dedup": q_web_url_dedup,
+    "web_domain_cap": q_web_domain_cap,
+    "ts_repetition": q_ts_repetition,
+    "corpus_pack_plan": q_corpus_pack_plan,
+    "pii_scrub": q_pii_scrub,
+    "dedup_lines": q_dedup_lines,
+    "contamination_8gram": q_contamination_8gram,
     "evt_sessionize": q_evt_sessionize,
     "evt_hourly_windows": q_evt_hourly_windows,
     "evt_asof_click": q_evt_asof_click,
@@ -1812,6 +2159,13 @@ ORACLES = {
     "web_domain_join_salted": _ORACLE_DOMAIN_JOIN,
     "web_domain_join_aqe": _ORACLE_DOMAIN_JOIN,
     "web_kind_rollup": _ORACLE_KIND_ROLLUP,
+    "web_url_dedup": _ORACLE_URL_DEDUP,
+    "web_domain_cap": _ORACLE_DOMAIN_CAP,
+    "ts_repetition": _ORACLE_TS_REPETITION,
+    "corpus_pack_plan": _ORACLE_PACK_PLAN,
+    "pii_scrub": _ORACLE_PII,
+    "dedup_lines": _ORACLE_LINE_DEDUP,
+    "contamination_8gram": _ORACLE_CONTAM,
     "evt_sessionize": _ORACLE_SESSIONIZE,
     "evt_hourly_windows": _ORACLE_EVT_WINDOWS,
     "evt_asof_click": _ORACLE_ASOF,

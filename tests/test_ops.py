@@ -435,3 +435,241 @@ def test_zipf_corpus_statistics_and_langid(spark):
     stats = with_text_stats(docs).select("lang", "lang_pred")
     agree = stats.where(F.col("lang") == F.col("lang_pred")).count()
     assert agree / N_ZIPF_DOCS >= 0.95, agree / N_ZIPF_DOCS
+
+
+def test_canonical_url_cases(spark):
+    """Hand-pinned canonicalization table: each case isolates one
+    normalization rule (case, default port, fragment, tracking params
+    with separator cleanup, trailing slash, root-path keep)."""
+    from extract_kit_spark.ops.weburl import canonical_url
+    cases = [
+        ("HTTPS://ExAmPle.COM:443/Path/X?id=1#frag",
+         "https://example.com/Path/X?id=1"),
+        ("http://a.com:80/p", "http://a.com/p"),
+        ("https://a.com/p?utm_source=x&id=2&fbclid=y",
+         "https://a.com/p?id=2"),
+        ("https://a.com/p?utm_campaign=c", "https://a.com/p"),
+        ("https://a.com/p/", "https://a.com/p"),
+        ("https://a.com/", "https://a.com/"),
+        ("https://a.com/p?gclid=g&utm_x=1", "https://a.com/p"),
+        ("https://a.com:8443/p", "https://a.com:8443/p"),
+        ("https://a.com/P?ID=3", "https://a.com/P?ID=3"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in
+           df.select(canonical_url(F.col("url"))).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_groups_all_variants(spark):
+    """Every fixture url-log group collapses to ONE canonical row
+    whose variant count equals the group's generated size, and the
+    canonical carries the group's min raw url / min ts."""
+    from extract_kit_spark.fixtures import gen_url_log_row
+    from extract_kit_spark.ops.weburl import url_dedup
+    rows = [r for r in (gen_url_log_row(i) for i in range(400)) if r]
+    df = spark.createDataFrame(rows)
+    out = url_dedup(df).collect()
+    # group count: variants of group g differ only by removable noise
+    n_groups = len({i // 4 for i in range(400)
+                    if gen_url_log_row(i) is not None})
+    assert len(out) == n_groups
+    by_sz = {}
+    for r in out:
+        by_sz[r["n_variants"]] = by_sz.get(r["n_variants"], 0) + 1
+        assert r["canonical_url"].startswith("https://")
+        assert "#" not in r["canonical_url"]
+        assert "utm_" not in r["canonical_url"]
+        assert "fbclid" not in r["canonical_url"]
+    assert set(by_sz) == {1, 2, 3, 4}  # 1..4 variants all occur
+
+
+def test_domain_cap_equals_naive_window(spark):
+    """The salted two-phase rank is row-identical to the naive single
+    window — on a skewed input (one domain owns half the rows) and at
+    several salt counts including n_salts=1 (degenerate = naive)."""
+    import datetime as dt
+    from pyspark.sql import Window
+    from extract_kit_spark.ops.weburl import domain_cap
+    from extract_kit_spark.ops.webstats import domain_of
+    base = dt.datetime(2025, 1, 1)
+    rows = []
+    for i in range(300):
+        dom = "hot.com" if i % 2 == 0 else f"d{i % 7}.com"
+        rows.append((f"https://{dom}/p{i:04d}",
+                     base + dt.timedelta(seconds=(i * 37) % 301)))
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp")
+    w = Window.partitionBy("domain").orderBy(
+        F.col("warc_ts").asc(), F.col("url").asc())
+    naive = (df.select("url", "warc_ts",
+                       domain_of(F.col("url")).alias("domain"))
+             .withColumn("rank_in_domain",
+                         F.row_number().over(w).cast("long"))
+             .where(F.col("rank_in_domain") <= 5)
+             .select("url", "domain", "warc_ts", "rank_in_domain"))
+    want = sorted(map(tuple, naive.collect()))
+    for n_salts in (1, 4, 16):
+        got = sorted(map(tuple,
+                         domain_cap(df, k=5, n_salts=n_salts).collect()))
+        assert got == want, n_salts
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Pinned values on tiny hand-built docs: a pure repeat, natural
+    prose, and a one-token edge case."""
+    from extract_kit_spark.ops.textstats import repetition_stats
+    docs = spark.createDataFrame(
+        [(1, "buy now buy now buy now"),
+         (2, "the cat sat. the cat sat. dogs bark loud."),
+         (3, "word")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    # doc 1: one sentence, grams = [buy now, now buy, buy now, now buy,
+    # buy now] -> top share 3/5
+    assert got[1]["n_sents"] == 1
+    assert got[1]["dup_sent_frac"] == 0.0
+    assert got[1]["top_bigram_share"] == 0.6
+    # doc 2: sentences [the cat sat, the cat sat, dogs bark loud.] ->
+    # normalized dup 1/3; grams: "the cat"x2, "cat sat"x2, "sat the",
+    # "sat dogs", "dogs bark", "bark loud" of 8 -> 0.25
+    assert got[2]["n_sents"] == 3
+    assert got[2]["dup_sent_frac"] == round(1 - 2 / 3, 6)
+    assert got[2]["top_bigram_share"] == 0.25
+    # doc 3: no bigrams -> share 0
+    assert got[3]["top_bigram_share"] == 0.0
+
+
+def test_rep_corpus_separates_template_docs(spark):
+    """On the repetition fixture, the signals actually separate the
+    classes: template docs (source='template') must score high on
+    dup_sent_frac, natural zipf docs near zero — so a gate at 0.3
+    classifies ≥95% of both sides correctly."""
+    from extract_kit_spark.ops.textstats import repetition_stats
+    from extract_kit_spark.queries import (REP_DOCS_GLOB, ensure_rep_docs)
+    ensure_rep_docs()
+    docs = spark.read.parquet(REP_DOCS_GLOB)
+    j = (repetition_stats(docs)
+         .join(docs.select("doc_id", "source"), "doc_id"))
+    agg = (j.groupBy("source")
+           .agg(F.avg((F.col("dup_sent_frac") > 0.3).cast("int"))
+                .alias("frac_flagged")).collect())
+    flagged = {r["source"]: r["frac_flagged"] for r in agg}
+    assert flagged["template"] >= 0.95, flagged
+    assert flagged["natural"] <= 0.05, flagged
+
+
+def test_pack_plan_invariants(spark):
+    """Packing-plan contract: per stream, offsets are the exact
+    prefix sums of token counts in doc_id order (gapless, no
+    overlap); pack_id = offset // budget; the whole plan is
+    partitioning-independent (2 vs 32 partitions, same rows)."""
+    from extract_kit_spark.ops.corpus import pack_plan
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = pack_plan(docs, budget=512, n_streams=8)
+    rows = plan.collect()
+    assert len(rows) == docs.count()
+    by_stream = {}
+    for r in rows:
+        by_stream.setdefault(r["stream"], []).append(r)
+    assert set(by_stream) == set(range(8))
+    for s, rs in by_stream.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        run = 0
+        for r in rs:
+            assert r["pack_offset"] == run, (s, r)
+            assert r["pack_id"] == run // 512
+            assert r["n_tokens"] > 0
+            run += r["n_tokens"]
+    again = sorted(map(tuple, pack_plan(
+        docs.repartition(2), budget=512, n_streams=8).collect()))
+    assert again == sorted(map(tuple, rows))
+
+
+def test_pii_scrub_finds_exactly_the_injections(spark):
+    """The PII fixture carries ground-truth injection counts per doc;
+    the scrubber must recover EXACTLY those (the corpus has no
+    accidental digits/addresses), and the clean text must contain no
+    residual matches (idempotence: scrub(scrub(x)) == scrub(x))."""
+    from extract_kit_spark.ops.pii import scrub
+    from extract_kit_spark.queries import (PII_DOCS_GLOB,
+                                           ensure_pii_docs)
+    ensure_pii_docs()
+    docs = spark.read.parquet(PII_DOCS_GLOB)
+    got = scrub(docs).join(
+        docs.select("doc_id", "n_emails_true", "n_phones_true",
+                    "n_ips_true"), "doc_id")
+    bad = got.where(
+        (F.col("n_emails") != F.col("n_emails_true"))
+        | (F.col("n_phones") != F.col("n_phones_true"))
+        | (F.col("n_ips") != F.col("n_ips_true"))).count()
+    assert bad == 0
+    rescrub = scrub(got.select("doc_id",
+                               F.col("clean_text").alias("text")))
+    residual = rescrub.where(
+        (F.col("n_emails") > 0) | (F.col("n_phones") > 0)
+        | (F.col("n_ips") > 0)).count()
+    assert residual == 0
+    # masks actually present where counts say so
+    n_masked = got.where(F.col("clean_text").contains("<EMAIL>")
+                         != (F.col("n_emails") > 0)).count()
+    assert n_masked == 0
+
+
+def test_line_dedup_removes_exactly_boilerplate(spark):
+    """On the newline corpus, line_dedup must delete every occurrence
+    of the 6 pooled boilerplate lines and NOTHING else (natural lines
+    carry per-doc unique suffixes, so they can't cross the doc-freq
+    threshold): clean docs byte-equal the fixture text minus pool
+    lines, order preserved."""
+    from extract_kit_spark.fixtures import (gen_line_doc,
+                                            N_BOILER_LINES,
+                                            _boiler_line)
+    from extract_kit_spark.ops.dedup import line_dedup
+    from extract_kit_spark.queries import (LINE_DOCS_GLOB, N_LINE_DOCS,
+                                           ensure_line_docs)
+    ensure_line_docs()
+    pool = {_boiler_line(k) for k in range(N_BOILER_LINES)}
+    docs = spark.read.parquet(LINE_DOCS_GLOB)
+    got = {r["doc_id"]: r for r in
+           line_dedup(docs, max_doc_freq=2).collect()}
+    assert len(got) == N_LINE_DOCS
+    n_changed = 0
+    for i in range(N_LINE_DOCS):
+        lines = gen_line_doc(i)["text"].split("\n")
+        want = [ln for ln in lines if ln not in pool]
+        r = got[i]
+        assert r["clean_text"] == "\n".join(want), i
+        assert r["n_lines"] == len(lines)
+        assert r["n_kept"] == len(want)
+        n_changed += len(want) != len(lines)
+    assert n_changed > N_LINE_DOCS * 0.4  # the signal is real
+
+
+def test_contamination_recovers_planted_spans(spark):
+    """Every bench item built from a document span (>= 8 tokens) must
+    surface as a pair with its source doc; fresh items ('q'-prefixed
+    vocabulary) must match nothing. Verbatim-substring items must
+    reach overlap_frac 1.0. The hash_grams production path returns
+    the identical pair set."""
+    from extract_kit_spark.ops.contamination import ngram_overlap
+    from extract_kit_spark.queries import (BENCH_ITEMS_GLOB,
+                                           ensure_bench_items)
+    ensure_bench_items()
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    bench = spark.read.parquet(BENCH_ITEMS_GLOB)
+    out = ngram_overlap(docs, bench, n=8).collect()
+    pairs = {(r["doc_id"], r["bench_id"]) for r in out}
+    truth = {(r["from_doc"], r["bench_id"])
+             for r in bench.select("from_doc", "bench_id").collect()
+             if r["from_doc"] >= 0}
+    assert truth <= pairs  # every planted span recovered...
+    fresh = {r["bench_id"]
+             for r in bench.where("from_doc < 0").collect()}
+    assert not {b for _, b in pairs} & fresh  # ...and no fresh item
+    full = {r["bench_id"] for r in out if r["overlap_frac"] == 1.0}
+    assert len(full) >= len(truth) * 0.9  # planted spans are verbatim
+    hashed = ngram_overlap(docs, bench, n=8, hash_grams=True).collect()
+    assert {(r["doc_id"], r["bench_id"], r["n_shared"])
+            for r in hashed} == {
+        (r["doc_id"], r["bench_id"], r["n_shared"]) for r in out}
