@@ -318,6 +318,66 @@ def write_bench_md(extraction: dict, scaling: dict,
     best_q = (hist or {}).get("queries", {})
     for name, sec in queries.items():
         lines.append(f"| {name} | {sec} | {best_q.get(name, sec)} |")
+    stress_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "STRESS.json")
+    if os.path.exists(stress_path):
+        with open(stress_path) as f:
+            st = json.load(f)
+        cc, pd_, pf = (st.get("direct_cc", {}),
+                       st.get("pipeline_distributed", {}),
+                       st.get("pipeline_driver_finish", {}))
+        sh = st.get("shuffle", {})
+        lines += [
+            "",
+            "## Scale/skew stress (STRESS.json — `python "
+            "stress_scale.py`, local[%s])" % st.get("cpus", "?"),
+            "",
+            "Adversarial 400k-doc corpus: a 10k-doc EXACT-duplicate "
+            "mega-cluster (one hot fingerprint key), 7,500 4-doc "
+            "near-dup star clusters (the Jaccard pair graph + "
+            "connected components), mixed-quality/lang unique tail. "
+            "Survivor accounting is asserted EXACTLY (1 hot survivor, "
+            "7,500 near survivors) so a silent wrong answer can't "
+            "pass as a perf number.",
+            "",
+            "| experiment | wall (s) | CC path | CC rounds | edges |",
+            "|---|---|---|---|---|",
+            "| curate_near 400k (driver-finish CC) | %s | %s | %s | %s |"
+            % (pf.get("wall_s"), pf.get("cc", {}).get("path"),
+               pf.get("cc", {}).get("rounds"),
+               pf.get("cc", {}).get("n_edges")),
+            "| curate_near 400k (forced distributed CC) | %s | %s | %s "
+            "| %s |"
+            % (pd_.get("wall_s"), pd_.get("cc", {}).get("path"),
+               pd_.get("cc", {}).get("rounds"),
+               pd_.get("cc", {}).get("n_edges")),
+            "| direct CC: 10k-diameter chain + 1M 2-cliques "
+            "(distributed, default bound) | %s | distributed | %s | %s |"
+            % (cc.get("distributed", {}).get("wall_s"),
+               cc.get("distributed", {}).get("rounds"),
+               cc.get("distributed", {}).get("n_edges")),
+            "| direct CC: same graph, driver union-find finish | %s | "
+            "local | — | %s |"
+            % (cc.get("driver_finish", {}).get("wall_s"),
+               cc.get("driver_finish", {}).get("n_edges")),
+            "",
+            "- pointer-jumping round bound holds at scale: %s rounds "
+            "on a diameter-10,000 chain ≤ log2(10^4)+2 ≈ 15.3 "
+            "(pinned in stress_scale.py and test_ops.py)"
+            % cc.get("distributed", {}).get("rounds"),
+            "- the bounded driver finish earns its place: %ss vs %ss "
+            "distributed on the same 2.02M-edge graph — and the "
+            "distributed loop remains correct and log-bounded when "
+            "the graph exceeds the driver bound"
+            % (cc.get("driver_finish", {}).get("wall_s"),
+               cc.get("distributed", {}).get("wall_s")),
+            "- shuffle footprint across the whole stress app: "
+            "%s MB written total, largest single stage %s MB — the "
+            "pair graph (90k edges) stays tiny relative to the corpus,"
+            " exactly the intended scale shape"
+            % (sh.get("shuffle_write_total_mb"),
+               sh.get("shuffle_write_max_stage_mb")),
+        ]
     lines += [
         "",
         "## Plan hygiene (asserted by tests/test_plans.py)",
@@ -339,9 +399,12 @@ def write_bench_md(extraction: dict, scaling: dict,
 
 HEADLINE = ("ext_invoice_fields", "ext_pdf_invoice_fields",
             "ext_pdf_receipt_fields", "web_domain_stats",
-            "web_domain_join_salted", "web_kind_rollup", "ts_stats",
-            "ts_tfidf_topk", "ts_tfidf_zipf",
+            "web_domain_join_salted", "web_kind_rollup",
+            "web_url_dedup", "web_domain_cap", "ts_stats",
+            "ts_tfidf_topk", "ts_tfidf_zipf", "ts_repetition",
             "corpus_split", "corpus_curate", "corpus_curate_near",
+            "corpus_pack_plan", "pii_scrub", "dedup_lines",
+            "contamination_8gram",
             "dedup_exact", "dedup_jaccard", "dedup_clusters",
             "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
             "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "mm_media_meta",
