@@ -1388,27 +1388,21 @@ def write_line_docs_dir(path: str, n: int, n_files: int = 8,
 
 # ---------------------------------------------------------------------------
 # Benchmark-items table (r4): eval items for decontamination testing.
-# 40% of items copy a contiguous 10-24-token span out of a driver
-# `documents` row (CONTAMINATED — the docs table is identical across
-# the sf dirs, so items built from the committed sf0.001 copy match
-# whichever sf dir a query runs against); the rest are fresh zipf
-# text sharing no 8-gram with any document.
+# 40% of items copy a contiguous 10-24-token span out of a Zipf-corpus
+# document (CONTAMINATED — the zipf corpus is a pure function of the
+# seed, so items match the corpus at every scale factor; the driver
+# `documents` table is NOT usable here because its content differs
+# between sf dirs); the rest are fresh text sharing no 8-gram with
+# any document.
 # ---------------------------------------------------------------------------
 
-def gen_bench_items(n: int, seed: int = SEED,
-                    docs_parquet: str =
-                    "/root/testdata/sf0.001/documents.parquet") -> list:
-    import pyarrow.parquet as pq
-    texts = pq.read_table(docs_parquet, columns=["doc_id", "text"]
-                          ).to_pydict()
-    by_id = dict(zip(texts["doc_id"], texts["text"]))
-    ids = sorted(by_id)
+def gen_bench_items(n: int, n_docs: int, seed: int = SEED) -> list:
     items = []
     for i in range(n):
         rng = random.Random(f"{seed}:bench:{i}")
         if rng.random() < 0.4:
-            src = ids[rng.randrange(len(ids))]
-            toks = by_id[src].split()
+            src = rng.randrange(n_docs)
+            toks = gen_zipf_doc(src, seed=seed)["text"].split()
             span = rng.randint(10, min(24, len(toks)))
             lo = rng.randrange(len(toks) - span + 1)
             text, from_doc = " ".join(toks[lo:lo + span]), src
@@ -1425,13 +1419,13 @@ def gen_bench_items(n: int, seed: int = SEED,
     return items
 
 
-def write_bench_items_dir(path: str, n: int, n_files: int = 4,
-                          seed: int = SEED) -> None:
+def write_bench_items_dir(path: str, n: int, n_docs: int,
+                          n_files: int = 4, seed: int = SEED) -> None:
     import os
     import pyarrow as pa
     import pyarrow.parquet as pq
     os.makedirs(path, exist_ok=True)
-    rows = gen_bench_items(n, seed)
+    rows = gen_bench_items(n, n_docs, seed)
     per = -(-n // n_files)
     cols = ("bench_id", "question", "from_doc")
     for f in range(n_files):

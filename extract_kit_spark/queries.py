@@ -1861,7 +1861,7 @@ LINE_DOCS_PATH = f"/tmp/ekspark_linedocs_v1_{N_LINE_DOCS}"
 LINE_DOCS_GLOB = f"{LINE_DOCS_PATH}/*.parquet"
 
 N_BENCH_ITEMS = 400
-BENCH_ITEMS_PATH = f"/tmp/ekspark_benchitems_v1_{N_BENCH_ITEMS}"
+BENCH_ITEMS_PATH = f"/tmp/ekspark_benchitems_v2_{N_BENCH_ITEMS}"
 BENCH_ITEMS_GLOB = f"{BENCH_ITEMS_PATH}/*.parquet"
 
 
@@ -1890,7 +1890,7 @@ def ensure_bench_items(path: str = BENCH_ITEMS_PATH,
     from .fixtures import write_bench_items_dir
     if not os.path.isdir(path):
         tmp = path + ".tmp"
-        write_bench_items_dir(tmp, n, n_files=4)
+        write_bench_items_dir(tmp, n, n_docs=N_ZIPF_DOCS, n_files=4)
         os.replace(tmp, path)
     return path
 
@@ -1968,11 +1968,15 @@ def q_contamination_8gram(spark: SparkSession,
     """Benchmark decontamination: every (training doc, eval item) pair
     sharing an 8-gram, with the item's overlap fraction
     (ops/contamination.py — distinct-gram explode on both sides, eval
-    side broadcast, training payload never reshuffled). The fixture
-    plants verbatim 10-24-token spans from 40% of items; recovery of
-    exactly those pairs is pinned in test_ops."""
+    side broadcast, training payload never reshuffled). Runs over the
+    Zipf corpus (both the corpus and the planted 10-24-token eval
+    spans are pure functions of the seed, so the signal exists at any
+    sf; the driver documents table differs between sf dirs and can't
+    anchor cross-sf goldens). Recovery of exactly the planted pairs is
+    pinned in test_ops."""
+    ensure_zipf_docs()
     ensure_bench_items()
-    docs = _read_parallel(spark, _t(sf_dir, "documents"))
+    docs = _read_parallel(spark, ZIPF_DOCS_GLOB)
     bench = _read_parallel(spark, BENCH_ITEMS_GLOB)
     return contamination.ngram_overlap(docs, bench, n=CONTAM_N)
 
@@ -1980,7 +1984,7 @@ def q_contamination_8gram(spark: SparkSession,
 _ORACLE_CONTAM = f"""
 WITH dt AS (SELECT doc_id,
               regexp_split_to_array(lower(trim(text)), '\\s+') AS t
-            FROM documents),
+            FROM read_parquet('{ZIPF_DOCS_GLOB}')),
 bt AS (SELECT bench_id,
          regexp_split_to_array(lower(trim(question)), '\\s+') AS t
        FROM read_parquet('{BENCH_ITEMS_GLOB}')),

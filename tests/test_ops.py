@@ -653,10 +653,12 @@ def test_contamination_recovers_planted_spans(spark):
     the identical pair set."""
     from extract_kit_spark.ops.contamination import ngram_overlap
     from extract_kit_spark.queries import (BENCH_ITEMS_GLOB,
-                                           ensure_bench_items)
+                                           ZIPF_DOCS_GLOB,
+                                           ensure_bench_items,
+                                           ensure_zipf_docs)
+    ensure_zipf_docs()
     ensure_bench_items()
-    docs = spark.read.parquet(
-        "/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(ZIPF_DOCS_GLOB)
     bench = spark.read.parquet(BENCH_ITEMS_GLOB)
     out = ngram_overlap(docs, bench, n=8).collect()
     pairs = {(r["doc_id"], r["bench_id"]) for r in out}
