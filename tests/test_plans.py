@@ -208,3 +208,67 @@ def test_replay_pages_broadcasts_quarantine_keys(spark):
     # every Exchange in the plan is the post-join window shuffle
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange <= 1
+
+
+def test_url_dedup_shuffles_skinny_only(spark):
+    """Url dedup: no Python node, and exactly ONE hash Exchange — the
+    groupBy(canonical_url) — so at scale the only shuffled bytes are
+    (canonical, url, ts)."""
+    from extract_kit_spark.queries import ensure_url_log
+    ensure_url_log()
+    plan = _plan(QUERIES["web_url_dedup"](spark, SF_DIR))
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    # formatted explain lists each Exchange's partitioning in its
+    # Arguments detail: exactly one hash shuffle
+    assert plan.count("hashpartitioning(") == 1
+
+
+def test_pii_scrub_is_single_pass_jvm(spark):
+    """PII scrub: a pure projection — zero Exchange, zero Python."""
+    from extract_kit_spark.queries import ensure_pii_docs
+    ensure_pii_docs()
+    plan = _plan(QUERIES["pii_scrub"](spark, SF_DIR))
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    assert "hashpartitioning(" not in plan
+
+
+def test_pack_plan_single_stream_shuffle(spark):
+    """Packing plan: one hash Exchange (by stream) feeding the
+    running-sum window; everything else rides the scan."""
+    plan = _plan(QUERIES["corpus_pack_plan"](spark, SF_DIR))
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    assert "Window" in plan
+    assert plan.count("hashpartitioning(") == 1
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    """Decontamination: the eval-item gram side and the per-item gram
+    counts meet the corpus through BroadcastHashJoins — the training
+    gram stream is never sort-merge shuffled."""
+    from extract_kit_spark.queries import ensure_bench_items
+    ensure_bench_items()
+    plan = _plan(QUERIES["contamination_8gram"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Join type: Inner") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_lines_anti_join_no_python(spark):
+    """Line dedup: boilerplate removal is a LEFT ANTI equality join;
+    no Python node anywhere."""
+    from extract_kit_spark.queries import ensure_line_docs
+    ensure_line_docs()
+    plan = _plan(QUERIES["dedup_lines"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "InPandas" not in plan and "EvalPython" not in plan
+
+
+def test_domain_cap_salted_window_first(spark):
+    """Per-domain cap: the first (heavy) rank runs over
+    (domain, __salt) so a hot domain is spread across reducers; the
+    global rank only sees the pruned superset."""
+    from extract_kit_spark.queries import ensure_url_log
+    ensure_url_log()
+    plan = _plan(QUERIES["web_domain_cap"](spark, SF_DIR))
+    assert "__salt" in plan
+    assert "InPandas" not in plan and "EvalPython" not in plan
