@@ -1435,3 +1435,44 @@ def write_bench_items_dir(path: str, n: int, n_docs: int,
         part = rows[lo:hi]
         tbl = pa.table({c: [r[c] for r in part] for c in cols})
         pq.write_table(tbl, os.path.join(path, f"part-{f:04d}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Second crawl snapshot (r4): the same pages table one crawl cycle
+# later — a deterministic per-url fate: every 20th page is GONE,
+# every 10th (surviving) page CHANGED (payload grows a revision
+# marker; extraction semantics irrelevant — the diff op compares
+# digests), a 5% tail of new urls ADDED, everything else byte-equal
+# with a later fetch timestamp.
+# ---------------------------------------------------------------------------
+
+def gen_page_v2(i: int, seed: int = SEED) -> "dict | None":
+    if i % 20 == 7:
+        return None  # gone
+    r = gen_page(i, seed)
+    r["warc_ts"] = r["warc_ts"] + _dt.timedelta(days=30)
+    if i % 10 == 3:
+        r["html"] = r["html"] + b"<!-- rev2 -->"
+    return r
+
+
+def write_pages_v2_dir(path: str, n: int, n_files: int = 8,
+                       seed: int = SEED) -> None:
+    """Snapshot-2 twin of write_pages_dir: rows 0..n get their v2
+    fate; rows n..n+n//20 are newly discovered urls."""
+    import os
+    import pyarrow.parquet as pq
+    os.makedirs(path, exist_ok=True)
+    total = n + n // 20
+    per = -(-total // n_files)
+    for f in range(n_files):
+        lo, hi = f * per, min((f + 1) * per, total)
+        if lo >= hi:
+            break
+        rows = []
+        for i in range(lo, hi):
+            r = gen_page_v2(i, seed) if i < n else gen_page(i, seed)
+            if r is not None:
+                rows.append(r)
+        pq.write_table(_rows_to_arrow(rows),
+                       os.path.join(path, f"part-{f:04d}.parquet"))

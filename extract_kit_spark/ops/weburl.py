@@ -88,3 +88,38 @@ def domain_cap(df: DataFrame, k: int = 5, url_col: str = "url",
                         F.row_number().over(w2).cast("long"))
             .where(F.col("rank_in_domain") <= k)
             .select(url_col, "domain", ts_col, "rank_in_domain"))
+
+
+def crawl_diff(old: DataFrame, new: DataFrame, url_col: str = "url",
+               payload_col: str = "html",
+               ts_col: str = "warc_ts") -> DataFrame:
+    """Incremental-crawl snapshot diff: one row per url across two
+    crawl snapshots, labeled ``added`` / ``gone`` / ``changed`` /
+    ``unchanged`` (content compared by digest), with both snapshots'
+    timestamps. This is the pass that turns "recrawl everything" into
+    "re-extract the changed 3%" — at 10^12 urls the single biggest
+    cost lever an incremental pipeline has.
+
+    Scale shape: the payload is digested MAP-SIDE (md5 over the hex
+    of the bytes, before any shuffle), so the full-outer join moves
+    only (url, digest, ts) — never page bytes; when both snapshots
+    are stored bucketed by url the join plans with zero Exchange
+    (pipeline.py's bucketed layout). The hex detour keeps the digest
+    reproducible in engines whose md5 is VARCHAR-only (the DuckDB
+    oracle runs the literal same composition)."""
+    o = old.select(
+        F.col(url_col),
+        F.md5(F.hex(F.col(payload_col))).alias("__h_old"),
+        F.col(ts_col).alias("ts_old"))
+    n = new.select(
+        F.col(url_col),
+        F.md5(F.hex(F.col(payload_col))).alias("__h_new"),
+        F.col(ts_col).alias("ts_new"))
+    status = (F.when(F.col("__h_old").isNull(), F.lit("added"))
+              .when(F.col("__h_new").isNull(), F.lit("gone"))
+              .when(F.col("__h_old") != F.col("__h_new"),
+                    F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    return (o.join(n, url_col, "full_outer")
+            .select(url_col, status.alias("status"), "ts_old",
+                    "ts_new"))

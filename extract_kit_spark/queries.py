@@ -2010,6 +2010,48 @@ FROM h JOIN sz USING (bench_id)
 """
 
 
+PAGES_V2_PATH = f"/tmp/ekspark_pages_v2snap_{N_PAGES}"
+PAGES_V2_GLOB = f"{PAGES_V2_PATH}/*.parquet"
+
+
+def ensure_pages_v2(path: str = PAGES_V2_PATH,
+                    n: int = N_PAGES) -> str:
+    from .fixtures import write_pages_v2_dir
+    if not os.path.isdir(path):
+        tmp = path + ".tmp"
+        write_pages_v2_dir(tmp, n, n_files=8)
+        os.replace(tmp, path)
+    return path
+
+
+def q_web_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl snapshot diff over the pages table and its
+    one-cycle-later twin (deterministic per-url fates: 5% gone, ~9%
+    changed, 5% added): the pass that shrinks a 10^12-url recrawl to
+    re-extracting only the changed slice. Payloads are digested
+    map-side; the full-outer join moves (url, digest, ts) only."""
+    ensure_pages()
+    ensure_pages_v2()
+    old = _read_parallel(spark, PAGES_GLOB)
+    new = _read_parallel(spark, PAGES_V2_GLOB)
+    return weburl.crawl_diff(old, new)
+
+
+_ORACLE_CRAWL_DIFF = f"""
+WITH o AS (SELECT url, md5(hex(html)) AS h, warc_ts
+           FROM read_parquet('{PAGES_GLOB}')),
+nw AS (SELECT url, md5(hex(html)) AS h, warc_ts
+       FROM read_parquet('{PAGES_V2_GLOB}'))
+SELECT coalesce(o.url, nw.url) AS url,
+       CASE WHEN o.url IS NULL THEN 'added'
+            WHEN nw.url IS NULL THEN 'gone'
+            WHEN o.h != nw.h THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       o.warc_ts AS ts_old, nw.warc_ts AS ts_new
+FROM o FULL OUTER JOIN nw ON o.url = nw.url
+"""
+
+
 # -- registry --------------------------------------------------------------------
 
 QUERIES = {
@@ -2053,6 +2095,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "dedup_lines": q_dedup_lines,
     "contamination_8gram": q_contamination_8gram,
+    "web_crawl_diff": q_web_crawl_diff,
     "evt_sessionize": q_evt_sessionize,
     "evt_hourly_windows": q_evt_hourly_windows,
     "evt_asof_click": q_evt_asof_click,
@@ -2170,6 +2213,7 @@ ORACLES = {
     "pii_scrub": _ORACLE_PII,
     "dedup_lines": _ORACLE_LINE_DEDUP,
     "contamination_8gram": _ORACLE_CONTAM,
+    "web_crawl_diff": _ORACLE_CRAWL_DIFF,
     "evt_sessionize": _ORACLE_SESSIONIZE,
     "evt_hourly_windows": _ORACLE_EVT_WINDOWS,
     "evt_asof_click": _ORACLE_ASOF,

@@ -675,3 +675,34 @@ def test_contamination_recovers_planted_spans(spark):
     assert {(r["doc_id"], r["bench_id"], r["n_shared"])
             for r in hashed} == {
         (r["doc_id"], r["bench_id"], r["n_shared"]) for r in out}
+
+
+def test_crawl_diff_statuses_match_planted_fates(spark):
+    """The v2 snapshot plants deterministic per-url fates; crawl_diff
+    must label every url exactly: i%20==7 gone, else i%10==3 changed,
+    i>=N added, rest unchanged — and cardinality is |v1 ∪ v2| urls."""
+    from extract_kit_spark.queries import (PAGES_GLOB, PAGES_V2_GLOB,
+                                           N_PAGES, ensure_pages,
+                                           ensure_pages_v2)
+    from extract_kit_spark.ops.weburl import crawl_diff
+    from extract_kit_spark.fixtures import gen_page
+    ensure_pages()
+    ensure_pages_v2()
+    old = spark.read.parquet(PAGES_GLOB)
+    new = spark.read.parquet(PAGES_V2_GLOB)
+    got = {r["url"]: r for r in crawl_diff(old, new).collect()}
+    n_added = N_PAGES // 20
+    assert len(got) == N_PAGES + n_added
+    for i in range(N_PAGES + n_added):
+        r = got[gen_page(i)["url"]]
+        if i >= N_PAGES:
+            want = "added"
+        elif i % 20 == 7:
+            want = "gone"
+        elif i % 10 == 3:
+            want = "changed"
+        else:
+            want = "unchanged"
+        assert r["status"] == want, (i, r)
+        assert (r["ts_old"] is None) == (want == "added")
+        assert (r["ts_new"] is None) == (want == "gone")
