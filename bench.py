@@ -404,7 +404,8 @@ HEADLINE = ("ext_invoice_fields", "ext_pdf_invoice_fields",
             "ts_tfidf_topk", "ts_tfidf_zipf", "ts_repetition",
             "corpus_split", "corpus_curate", "corpus_curate_near",
             "corpus_pack_plan", "pii_scrub", "dedup_lines",
-            "contamination_8gram",
+            "contamination_8gram", "web_crawl_diff",
+            "corpus_mixture_sample",
             "dedup_exact", "dedup_jaccard", "dedup_clusters",
             "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
             "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "mm_media_meta",

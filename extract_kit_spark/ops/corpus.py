@@ -146,3 +146,49 @@ def curate(df: DataFrame, min_quality: float = 0.5,
     return (deterministic_split(deduped, id_col, salt)
             .select(F.col(id_col), "n_tokens", "quality_score",
                     "lang_pred", "bucket", "split"))
+
+
+def mixture_sample(df: DataFrame, weights: dict[str, float],
+                   total_tokens: int, source_col: str = "source",
+                   id_col: str = "doc_id", text_col: str = "text",
+                   salt: str = "mix-v1:") -> DataFrame:
+    """Deterministic pretraining-mixture sampling: given target
+    mixture ``weights`` per source and a ``total_tokens`` budget,
+    keep each source's documents at rate
+    ``min(1, weight_s * total_tokens / tokens_s)`` — the static
+    mixture-reweighting pass (DoReMi-style fixed weights) that turns
+    "we have 60 TB of src A and 2 TB of src B" into the corpus the
+    training recipe actually asked for. Sources absent from
+    ``weights`` are excluded.
+
+    Determinism contract (same as deterministic_split): the keep/drop
+    decision is ``hashed-id bucket < rate·SPLIT_MOD`` — a pure
+    function of (salt, id, corpus token totals), so reruns, retries,
+    engines and cluster sizes agree row-for-row, and raising a
+    source's weight only ADDS documents (nested samples), never
+    reshuffles the ones already chosen.
+
+    Scale shape: one map-side-combined aggregation for the per-source
+    token totals (O(#sources) rows), broadcast back as keep rates;
+    the gate itself is a pure filter riding the scan — no shuffle
+    ever touches the corpus rows."""
+    n_tok = F.size(F.split(F.col(text_col), r"\s+")).cast("long")
+    toks = df.select(
+        F.col(id_col), F.col(source_col), n_tok.alias("n_tokens"),
+        split_bucket(F.col(id_col), salt).alias("bucket"))
+    totals = (toks.groupBy(source_col)
+              .agg(F.sum("n_tokens").alias("src_tokens")))
+    wdf = df.sparkSession.createDataFrame(
+        [(k, float(v)) for k, v in sorted(weights.items())],
+        f"{source_col} string, weight double")
+    rates = (totals.join(wdf, source_col)
+             .select(source_col,
+                     F.least(F.lit(1.0),
+                             F.col("weight") * total_tokens
+                             / F.col("src_tokens"))
+                     .alias("keep_rate")))
+    return (toks.join(F.broadcast(rates), source_col)
+            .where(F.col("bucket")
+                   < F.col("keep_rate") * SPLIT_MOD)
+            .select(id_col, source_col, "n_tokens", "bucket",
+                    F.round("keep_rate", 6).alias("keep_rate")))

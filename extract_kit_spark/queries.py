@@ -2052,6 +2052,47 @@ FROM o FULL OUTER JOIN nw ON o.url = nw.url
 """
 
 
+MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+MIX_BUDGET = 10_000
+
+
+def q_corpus_mixture_sample(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling over the documents table:
+    per-source keep rates min(1, weight·budget / source_tokens), the
+    keep decision a hashed-id bucket compare (never rand()). The
+    chosen weights/budget exercise both regimes: src0/src1 clamp to
+    rate 1.0 (under-weighted corpus smaller than its share), src2/src3
+    subsample; unweighted sources drop entirely."""
+    docs = _read_parallel(spark, _t(sf_dir, "documents"))
+    return corpus.mixture_sample(docs, MIX_WEIGHTS,
+                                 total_tokens=MIX_BUDGET)
+
+
+_MIX_VALUES = ", ".join(f"('{k}', {v})"
+                        for k, v in sorted(MIX_WEIGHTS.items()))
+
+_ORACLE_MIXTURE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(text, '\\s+'))::BIGINT AS n_tokens,
+         (('0x' || substring(md5('mix-v1:' || doc_id::VARCHAR), 1, 8))
+             ::BIGINT % 10000) AS bucket
+  FROM documents),
+s AS (SELECT source, sum(n_tokens) AS src_tokens
+      FROM t GROUP BY 1),
+w(source, weight) AS (VALUES {_MIX_VALUES}),
+r AS (SELECT s.source,
+        least(1.0, w.weight::DOUBLE * {MIX_BUDGET} / s.src_tokens)
+            AS keep_rate
+      FROM s JOIN w USING (source))
+SELECT t.doc_id, t.source, t.n_tokens, t.bucket,
+       round(r.keep_rate, 6) AS keep_rate
+FROM t JOIN r USING (source)
+WHERE t.bucket < r.keep_rate * 10000
+"""
+
+
 # -- registry --------------------------------------------------------------------
 
 QUERIES = {
@@ -2096,6 +2137,7 @@ QUERIES = {
     "dedup_lines": q_dedup_lines,
     "contamination_8gram": q_contamination_8gram,
     "web_crawl_diff": q_web_crawl_diff,
+    "corpus_mixture_sample": q_corpus_mixture_sample,
     "evt_sessionize": q_evt_sessionize,
     "evt_hourly_windows": q_evt_hourly_windows,
     "evt_asof_click": q_evt_asof_click,
@@ -2214,6 +2256,7 @@ ORACLES = {
     "dedup_lines": _ORACLE_LINE_DEDUP,
     "contamination_8gram": _ORACLE_CONTAM,
     "web_crawl_diff": _ORACLE_CRAWL_DIFF,
+    "corpus_mixture_sample": _ORACLE_MIXTURE,
     "evt_sessionize": _ORACLE_SESSIONIZE,
     "evt_hourly_windows": _ORACLE_EVT_WINDOWS,
     "evt_asof_click": _ORACLE_ASOF,

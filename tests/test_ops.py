@@ -706,3 +706,40 @@ def test_crawl_diff_statuses_match_planted_fates(spark):
         assert r["status"] == want, (i, r)
         assert (r["ts_old"] is None) == (want == "added")
         assert (r["ts_new"] is None) == (want == "gone")
+
+
+def test_mixture_sample_rates_and_nesting(spark):
+    """Mixture-sampling contract: (a) clamped sources keep EVERY doc;
+    (b) subsampled sources keep ~rate of docs (bucket uniformity);
+    (c) unweighted sources vanish; (d) raising a weight only ADDS
+    docs (nested samples — the property that makes mixture sweeps
+    reproducible); (e) partitioning-independent."""
+    from extract_kit_spark.ops.corpus import mixture_sample
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    w = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    out = mixture_sample(docs, w, total_tokens=10_000).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) <= set(w)
+    n_docs = {r["source"]: c for (r, c) in
+              [(x, x["n"]) for x in docs.groupBy("source")
+               .agg(F.count("*").alias("n")).collect()]}
+    for s, rows in by_src.items():
+        rate = rows[0]["keep_rate"]
+        if rate == 1.0:
+            assert len(rows) == n_docs[s], s
+        else:
+            # binomial-ish tolerance on 25 docs
+            assert abs(len(rows) / n_docs[s] - rate) < 0.35, (s, rate)
+    assert by_src["src0"][0]["keep_rate"] == 1.0  # clamped
+    assert by_src["src3"][0]["keep_rate"] < 1.0   # subsampled
+    kept_small = {r["doc_id"] for r in out}
+    w2 = dict(w, src3=0.3)  # raise one weight
+    kept_big = {r["doc_id"] for r in mixture_sample(
+        docs, w2, total_tokens=10_000).collect()}
+    assert kept_small <= kept_big
+    again = {r["doc_id"] for r in mixture_sample(
+        docs.repartition(7), w, total_tokens=10_000).collect()}
+    assert again == kept_small
