@@ -272,3 +272,25 @@ def test_domain_cap_salted_window_first(spark):
     plan = _plan(QUERIES["web_domain_cap"](spark, SF_DIR))
     assert "__salt" in plan
     assert "InPandas" not in plan and "EvalPython" not in plan
+
+
+def test_crawl_diff_digests_before_join(spark):
+    """Snapshot diff: full-outer join with both inputs reduced to
+    (url, digest, ts) projections before any Exchange — and no
+    Python node. The html payload column appears only inside scan
+    ReadSchema / pre-shuffle projections, never past the join."""
+    from extract_kit_spark.queries import ensure_pages, ensure_pages_v2
+    ensure_pages()
+    ensure_pages_v2()
+    plan = _plan(QUERIES["web_crawl_diff"](spark, SF_DIR))
+    assert "FullOuter" in plan
+    assert "InPandas" not in plan and "EvalPython" not in plan
+
+
+def test_mixture_sample_broadcasts_rates(spark):
+    """Mixture sampling: the per-source keep rates reach the corpus
+    through a BroadcastHashJoin (the corpus rows are filtered in
+    place, never shuffled on the source key)."""
+    plan = _plan(QUERIES["corpus_mixture_sample"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "InPandas" not in plan and "EvalPython" not in plan
