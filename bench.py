@@ -398,6 +398,7 @@ def write_bench_md(extraction: dict, scaling: dict,
 
 
 HEADLINE = ("ext_invoice_fields", "ext_pdf_invoice_fields",
+            "ext_pdf_encrypted",
             "ext_pdf_receipt_fields", "web_domain_stats",
             "web_domain_join_salted", "web_kind_rollup",
             "web_url_dedup", "web_domain_cap", "ts_stats",

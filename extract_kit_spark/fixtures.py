@@ -1476,3 +1476,73 @@ def write_pages_v2_dir(path: str, n: int, n_files: int = 8,
                 rows.append(r)
         pq.write_table(_rows_to_arrow(rows),
                        os.path.join(path, f"part-{f:04d}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Encrypted-PDF fixture (r4): RC4 standard-security-handler twins of
+# the corpus's PDF pages (owner password set, user password EMPTY —
+# the "owner-locked but world-readable" files that dominate encrypted
+# PDFs in web crawls). Streams are RC4'd per spec Algorithms 1-5; the
+# /Encrypt dict + /ID are spliced into the classic trailer. Applies
+# only to trailer-layout PDFs with direct /Length (all our writers).
+# ---------------------------------------------------------------------------
+
+def pdf_encrypt(payload: bytes, owner_pw: bytes = b"owner",
+                v: int = 2, r: int = 3, length_bits: int = 128,
+                p: int = -44) -> bytes:
+    from .kernels.pdf_crypt import (file_key, owner_value,
+                                    transform_streams,
+                                    _user_check_bytes)
+    import hashlib as _hl
+    import re as _re
+    assert b"trailer" in payload, "classic xref-trailer layout only"
+    n = length_bits // 8 if v == 2 else 5
+    id0 = _hl.md5(payload).digest()  # deterministic file id
+    o = owner_value(owner_pw, b"", r, n)
+    key = file_key(o, p, id0, r, n)
+    u = (_user_check_bytes(key, id0, r) + b"\x00" * 32)[:32]
+    body = transform_streams(payload, key)
+    encnum = max(int(m.group(1)) for m in
+                 _re.finditer(rb"(\d+)\s+\d+\s+obj\b", body)) + 1
+    enc_obj = (b"%d 0 obj\n<< /Filter /Standard /V %d /R %d "
+               b"/Length %d /O <%s> /U <%s> /P %d >>\nendobj\n"
+               % (encnum, v, r, length_bits,
+                  o.hex().encode(), u.hex().encode(), p))
+    idhex = id0.hex().encode()
+    ti = body.index(b"trailer")
+    body = body[:ti] + enc_obj + body[ti:]
+    return _re.sub(
+        rb"trailer\s*<<",
+        b"trailer\n<< /Encrypt %d 0 R /ID [<%s> <%s>] "
+        % (encnum, idhex, idhex),
+        body, count=1)
+
+
+def write_pages_enc_dir(path: str, n: int, n_files: int = 4,
+                        seed: int = SEED) -> None:
+    """Every trailer-layout PDF page of the corpus, re-emitted as its
+    encrypted twin (alternating 128-bit R3 / 40-bit R2 by index) —
+    same urls, so the flagship golden registry's per-url text sha256
+    is the independent expected answer for the decrypted extraction."""
+    import os
+    import pyarrow.parquet as pq
+    os.makedirs(path, exist_ok=True)
+    rows = []
+    for i in range(n):
+        r = gen_page(i, seed)
+        if not r["html"].startswith(b"%PDF-") \
+                or b"trailer" not in r["html"]:
+            continue
+        if i % 2:
+            r["html"] = pdf_encrypt(r["html"])
+        else:
+            r["html"] = pdf_encrypt(r["html"], v=1, r=2,
+                                    length_bits=40)
+        rows.append(r)
+    per = -(-len(rows) // n_files)
+    for f in range(n_files):
+        part = rows[f * per:(f + 1) * per]
+        if not part:
+            break
+        pq.write_table(_rows_to_arrow(part),
+                       os.path.join(path, f"part-{f:04d}.parquet"))

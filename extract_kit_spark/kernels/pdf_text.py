@@ -876,8 +876,19 @@ def extract_pdf_pages(payload: bytes) -> list[list[str]]:
     if not payload.startswith(b"%PDF-"):
         raise ExtractError(INVALID_PDF, "bad header", phase="pdf-parse")
     if _is_encrypted(payload):
-        raise ExtractError(INVALID_PDF, "encrypted pdf (no decryption)",
-                           phase="pdf-parse")
+        # RC4 standard-handler files with an EMPTY user password (the
+        # dominant encrypted slice of a web crawl: owner-locked but
+        # world-readable) are decrypted IN PLACE — RC4 is length-
+        # preserving, so the decrypted payload is byte-layout-identical
+        # and the whole parser below runs unchanged. Password-protected
+        # or AES files still quarantine (kernels/pdf_crypt.py scope).
+        from .pdf_crypt import decrypt_payload
+        payload = decrypt_payload(payload)
+        if payload is None:
+            raise ExtractError(
+                INVALID_PDF,
+                "encrypted pdf (password-protected or unsupported "
+                "cipher)", phase="pdf-parse")
     page_dicts_seen = bool(_PAGE_COUNT_RE.search(payload))
     # ONE object scan serves stream attribution, the structure walk,
     # and (when present) ToUnicode font resolution

@@ -2093,6 +2093,44 @@ WHERE t.bucket < r.keep_rate * 10000
 """
 
 
+PAGES_ENC_PATH = f"/tmp/ekspark_pages_enc_v1_{N_PAGES}"
+PAGES_ENC_GLOB = f"{PAGES_ENC_PATH}/*.parquet"
+
+
+def ensure_pages_enc(path: str = PAGES_ENC_PATH,
+                     n: int = N_PAGES) -> str:
+    from .fixtures import write_pages_enc_dir
+    if not os.path.isdir(path):
+        tmp = path + ".tmp"
+        write_pages_enc_dir(tmp, n, n_files=4)
+        os.replace(tmp, path)
+    return path
+
+
+def q_ext_pdf_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full extraction over the ENCRYPTED-PDF twins (RC4 standard
+    security handler, alternating 128-bit R3 / 40-bit R2, empty user
+    password — kernels/pdf_crypt.py). The oracle is the flagship
+    golden registry's rows for the same urls, which were computed from
+    the PLAIN twins — so a green row proves decryption restores
+    byte-identical text (sha256), spans, title and status, against an
+    expected answer that never saw the ciphertext."""
+    _ensure_importable(spark)
+    ensure_pages_enc()
+    pages = _read_parallel(spark, PAGES_ENC_GLOB)
+    return pages.select("url", "html").mapInPandas(
+        _extract_flagship_batches, schema=_FLAGSHIP_SCHEMA)
+
+
+_ORACLE_PDF_ENCRYPTED = f"""
+SELECT g.url, g.doc_kind, g.status, g.title,
+       g.text_len::BIGINT AS text_len, g.n_spans::BIGINT AS n_spans,
+       g.ok, g.text_sha256
+FROM read_json('{_FLAGSHIP_GOLDEN}', format='array') g
+JOIN read_parquet('{PAGES_ENC_GLOB}') e USING (url)
+"""
+
+
 # -- registry --------------------------------------------------------------------
 
 QUERIES = {
@@ -2106,6 +2144,7 @@ QUERIES = {
     "ext_pdf_invoice_fields": q_ext_pdf_invoice_fields,
     "ext_pdf_invoice_fields_hex": q_ext_pdf_invoice_fields_hex,
     "ext_pdf_receipt_fields": q_ext_pdf_receipt_fields,
+    "ext_pdf_encrypted": q_ext_pdf_encrypted,
     "ts_stats": q_ts_stats,
     "ts_stats_zipf": q_ts_stats_zipf,
     "ts_tfidf_topk": q_ts_tfidf,
@@ -2224,6 +2263,7 @@ ORACLES = {
     "ext_pdf_invoice_fields": _ORACLE_PDF_INVOICE,
     "ext_pdf_invoice_fields_hex": _ORACLE_PDF_INVOICE_HEX,
     "ext_pdf_receipt_fields": _ORACLE_PDF_RECEIPT,
+    "ext_pdf_encrypted": _ORACLE_PDF_ENCRYPTED,
     "ts_stats": _ORACLE_TS_STATS,
     "ts_stats_zipf": _ORACLE_TS_STATS_ZIPF,
     "ts_tfidf_topk": _ORACLE_TS_TFIDF,

@@ -1301,3 +1301,68 @@ def test_pdf_lzw_and_rle_variants_match_plain_twin():
             got = extract_pdf_pages(_pdf_doc(rng_v, **kw))
             want = extract_pdf_pages(_pdf_doc(rng_p))
             assert got == want and got, (kw, s)
+
+
+def test_rc4_published_vectors():
+    """Pin the RC4 implementation against the classic published
+    test vectors (the original cypherpunks-posting set) — the cipher
+    itself, independent of any PDF plumbing — plus the symmetric
+    roundtrip property."""
+    from extract_kit_spark.kernels.pdf_crypt import rc4
+    assert rc4(b"Key", b"Plaintext").hex().upper() \
+        == "BBF316E8D940AF0AD3"
+    assert rc4(b"Wiki", b"pedia").hex().upper() == "1021BF0420"
+    assert rc4(b"Secret", b"Attack at dawn").hex().upper() \
+        == "45A01F645FC35B383552544B9BF5"
+    blob = bytes(range(256)) * 3
+    assert rc4(b"k2", rc4(b"k2", blob)) == blob
+
+
+def test_pdf_encrypted_twins_extract_byte_identical():
+    """Every trailer-layout PDF in the corpus, encrypted under BOTH
+    supported cipher variants (RC4-128/R3 and RC4-40/R2), must extract
+    byte-identically to its plain twin; the encrypted bytes must trip
+    the encryption gate first (proving extraction went through real
+    decryption, not a bypass)."""
+    from extract_kit_spark.fixtures import gen_page, pdf_encrypt
+    from extract_kit_spark.kernels.pdf_text import (extract_pdf_pages,
+                                                    _is_encrypted)
+    n_checked = 0
+    for i in range(300):
+        pl = gen_page(i)["html"]
+        if not pl.startswith(b"%PDF-") or b"trailer" not in pl:
+            continue
+        plain = extract_pdf_pages(pl)
+        for variant in (pdf_encrypt(pl),
+                        pdf_encrypt(pl, v=1, r=2, length_bits=40)):
+            assert _is_encrypted(variant)
+            assert variant != pl
+            assert extract_pdf_pages(variant) == plain, i
+        n_checked += 1
+    assert n_checked >= 5
+
+
+def test_pdf_encryption_gates_still_quarantine():
+    """Out-of-scope encrypted files must still fail loudly, never emit
+    ciphertext: wrong user password (corrupted /U), AES / V4 crypt
+    filters, and a non-Standard handler."""
+    import re
+    import pytest
+    from extract_kit_spark.fixtures import gen_page, pdf_encrypt
+    from extract_kit_spark.kernels.errors import ExtractError
+    from extract_kit_spark.kernels.pdf_text import extract_pdf_pages
+    pl = next(gen_page(i)["html"] for i in range(300)
+              if gen_page(i)["html"].startswith(b"%PDF-")
+              and b"trailer" in gen_page(i)["html"])
+    enc = pdf_encrypt(pl)
+    bad_u = bytearray(enc)
+    j = bad_u.index(b"/U <") + 5
+    bad_u[j] = ord("f") if bad_u[j] != ord("f") else ord("0")
+    with pytest.raises(ExtractError):
+        extract_pdf_pages(bytes(bad_u))
+    aes = re.sub(rb"/V 2 /R 3", b"/V 4 /R 4", enc, count=1)
+    with pytest.raises(ExtractError):
+        extract_pdf_pages(aes)
+    other = re.sub(rb"/Standard", b"/MyCustom", enc, count=1)
+    with pytest.raises(ExtractError):
+        extract_pdf_pages(other)
