@@ -401,7 +401,8 @@ HEADLINE = ("ext_invoice_fields", "ext_pdf_invoice_fields",
             "ext_pdf_encrypted",
             "ext_pdf_receipt_fields", "web_domain_stats",
             "web_domain_join_salted", "web_kind_rollup",
-            "web_url_dedup", "web_domain_cap", "ts_stats",
+            "web_url_dedup", "web_domain_cap", "web_blocklist",
+            "ts_stats",
             "ts_tfidf_topk", "ts_tfidf_zipf", "ts_repetition",
             "corpus_split", "corpus_curate", "corpus_curate_near",
             "corpus_pack_plan", "pii_scrub", "dedup_lines",

@@ -123,3 +123,36 @@ def crawl_diff(old: DataFrame, new: DataFrame, url_col: str = "url",
     return (o.join(n, url_col, "full_outer")
             .select(url_col, status.alias("status"), "ts_old",
                     "ts_new"))
+
+
+def domain_blocklist(df: DataFrame, blocked: DataFrame,
+                     url_col: str = "url") -> DataFrame:
+    """Domain/suffix blocklist labeling — the corpus-time robots/
+    spam-list pass: a rule ``example.net`` blocks every subdomain
+    under it, ``mega-news.example.org`` blocks exactly that host.
+    Returns every input row with (domain, matched_rule, blocked);
+    callers filter ``~blocked`` to apply, or keep the labels for
+    audit. Run it on canonicalized urls (weburl.canonical_url) so
+    scheme/host case can't dodge a rule.
+
+    Scale shape: each url's domain explodes into its suffix CHAIN
+    (a.b.c → [a.b.c, b.c, c] — bounded by label count, ~4), which
+    meets the rule table in a broadcast equality join: no regex scan
+    per rule (the naive rlike-per-rule plan is O(rules × rows) and
+    unindexable), no shuffle of the corpus. The most-specific (longest)
+    matching rule wins; suffix lengths within one chain are strictly
+    increasing, so the max_by tiebreak is deterministic."""
+    dom = domain_of(F.col(url_col))
+    labels = F.split(dom, r"\.")
+    k = F.size(labels)
+    suffixes = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(".", F.slice(labels, i + 1, k - i)))
+    e = df.select(F.col(url_col), F.explode(suffixes).alias("suffix"))
+    hits = (e.join(F.broadcast(blocked.select("suffix")), "suffix")
+            .groupBy(url_col)
+            .agg(F.max_by("suffix", F.length("suffix"))
+                 .alias("matched_rule")))
+    return (df.select(F.col(url_col), dom.alias("domain"))
+            .join(hits, url_col, "left")
+            .withColumn("blocked", F.col("matched_rule").isNotNull()))

@@ -2131,6 +2131,44 @@ JOIN read_parquet('{PAGES_ENC_GLOB}') e USING (url)
 """
 
 
+BLOCK_RULES = ("example.net", "mega-news.example.org")
+
+
+def q_web_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/suffix blocklist labeling over the pages table: the
+    suffix rule 'example.net' blocks all 48 site-NN subdomains, the
+    host rule blocks one hot domain exactly, and hot-portal traffic
+    passes — suffix-chain explode → broadcast equality join, never a
+    regex scan per rule."""
+    ensure_pages()
+    pages = _read_parallel(spark, PAGES_GLOB).select("url")
+    blocked = spark.createDataFrame([(r,) for r in BLOCK_RULES],
+                                    "suffix string")
+    return weburl.domain_blocklist(pages, blocked)
+
+
+_BLOCK_VALUES = ", ".join(f"('{r}')" for r in BLOCK_RULES)
+
+_ORACLE_BLOCKLIST = f"""
+WITH p AS (SELECT url,
+             regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS domain
+           FROM read_parquet('{PAGES_GLOB}')),
+e AS (SELECT url,
+        unnest(list_transform(
+          range(1, len(regexp_split_to_array(domain, '\\.')) + 1),
+          i -> array_to_string(
+                 regexp_split_to_array(domain, '\\.')[i:], '.')))
+          AS suffix
+      FROM p),
+b(suffix) AS (VALUES {_BLOCK_VALUES}),
+h AS (SELECT url, max_by(suffix, len(suffix)) AS matched_rule
+      FROM e JOIN b USING (suffix) GROUP BY 1)
+SELECT p.url, p.domain, h.matched_rule,
+       h.matched_rule IS NOT NULL AS blocked
+FROM p LEFT JOIN h USING (url)
+"""
+
+
 # -- registry --------------------------------------------------------------------
 
 QUERIES = {
@@ -2176,6 +2214,7 @@ QUERIES = {
     "dedup_lines": q_dedup_lines,
     "contamination_8gram": q_contamination_8gram,
     "web_crawl_diff": q_web_crawl_diff,
+    "web_blocklist": q_web_blocklist,
     "corpus_mixture_sample": q_corpus_mixture_sample,
     "evt_sessionize": q_evt_sessionize,
     "evt_hourly_windows": q_evt_hourly_windows,
@@ -2296,6 +2335,7 @@ ORACLES = {
     "dedup_lines": _ORACLE_LINE_DEDUP,
     "contamination_8gram": _ORACLE_CONTAM,
     "web_crawl_diff": _ORACLE_CRAWL_DIFF,
+    "web_blocklist": _ORACLE_BLOCKLIST,
     "corpus_mixture_sample": _ORACLE_MIXTURE,
     "evt_sessionize": _ORACLE_SESSIONIZE,
     "evt_hourly_windows": _ORACLE_EVT_WINDOWS,

@@ -743,3 +743,30 @@ def test_mixture_sample_rates_and_nesting(spark):
     again = {r["doc_id"] for r in mixture_sample(
         docs.repartition(7), w, total_tokens=10_000).collect()}
     assert again == kept_small
+
+
+def test_domain_blocklist_suffix_semantics(spark):
+    """Hand-pinned rule semantics: a suffix rule blocks every
+    subdomain beneath it, a host rule blocks exactly that host, the
+    most-specific rule wins, and unrelated hosts (including a host
+    that merely CONTAINS a rule as a substring) pass."""
+    from extract_kit_spark.ops.weburl import domain_blocklist
+    urls = [
+        ("https://a.site-03.example.net/p", "example.net"),
+        ("https://site-03.example.net/p", "example.net"),
+        ("https://mega-news.example.org/p", "mega-news.example.org"),
+        ("https://sub.mega-news.example.org/p",
+         "mega-news.example.org"),
+        ("https://hot-portal.example.com/p", None),
+        ("https://notexample.net.evil.com/p", None),  # substring trap
+        ("https://example.org/p", None),  # parent of a host rule
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in urls], "url string")
+    bl = spark.createDataFrame(
+        [("example.net",), ("mega-news.example.org",)],
+        "suffix string")
+    got = {r["url"]: r for r in domain_blocklist(df, bl).collect()}
+    assert len(got) == len(urls)
+    for u, want in urls:
+        assert got[u]["matched_rule"] == want, u
+        assert got[u]["blocked"] == (want is not None)
