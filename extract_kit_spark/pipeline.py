@@ -511,3 +511,47 @@ def filter_not_done(pages: DataFrame, done: DataFrame) -> DataFrame:
     is a single pruned column; Spark broadcasts it when small, and AQE
     picks SMJ when it isn't."""
     return pages.join(done.select("url"), on="url", how="left_anti")
+
+
+def curate_extracted(spark: SparkSession, output_dir: str,
+                     min_quality: float = 0.5,
+                     langs: tuple[str, ...] = ("en",),
+                     jaccard_max_df: int = 100) -> dict:
+    """Maintenance pass: run the full corpus-curation pipeline
+    (quality/lang gate → exact dedup → near-dup removal → deterministic
+    split) over an existing extraction table's ok rows and write the
+    curated corpus to ``<output>/curated`` — extraction and curation
+    as two resumable spark-submit steps over the same table, the
+    operational shape a 10^12-page pipeline actually runs.
+
+    Ids: curation's min-id tie-breaks and the cluster collapse work on
+    a numeric key, so urls are mapped through xxhash64 (deterministic;
+    a 64-bit collision at web scale is ~n²/2^65 — negligible, and
+    detected here by a distinct-count check that fails loudly rather
+    than silently merging two urls)."""
+    import os
+    data = os.path.join(output_dir, "data")
+    docs = (spark.read.parquet(data)
+            .where(F.col("status") == "ok")
+            .select(F.xxhash64("url").alias("doc_id"),
+                    F.col("url"),
+                    F.col("extracted_text").alias("text")))
+    docs = docs.localCheckpoint(eager=False)
+    n_docs, n_ids = docs.select(
+        F.count(F.lit(1)), F.count_distinct("doc_id")).first()
+    if n_docs != n_ids:
+        raise RuntimeError(
+            f"xxhash64(url) collision: {n_docs} rows, {n_ids} ids")
+    from .ops import corpus
+    cur = corpus.curate_near(docs.select("doc_id", "text"),
+                             min_quality=min_quality, langs=langs,
+                             max_df=jaccard_max_df)
+    out = cur.join(docs.select("doc_id", "url"), "doc_id")
+    dest = os.path.join(output_dir, "curated")
+    out.write.mode("overwrite").parquet(dest)
+    splits = {r["split"]: r["n"] for r in
+              spark.read.parquet(dest).groupBy("split")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    return {"n_ok_docs": int(n_docs),
+            "n_survivors": int(sum(splits.values())),
+            "splits": splits, "curated": dest}

@@ -39,6 +39,17 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "quarantined rows of an existing --output "
                         "table (after a kernel/config fix) and merge "
                         "them back in place")
+    p.add_argument("--curate", action="store_true",
+                   help="instead of extracting, run the corpus "
+                        "curation pipeline (quality/lang gate -> "
+                        "exact dedup -> near-dup removal -> "
+                        "deterministic split) over an existing "
+                        "--output extraction table; writes "
+                        "<output>/curated")
+    p.add_argument("--min-quality", type=float, default=0.5)
+    p.add_argument("--langs", default="en",
+                   help="comma-separated language allowlist for "
+                        "--curate")
     p.add_argument("--output", required=True,
                    help="output table dir (data/ + lineage/ + manifest)")
     p.add_argument("--job-id", default=None,
@@ -68,10 +79,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         p.error("--max-doc-bytes must be > 0")
     if args.n_buckets is not None and args.n_buckets <= 0:
         p.error("--n-buckets must be > 0")
-    if not args.compact and args.input is None:
-        p.error("--input is required (unless --compact)")
-    if args.compact and args.reprocess_quarantined:
-        p.error("--compact and --reprocess-quarantined are exclusive")
+    if not (args.compact or args.curate) and args.input is None:
+        p.error("--input is required (unless --compact/--curate)")
+    if sum((args.compact, args.reprocess_quarantined,
+            args.curate)) > 1:
+        p.error("--compact, --reprocess-quarantined and --curate are "
+                "exclusive")
+    if not 0.0 <= args.min_quality <= 1.0:
+        p.error("--min-quality must be in [0, 1]")
     return args
 
 
@@ -93,6 +108,24 @@ def main(argv: list[str] | None = None) -> int:
             summary = compact_output(
                 spark, args.output,
                 target_bytes=args.target_partition_bytes)
+            print(json.dumps(summary), flush=True)
+            return 0
+        finally:
+            spark.stop()
+    if args.curate:
+        from .pipeline import curate_extracted
+        from .session import get_spark
+        if "://" not in args.output and not os.path.isdir(
+                os.path.join(args.output, "data")):
+            print(f"extract_kit_spark: error: --output has no data/ "
+                  f"dir to curate: {args.output}", file=sys.stderr)
+            return 2
+        spark = get_spark(master=args.master,
+                          app_name="extract-kit-curate")
+        try:
+            summary = curate_extracted(
+                spark, args.output, min_quality=args.min_quality,
+                langs=tuple(x for x in args.langs.split(",") if x))
             print(json.dumps(summary), flush=True)
             return 0
         finally:

@@ -417,3 +417,30 @@ def test_reprocess_duplicate_input_urls_not_inflated(
     df = read_extractions(spark, out)
     assert df.count() == N_ROWS
     assert df.select("url").distinct().count() == N_ROWS
+
+
+def test_curate_extracted_over_extraction_output(spark, tmp_path):
+    """The --curate maintenance pass: extract a small pages dir, then
+    curate the output table — survivors land in <output>/curated with
+    url + split columns, every ok url is accounted for (survivor or
+    dedup/gate casualty), and the pass is deterministic across
+    reruns."""
+    from extract_kit_spark.fixtures import write_pages_dir
+    from extract_kit_spark.pipeline import (curate_extracted,
+                                            run_extraction_scan)
+    pages = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    write_pages_dir(pages, 120, n_files=4)
+    run_extraction_scan(spark, pages, out, job_id="cur-e2e",
+                        n_groups=2)
+    s1 = curate_extracted(spark, out)
+    assert s1["n_ok_docs"] > 0
+    assert 0 < s1["n_survivors"] <= s1["n_ok_docs"]
+    cur = spark.read.parquet(str(tmp_path / "out" / "curated"))
+    assert set(cur.columns) >= {"doc_id", "url", "split", "bucket",
+                                "n_tokens", "quality_score"}
+    assert cur.count() == s1["n_survivors"]
+    assert cur.select("url").distinct().count() == s1["n_survivors"]
+    assert set(s1["splits"]) <= {"train", "val", "test"}
+    s2 = curate_extracted(spark, out)
+    assert s2 == s1
