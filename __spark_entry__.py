@@ -20,7 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from extract_kit_spark.queries import (  # noqa: E402
     QUERIES, ORACLES, ensure_pages, ensure_zipf_docs, ensure_url_log,
     ensure_rep_docs, ensure_pii_docs, ensure_line_docs,
-    ensure_bench_items, ensure_pages_v2, ensure_pages_enc)
+    ensure_bench_items, ensure_pages_v2, ensure_pages_enc,
+    ensure_unicode_docs)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -49,4 +50,5 @@ def oracle_sql() -> dict[str, str]:
     ensure_bench_items()
     ensure_pages_v2()
     ensure_pages_enc()
+    ensure_unicode_docs()
     return dict(ORACLES)

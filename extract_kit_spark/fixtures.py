@@ -1546,3 +1546,45 @@ def write_pages_enc_dir(path: str, n: int, n_files: int = 4,
             break
         pq.write_table(_rows_to_arrow(part),
                        os.path.join(path, f"part-{f:04d}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Unicode-mess corpus (r4): zipf prose with deterministic NFD
+# decompositions (e + combining acute for some 'e's), C0 control
+# characters, and doubled/tabbed whitespace — the wire-format noise
+# normalize_text exists to canonicalize. ~1/4 of docs are already
+# clean (the 'changed' column must be a real signal).
+# ---------------------------------------------------------------------------
+
+def gen_unicode_doc(i: int, seed: int = SEED) -> dict:
+    rng = random.Random(f"{seed}:uni:{i}")
+    toks = [zipf_word(int(ZIPF_VOCAB_SIZE ** rng.random()) - 1)
+            for _ in range(rng.randint(15, 40))]
+    if i % 4:
+        toks = [t.replace("e", "e\u0301", 1)  # NFD e+combining acute
+                if rng.random() < 0.3 else t for t in toks]
+        seps = [" ", "  ", "\t", " \n", "\x07 " if rng.random() < 0.2
+                else " "]
+        text = ""
+        for t in toks:
+            text += t + seps[rng.randrange(len(seps))]
+    else:
+        text = " ".join(toks)
+    return {"doc_id": i, "text": text}
+
+
+def write_unicode_docs_dir(path: str, n: int, n_files: int = 4,
+                           seed: int = SEED) -> None:
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    os.makedirs(path, exist_ok=True)
+    per = -(-n // n_files)
+    for f in range(n_files):
+        lo, hi = f * per, min((f + 1) * per, n)
+        if lo >= hi:
+            break
+        rows = [gen_unicode_doc(i, seed) for i in range(lo, hi)]
+        tbl = pa.table({"doc_id": [r["doc_id"] for r in rows],
+                        "text": [r["text"] for r in rows]})
+        pq.write_table(tbl, os.path.join(path, f"part-{f:04d}.parquet"))

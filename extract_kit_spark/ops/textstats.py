@@ -21,6 +21,8 @@ rounded to 6 decimals so cross-engine double formatting can't drift.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 # fixed stopword lists (deterministic, tiny; broadcast as literals)
@@ -214,3 +216,49 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     return (base.drop("__toks")
             .join(top, id_col, "left")
             .fillna({"top_bigram_share": 0.0}))
+
+
+def normalize_text(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Unicode canonicalization — the pass that runs BEFORE any
+    hash-based dedup, because NFD/NFC variants of the same word hash
+    differently and silently defeat fingerprinting: NFC-normalize,
+    strip C0/DEL control characters, collapse ASCII whitespace runs
+    to single spaces, trim. Returns (id, norm_text, n_chars_before,
+    n_chars_after, changed).
+
+    This is the repo's one deliberate vectorized-Python text op: Spark
+    has NO JVM unicode-normalization expression, so the rule "built-in
+    functions first, Pandas UDF only when the JVM genuinely can't"
+    lands on an Arrow-batched pandas stage here (unicodedata.normalize
+    over whole columns, zero per-row Python calls into Spark). The
+    regex steps use explicit ASCII classes — NOT \\s — because Python
+    re's \\s is unicode-aware while RE2's (the DuckDB oracle, which
+    runs nfc_normalize + the literal same patterns) is ASCII-only;
+    the explicit class makes both engines compute the same bytes."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(col: pd.Series) -> pd.Series:
+        import re as _re
+        import unicodedata
+        ctrl = _re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+        ws = _re.compile("[ \t\r\n\f\v]+")
+        def one(x):
+            if x is None:
+                return None
+            x = unicodedata.normalize("NFC", x)
+            x = ctrl.sub("", x)
+            # strip(' ') not strip(): Python's bare strip eats
+            # unicode spaces, DuckDB's trim is ASCII-space-only
+            return ws.sub(" ", x).strip(" ")
+        return col.map(one)
+
+    out = df.select(
+        F.col(id_col), F.col(text_col).alias("__orig"),
+        _nfc(F.col(text_col)).alias("norm_text"))
+    return out.select(
+        id_col, "norm_text",
+        F.length("__orig").cast("long").alias("n_chars_before"),
+        F.length("norm_text").cast("long").alias("n_chars_after"),
+        (F.col("norm_text") != F.col("__orig")).alias("changed"))

@@ -2169,6 +2169,49 @@ FROM p LEFT JOIN h USING (url)
 """
 
 
+N_UNI_DOCS = 1500
+UNI_DOCS_PATH = f"/tmp/ekspark_unidocs_v1_{N_UNI_DOCS}"
+UNI_DOCS_GLOB = f"{UNI_DOCS_PATH}/*.parquet"
+
+
+def ensure_unicode_docs(path: str = UNI_DOCS_PATH,
+                        n: int = N_UNI_DOCS) -> str:
+    from .fixtures import write_unicode_docs_dir
+    if not os.path.isdir(path):
+        tmp = path + ".tmp"
+        write_unicode_docs_dir(tmp, n, n_files=4)
+        os.replace(tmp, path)
+    return path
+
+
+def q_ts_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization over the unicode-mess corpus (NFD
+    accents, C0 controls, tab/doubled whitespace; 1/4 of docs already
+    clean). The one deliberate vectorized-Python op — no JVM unicode
+    normalization exists — oracled against DuckDB's native
+    nfc_normalize plus the literal same ASCII-class regexes."""
+    _ensure_importable(spark)
+    ensure_unicode_docs()
+    docs = _read_parallel(spark, UNI_DOCS_GLOB)
+    return textstats.normalize_text(docs)
+
+
+_ORACLE_TS_NORMALIZE = f"""
+WITH d AS (SELECT doc_id, text
+           FROM read_parquet('{UNI_DOCS_GLOB}')),
+n AS (SELECT doc_id, text,
+        trim(regexp_replace(regexp_replace(nfc_normalize(text),
+          '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+          '[ \\t\\r\\n\\f\\v]+', ' ', 'g')) AS norm_text
+      FROM d)
+SELECT doc_id, norm_text,
+       length(text)::BIGINT AS n_chars_before,
+       length(norm_text)::BIGINT AS n_chars_after,
+       norm_text != text AS changed
+FROM n
+"""
+
+
 # -- registry --------------------------------------------------------------------
 
 QUERIES = {
@@ -2185,6 +2228,7 @@ QUERIES = {
     "ext_pdf_encrypted": q_ext_pdf_encrypted,
     "ts_stats": q_ts_stats,
     "ts_stats_zipf": q_ts_stats_zipf,
+    "ts_normalize": q_ts_normalize,
     "ts_tfidf_topk": q_ts_tfidf,
     "ts_tfidf_zipf": q_ts_tfidf_zipf,
     "corpus_split": q_corpus_split,
@@ -2305,6 +2349,7 @@ ORACLES = {
     "ext_pdf_encrypted": _ORACLE_PDF_ENCRYPTED,
     "ts_stats": _ORACLE_TS_STATS,
     "ts_stats_zipf": _ORACLE_TS_STATS_ZIPF,
+    "ts_normalize": _ORACLE_TS_NORMALIZE,
     "ts_tfidf_topk": _ORACLE_TS_TFIDF,
     "ts_tfidf_zipf": _ORACLE_TS_TFIDF_ZIPF,
     "corpus_split": _ORACLE_SPLIT,

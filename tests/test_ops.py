@@ -770,3 +770,50 @@ def test_domain_blocklist_suffix_semantics(spark):
     for u, want in urls:
         assert got[u]["matched_rule"] == want, u
         assert got[u]["blocked"] == (want is not None)
+
+
+def test_normalize_text_hand_cases_and_idempotence(spark):
+    """Pinned canonicalization semantics: NFD composes to NFC (code
+    points shrink), C0 controls strip, tab/doubled whitespace
+    collapses, a tab->space change still flags changed=true, clean
+    text passes untouched — and the op is idempotent."""
+    from extract_kit_spark.ops.textstats import normalize_text
+    rows = [
+        (1, "cafe\u0301 time"),      # NFD input (10 chars)
+        (2, "a\x00b\x07c"),              # controls stripped -> abc
+        (3, "a\tb"),                     # length-preserving change
+        (4, "  a   b\n\nc  "),           # collapse + trim
+        (5, "plain text"),               # untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in normalize_text(df).collect()}
+    assert got[1]["norm_text"] == "caf\u00e9 time"
+    assert (got[1]["n_chars_before"], got[1]["n_chars_after"]) == (10, 9)
+    assert got[2]["norm_text"] == "abc"
+    assert got[3]["norm_text"] == "a b" and got[3]["changed"]
+    assert got[4]["norm_text"] == "a b c"
+    assert got[5]["norm_text"] == "plain text"
+    assert not got[5]["changed"]
+    again = normalize_text(
+        spark.createDataFrame(
+            [(r["doc_id"], r["norm_text"]) for r in got.values()],
+            "doc_id long, text string"))
+    assert again.where(F.col("changed")).count() == 0
+
+
+def test_unicode_corpus_normalize_separates_dirty_docs(spark):
+    """On the unicode-mess fixture, every i%4==0 doc is clean
+    (changed=false) and the dirty majority actually changes."""
+    from extract_kit_spark.ops.textstats import normalize_text
+    from extract_kit_spark.queries import (UNI_DOCS_GLOB, N_UNI_DOCS,
+                                           ensure_unicode_docs)
+    ensure_unicode_docs()
+    docs = spark.read.parquet(UNI_DOCS_GLOB)
+    got = {r["doc_id"]: r["changed"]
+           for r in normalize_text(docs).collect()}
+    assert len(got) == N_UNI_DOCS
+    clean = [i for i in range(N_UNI_DOCS) if i % 4 == 0]
+    assert not any(got[i] for i in clean)
+    dirty_changed = sum(got[i] for i in range(N_UNI_DOCS)
+                        if i % 4 != 0)
+    assert dirty_changed > 0.9 * (N_UNI_DOCS - len(clean))
