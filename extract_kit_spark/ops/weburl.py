@@ -48,8 +48,10 @@ def canonical_url(url: Column) -> Column:
     rest = F.regexp_replace(rest, r"#.*$", "")
     rest = F.regexp_replace(rest, _TRACKING_RE, "")
     rest = F.regexp_replace(rest, r"[?&]+$", "")
+    # /+$ (not /$): strip the whole trailing run in one pass, so the
+    # normalizer is idempotent on '//p//'-style inputs
     rest = F.when(rest == "/", rest).otherwise(
-        F.regexp_replace(rest, r"/$", ""))
+        F.regexp_replace(rest, r"/+$", ""))
     return F.concat(head, rest)
 
 

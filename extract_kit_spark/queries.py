@@ -1734,7 +1734,7 @@ st2 AS (SELECT url, warc_ts,
  FROM st),
 canon AS (SELECT url, warc_ts,
   h || (CASE WHEN r1 = '/' THEN r1
-        ELSE regexp_replace(r1, '/$', '') END) AS canonical_url
+        ELSE regexp_replace(r1, '/+$', '') END) AS canonical_url
  FROM st2)"""
 
 _ORACLE_URL_DEDUP = f"""

@@ -817,3 +817,63 @@ def test_unicode_corpus_normalize_separates_dirty_docs(spark):
     dirty_changed = sum(got[i] for i in range(N_UNI_DOCS)
                         if i % 4 != 0)
     assert dirty_changed > 0.9 * (N_UNI_DOCS - len(clean))
+
+
+def test_canonical_url_idempotent_on_adversarial_urls(spark):
+    """canonical() must be a projection onto its own fixed points —
+    canonical(canonical(u)) == canonical(u) — over the fixture's
+    variant urls AND adversarial edges (missing scheme, bare host,
+    empty query, stacked fragments, tracking-only queries, repeated
+    separators, uppercase everything)."""
+    from extract_kit_spark.fixtures import gen_url_log_row
+    from extract_kit_spark.ops.weburl import canonical_url
+    urls = [r["url"] for r in
+            (gen_url_log_row(i) for i in range(600)) if r]
+    urls += [
+        "", "notaurl", "https://", "http://x", "HTTPS://A.B:443",
+        "http://a.com:80", "ftp://X.Y/Z?q#f", "https://a.com///p//",
+        "https://a.com/p#a#b", "https://a.com/?", "https://a.com/p?&&",
+        "HTTP://UP.EXAMPLE/P/", "https://a.com/p?utm_source=",
+        "https://a.com/p?utm_a=1&utm_b=2&utm_c=3",
+        "https://a.com:8080/p?gclid=x#y", "https://a.com",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonical_url(F.col("url")).alias("c"))
+    bad = (once.select(canonical_url(F.col("c")).alias("c2"), "c")
+           .where(F.col("c2") != F.col("c")).collect())
+    assert bad == [], bad
+
+
+def test_pii_scrub_idempotent_on_adversarial_strings(spark):
+    """scrub(scrub(x)) == scrub(x) on adversarial PII placements:
+    adjacent punctuation, PII at string edges, back-to-back entities,
+    digits that must NOT match (dates, times, versions)."""
+    from extract_kit_spark.ops.pii import scrub
+    rows = [
+        (1, "a@b.co."), (2, "x (a@b.co), y"), (3, "a@b.co a@b.co"),
+        (4, "call 555-123-4567."), (5, "+1 555 123 4567,end"),
+        (6, "ip=10.0.0.1;"), (7, "10.0.0.1 10.0.0.2"),
+        (8, "v1.2.3 released 2025-08-17 at 17:30"),
+        (9, "mail a@b.co or 192.168.0.1 or (555) 123-4567"),
+        (10, ""), (11, "@ . - ( )"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    first = scrub(df)
+    again = scrub(first.select("doc_id",
+                               F.col("clean_text").alias("text")))
+    changed = (first.select("doc_id", "clean_text")
+               .join(again.select("doc_id",
+                                  F.col("clean_text").alias("c2"),
+                                  "n_emails", "n_phones", "n_ips"),
+                     "doc_id")
+               .where((F.col("clean_text") != F.col("c2"))
+                      | (F.col("n_emails") > 0)
+                      | (F.col("n_phones") > 0)
+                      | (F.col("n_ips") > 0)).collect())
+    assert changed == [], changed
+    got = {r["doc_id"]: r for r in first.collect()}
+    assert got[8]["n_phones"] == 0 and got[8]["n_ips"] == 0
+    assert got[8]["n_emails"] == 0  # versions/dates/times untouched
+    assert got[7]["n_ips"] == 2
+    assert got[9]["n_emails"] == 1 and got[9]["n_ips"] == 1 \
+        and got[9]["n_phones"] == 1

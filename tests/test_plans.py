@@ -294,3 +294,13 @@ def test_mixture_sample_broadcasts_rates(spark):
     plan = _plan(QUERIES["corpus_mixture_sample"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "InPandas" not in plan and "EvalPython" not in plan
+
+
+def test_blocklist_broadcasts_rules(spark):
+    """Blocklist labeling: rules meet the suffix-chain explode in
+    broadcast joins only — the corpus is never sort-merge shuffled
+    against the rule table."""
+    plan = _plan(QUERIES["web_blocklist"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan or "LeftOuter" in plan
+    assert "InPandas" not in plan and "EvalPython" not in plan
