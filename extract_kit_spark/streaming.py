@@ -377,3 +377,48 @@ def run_dedup_stream(spark: SparkSession, input_dir: str,
     if await_termination:
         query.awaitTermination()
     return query
+
+
+def run_url_dedup_stream(spark: SparkSession, input_dir: str,
+                         output_dir: str,
+                         watermark_delay: str = "2 hours",
+                         max_files_per_trigger: "int | None" = None,
+                         await_termination: bool = True):
+    """STREAMING url-level dedup of an append-only crawl log: each
+    incoming url is canonicalized (ops/weburl.canonical_url — the
+    same pure-expression chain as the batch op, so stream and batch
+    agree byte-for-byte on the key) and only the FIRST page per
+    canonical url within the watermark horizon passes. This is the
+    frontier-side twin of ops/weburl.url_dedup: run it on the ingest
+    stream so variant urls (tracking params, fragments, case noise)
+    never reach the extraction kernels at all.
+
+    Same bounded-state contract as run_dedup_stream:
+    dropDuplicatesWithinWatermark keeps per-key state only until the
+    watermark passes first-seen + delay — a re-crawl of the same
+    canonical url after the horizon is admitted again, and the
+    periodic batch url_dedup compacts the output."""
+    from pyspark.sql import functions as F
+    from .ops.weburl import canonical_url
+
+    reader = (spark.readStream.schema(PAGES_SCHEMA)
+              .format("parquet"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    pages = (reader.load(input_dir)
+             .withColumn("canonical_url", canonical_url(F.col("url")))
+             .withWatermark("warc_ts", watermark_delay)
+             .dropDuplicatesWithinWatermark(["canonical_url"]))
+    query = (pages.select("url", "canonical_url", "warc_ts")
+             .writeStream
+             .format("parquet")
+             .option("path", os.path.join(output_dir, "data"))
+             .option("checkpointLocation",
+                     os.path.join(output_dir, "_checkpoint"))
+             .trigger(availableNow=True)
+             .outputMode("append")
+             .start())
+    if await_termination:
+        query.awaitTermination()
+    return query

@@ -469,3 +469,59 @@ def test_streaming_sessionize_crash_recovery(spark, tmp_path_factory):
     # exactly-once on the emitted stream
     assert got.groupBy("user_id", "session_start").count() \
         .where(F.col("count") > 1).count() == 0
+
+
+def test_url_dedup_stream_first_canonical_wins(spark,
+                                               tmp_path_factory):
+    """Streaming url dedup: variant urls of one canonical (tracking
+    params, fragments, scheme/host case) collapse to the FIRST
+    arrival — in-batch and across later microbatches within the
+    watermark; distinct canonicals pass; the canonical key equals the
+    batch op's byte-for-byte."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    from extract_kit_spark.streaming import run_url_dedup_stream
+    from extract_kit_spark.ops.weburl import canonical_url
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path_factory.mktemp("udsrc") / "pages")
+    out = str(tmp_path_factory.mktemp("udout") / "d")
+    os.makedirs(src, exist_ok=True)
+    base = dt.datetime(2024, 1, 1)
+
+    def write(rows, fname):
+        df = spark.createDataFrame(
+            [(u, base + dt.timedelta(minutes=m),
+              bytearray(b"x"), "", "en") for u, m in rows],
+            "url string, warc_ts timestamp, html binary, "
+            "text string, lang string")
+        tmp = src + ".tmp-" + fname
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0],
+                    src + "/" + fname + ".parquet")
+        shutil.rmtree(tmp)
+
+    write([("https://a.com/p?id=1", 0),
+           ("HTTPS://A.COM:443/p?id=1#frag", 1),      # variant of ^
+           ("https://b.com/q", 2)], "b1")
+    run_url_dedup_stream(spark, src, out)
+    got1 = spark.read.parquet(os.path.join(out, "data"))
+    assert got1.count() == 2
+    kept = {r["url"] for r in got1.collect()}
+    assert kept == {"https://a.com/p?id=1", "https://b.com/q"}
+
+    write([("https://a.com/p?utm_source=x&id=1", 10),  # still a dup
+           ("https://c.com/r/", 11)], "b2")
+    run_url_dedup_stream(spark, src, out)
+    got2 = spark.read.parquet(os.path.join(out, "data"))
+    assert got2.count() == 3
+    assert "https://c.com/r/" in {r["url"] for r in got2.collect()}
+    # stream canonical == batch canonical on the same inputs
+    allrows = spark.read.parquet(src)
+    twin = allrows.select(
+        "url", canonical_url(F.col("url")).alias("c"))
+    stream_keys = {r["canonical_url"] for r in got2.collect()}
+    batch_keys = {r["c"] for r in twin.collect()}
+    assert stream_keys == batch_keys
