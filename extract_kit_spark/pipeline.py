@@ -136,10 +136,19 @@ def plan_partition_count(df: DataFrame,
     return n, total
 
 
-def read_pages(spark: SparkSession, input_path: str) -> DataFrame:
+def read_pages(spark: SparkSession, input_path: str,
+               input_format: str = "parquet") -> DataFrame:
     """Column-pruned scan of the pages table: the extractor needs only
     (url, warc_ts, html); Catalyst pushes the projection to parquet so
-    `text`/`lang` are never read (SURVEY.md §4.2)."""
+    `text`/`lang` are never read (SURVEY.md §4.2).
+
+    input_format="warc" reads a Common-Crawl-style archive directory
+    instead (warc.read_warc), mapping payload→html — the rest of the
+    pipeline is format-agnostic."""
+    if input_format == "warc":
+        from .warc import read_warc
+        return read_warc(spark, input_path, with_index=False).select(
+            "url", "warc_ts", F.col("payload").alias("html"))
     return spark.read.parquet(input_path).select("url", "warc_ts", "html")
 
 
@@ -156,6 +165,7 @@ def run_extraction_bucketed(spark: SparkSession,
                             resume: bool = True,
                             fail_after_groups: int | None = None,
                             fail_before_commit_group: int | None = None,
+                            input_format: str = "parquet",
                             ) -> dict:
     """Run (or resume) the extraction job with url-hash-BUCKETED output
     (pays one payload shuffle; use run_extraction_scan unless downstream
@@ -169,7 +179,7 @@ def run_extraction_bucketed(spark: SparkSession,
     job_id = job_id or f"extract-{uuid.uuid4().hex[:8]}"
     manifest = Manifest(output_dir, job_id)
 
-    pages = read_pages(spark, input_path)
+    pages = read_pages(spark, input_path, input_format)
     if n_buckets is None:
         n_parts, total_bytes = plan_partition_count(
             pages, target_partition_bytes)
@@ -273,6 +283,7 @@ def run_extraction_scan(spark: SparkSession,
                         resume: bool = True,
                         fail_after_groups: int | None = None,
                         fail_before_commit_group: int | None = None,
+                        input_format: str = "parquet",
                         ) -> dict:
     """Run (or resume) the extraction job with NO shuffle (the 100 TB
     default): scan → mapInPandas → write, committed in input-FILE
@@ -284,11 +295,19 @@ def run_extraction_scan(spark: SparkSession,
     deterministic slice of the sorted input-file list); each group's
     output lives in its own data/group=<gi>/ dir written with overwrite
     — idempotent under any crash point.
+
+    input_format="warc" runs the same file-group protocol over a
+    directory of .warc.gz archives (one scan task per archive file).
     """
     job_id = job_id or f"extract-{uuid.uuid4().hex[:8]}"
     manifest = Manifest(output_dir, job_id)
 
-    all_files = sorted(spark.read.parquet(input_path).inputFiles())
+    if input_format == "warc":
+        import glob as _glob
+        all_files = sorted(_glob.glob(
+            os.path.join(input_path, "*.warc.gz")))
+    else:
+        all_files = sorted(spark.read.parquet(input_path).inputFiles())
     n_groups = min(n_groups, len(all_files)) or 1
     per = -(-len(all_files) // n_groups)  # ceil
     groups = [all_files[i:i + per] for i in range(0, len(all_files), per)]
@@ -303,9 +322,15 @@ def run_extraction_scan(spark: SparkSession,
     for gi, files in enumerate(groups):
         if gi in done:
             continue
-        pages = (spark.read.parquet(*files)
-                 .select("url", "warc_ts", "html")
-                 .withColumn("src_file", F.input_file_name()))
+        if input_format == "warc":
+            from .warc import read_warc
+            pages = read_warc(spark, files).select(
+                "url", "warc_ts", F.col("payload").alias("html"),
+                F.col("warc_file").alias("src_file"))
+        else:
+            pages = (spark.read.parquet(*files)
+                     .select("url", "warc_ts", "html")
+                     .withColumn("src_file", F.input_file_name()))
         extracted = pages.mapInPandas(extract_batch,
                                       schema=STAGE_SCHEMA_SCAN)
         group_dir = os.path.join(data_dir, f"group={gi}")

@@ -61,6 +61,36 @@ def ensure_zipf_docs(path: str = ZIPF_DOCS_PATH,
     return path
 
 
+# -- WARC archive fixture (r4): the pages table re-materialized as a
+# directory of member-per-record .warc.gz files (ISO 28500 / the
+# Common Crawl layout) by the single-process writer in warc.py — so
+# the Spark WARC SOURCE is oracled against the parquet table the
+# archive was independently written from, not against itself.
+WARC_PATH = f"/tmp/ekspark_warc_v1_{N_PAGES}"
+
+
+def ensure_warc(path: str = WARC_PATH, n: int = N_PAGES) -> str:
+    import datetime as _dt
+    from . import warc as _warc
+    from .fixtures import gen_pages
+    if not os.path.isdir(path):
+        tmp = path + ".tmp"
+        epoch = _dt.datetime(1970, 1, 1)
+        rows = []
+        for r in gen_pages(n):
+            td = r["warc_ts"] - epoch
+            rows.append({
+                "url": r["url"],
+                # integer micros from timedelta components — no float
+                "ts_micros": (td.days * 86_400 + td.seconds) * 1_000_000
+                             + td.microseconds,
+                "payload": r["html"],
+            })
+        _warc.write_warc_local(rows, tmp, records_per_file=300)
+        os.replace(tmp, path)
+    return path
+
+
 def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -2212,6 +2242,58 @@ FROM n
 """
 
 
+# -- WARC source / random access (r4) -----------------------------------------
+
+def q_warc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source: binaryFile scan of the fixture archive →
+    member-per-record parse (warc.read_warc). url / timestamp / HTTP
+    status / byte count / payload digest must all survive the format
+    round trip vs the parquet table the archive was INDEPENDENTLY
+    written from (single-process writer, ensure_warc)."""
+    _ensure_importable(spark)
+    ensure_pages()
+    from . import warc as _warc
+    df = _warc.read_warc(spark, ensure_warc())
+    return df.select(
+        "url", "warc_ts", "status",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5(F.hex("payload")).alias("payload_md5"))
+
+
+_ORACLE_WARC_READ = f"""
+SELECT url, warc_ts, 200::INTEGER AS status,
+       octet_length(html)::BIGINT AS n_bytes,
+       md5(hex(html)) AS payload_md5
+FROM read_parquet('{PAGES_GLOB}')
+"""
+
+
+def q_warc_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-indexed random access: build the member-offset index
+    (warc.warc_cdx), keep a deterministic 1% url slice, then fetch
+    ONLY those records by seeking to their gzip members
+    (warc.warc_fetch) — the re-pull-a-sample path that reads 0.01% of
+    the bytes of a 100 TB crawl instead of scanning it."""
+    _ensure_importable(spark)
+    ensure_pages()
+    from . import warc as _warc
+    path = ensure_warc()
+    cdx = _warc.warc_cdx(spark, path).where(F.col("url").endswith("00"))
+    df = _warc.warc_fetch(spark, path, cdx)
+    return df.select(
+        "url", "warc_ts",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5(F.hex("payload")).alias("payload_md5"))
+
+
+_ORACLE_WARC_FETCH = f"""
+SELECT url, warc_ts, octet_length(html)::BIGINT AS n_bytes,
+       md5(hex(html)) AS payload_md5
+FROM read_parquet('{PAGES_GLOB}')
+WHERE url LIKE '%00'
+"""
+
+
 # -- registry --------------------------------------------------------------------
 
 QUERIES = {
@@ -2226,6 +2308,8 @@ QUERIES = {
     "ext_pdf_invoice_fields_hex": q_ext_pdf_invoice_fields_hex,
     "ext_pdf_receipt_fields": q_ext_pdf_receipt_fields,
     "ext_pdf_encrypted": q_ext_pdf_encrypted,
+    "warc_read": q_warc_read,
+    "warc_fetch": q_warc_fetch,
     "ts_stats": q_ts_stats,
     "ts_stats_zipf": q_ts_stats_zipf,
     "ts_normalize": q_ts_normalize,
@@ -2347,6 +2431,8 @@ ORACLES = {
     "ext_pdf_invoice_fields_hex": _ORACLE_PDF_INVOICE_HEX,
     "ext_pdf_receipt_fields": _ORACLE_PDF_RECEIPT,
     "ext_pdf_encrypted": _ORACLE_PDF_ENCRYPTED,
+    "warc_read": _ORACLE_WARC_READ,
+    "warc_fetch": _ORACLE_WARC_FETCH,
     "ts_stats": _ORACLE_TS_STATS,
     "ts_stats_zipf": _ORACLE_TS_STATS_ZIPF,
     "ts_normalize": _ORACLE_TS_NORMALIZE,

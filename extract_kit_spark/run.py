@@ -29,6 +29,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--input", default=None,
                    help="pages table path (parquet dir/file); required "
                         "unless --compact")
+    p.add_argument("--input-format", default="parquet",
+                   choices=("parquet", "warc"),
+                   help="warc: --input is a directory of .warc.gz "
+                        "archives (Common Crawl layout) read via the "
+                        "WARC source instead of parquet")
     p.add_argument("--compact", action="store_true",
                    help="instead of extracting, compact fragmented "
                         "partitions of an existing --output table to "
@@ -135,13 +140,14 @@ def main(argv: list[str] | None = None) -> int:
             print(f"extract_kit_spark: error: --input path does not "
                   f"exist: {args.input}", file=sys.stderr)
             return 2
+        ext = ("*.warc.gz" if args.input_format == "warc"
+               else "*.parquet")
         if os.path.isdir(args.input) and not (
-                glob.glob(os.path.join(args.input, "*.parquet"))
-                or glob.glob(os.path.join(args.input, "**",
-                                          "*.parquet"),
+                glob.glob(os.path.join(args.input, ext))
+                or glob.glob(os.path.join(args.input, "**", ext),
                              recursive=True)):
             print(f"extract_kit_spark: error: --input contains no "
-                  f"parquet files: {args.input}", file=sys.stderr)
+                  f"{ext} files: {args.input}", file=sys.stderr)
             return 2
     from .session import get_spark
     from .pipeline import (reprocess_quarantined,
@@ -160,7 +166,8 @@ def main(argv: list[str] | None = None) -> int:
                 profile=args.profile, job_id=args.job_id,
                 n_groups=args.n_groups,
                 max_doc_bytes=args.max_doc_bytes,
-                resume=not args.no_resume)
+                resume=not args.no_resume,
+                input_format=args.input_format)
         else:
             summary = run_extraction_bucketed(
                 spark, args.input, args.output,
@@ -169,7 +176,8 @@ def main(argv: list[str] | None = None) -> int:
                 commit_group_size=args.commit_group_size,
                 target_partition_bytes=args.target_partition_bytes,
                 max_doc_bytes=args.max_doc_bytes,
-                resume=not args.no_resume)
+                resume=not args.no_resume,
+                input_format=args.input_format)
         print(json.dumps(summary), flush=True)
         return 0
     finally:
