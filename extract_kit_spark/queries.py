@@ -2294,6 +2294,40 @@ WHERE url LIKE '%00'
 """
 
 
+# -- link graph / PageRank (r4) -------------------------------------------------
+
+def q_web_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level outlink edge list from the html pages' absolute
+    hrefs (ops/webgraph.outlink_edges) — plan-side regexp + explode,
+    one skinny aggregation."""
+    from .ops import webgraph
+    df = _pages_with_kind(spark).where(F.col("kind") == "html")
+    return webgraph.outlink_edges(df.select("url", "html"))
+
+
+_ORACLE_OUTLINKS = f"""
+WITH p AS (SELECT url, decode(html) AS s
+           FROM read_parquet('{PAGES_GLOB}')
+           WHERE starts_with(hex(html), '{_HEX_HTML}')),
+e AS (SELECT regexp_extract(url, 'https://([a-z0-9.-]+)/', 1) AS src,
+             unnest(regexp_extract_all(
+                 s, '<a href="https://([a-z0-9.-]+)/', 1)) AS dst
+      FROM p)
+SELECT src, dst, count(*)::BIGINT AS n FROM e GROUP BY src, dst
+"""
+
+
+def q_web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank over the domain graph
+    (ops/webgraph.pagerank): bit-identical to the unrolled-CTE DuckDB
+    twin — an ITERATIVE distributed algorithm under an exact oracle,
+    not a float-tolerance one."""
+    from .ops import webgraph
+    df = _pages_with_kind(spark).where(F.col("kind") == "html")
+    edges = webgraph.outlink_edges(df.select("url", "html"))
+    return webgraph.pagerank(edges)
+
+
 # -- registry --------------------------------------------------------------------
 
 QUERIES = {
@@ -2310,6 +2344,8 @@ QUERIES = {
     "ext_pdf_encrypted": q_ext_pdf_encrypted,
     "warc_read": q_warc_read,
     "warc_fetch": q_warc_fetch,
+    "web_outlinks": q_web_outlinks,
+    "web_pagerank": q_web_pagerank,
     "ts_stats": q_ts_stats,
     "ts_stats_zipf": q_ts_stats_zipf,
     "ts_normalize": q_ts_normalize,
@@ -2433,6 +2469,7 @@ ORACLES = {
     "ext_pdf_encrypted": _ORACLE_PDF_ENCRYPTED,
     "warc_read": _ORACLE_WARC_READ,
     "warc_fetch": _ORACLE_WARC_FETCH,
+    "web_outlinks": _ORACLE_OUTLINKS,
     "ts_stats": _ORACLE_TS_STATS,
     "ts_stats_zipf": _ORACLE_TS_STATS_ZIPF,
     "ts_normalize": _ORACLE_TS_NORMALIZE,
@@ -2480,3 +2517,8 @@ ORACLES = {
     "rel_promo_share": _ORACLE_PROMO_SHARE,
     "rel_lapsed_customers": _ORACLE_LAPSED,
 }
+
+# generated oracle: the pagerank recurrence unrolled as a CTE chain
+# (standard SQL forbids aggregation in a recursive term)
+from .ops import webgraph as _webgraph  # noqa: E402
+ORACLES["web_pagerank"] = _webgraph.oracle_sql(PAGES_GLOB)

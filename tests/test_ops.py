@@ -877,3 +877,53 @@ def test_pii_scrub_idempotent_on_adversarial_strings(spark):
     assert got[7]["n_ips"] == 2
     assert got[9]["n_emails"] == 1 and got[9]["n_ips"] == 1 \
         and got[9]["n_phones"] == 1
+
+
+# -- webgraph: outlinks + fixed-point PageRank (r4) ---------------------------
+
+def test_pagerank_hand_computed_two_nodes(spark):
+    """scale=100, graph a→b, two iterations, every step by hand:
+    N=2 ⇒ r0=50, base=(15*50)//100=7.
+    iter1: contrib(b)=(50*1)//1=50 ⇒ r(b)=7+(85*50)//100=49; r(a)=7.
+    iter2: contrib(b)=(7*1)//1=7  ⇒ r(b)=7+(85*7)//100=12;  r(a)=7."""
+    from extract_kit_spark.ops import webgraph
+    edges = spark.createDataFrame([("a", "b", 1)],
+                                  "src string, dst string, n long")
+    got = {r.node: r.rank
+           for r in webgraph.pagerank(edges, n_iter=2,
+                                      scale=100).collect()}
+    assert got == {"a": 7, "b": 12}
+
+
+def test_pagerank_weighted_split(spark):
+    """a→b (n=3), a→c (n=1), one iteration, scale=1000: N=3 ⇒ r0=333,
+    base=(15*333)//100=49, out_w(a)=4.
+    contrib(b)=(333*3)//4=249 ⇒ r(b)=49+(85*249)//100=49+211=260.
+    contrib(c)=(333*1)//4=83  ⇒ r(c)=49+(85*83)//100=49+70=119."""
+    from extract_kit_spark.ops import webgraph
+    edges = spark.createDataFrame([("a", "b", 3), ("a", "c", 1)],
+                                  "src string, dst string, n long")
+    got = {r.node: r.rank
+           for r in webgraph.pagerank(edges, n_iter=1,
+                                      scale=1000).collect()}
+    assert got == {"a": 49, "b": 260, "c": 119}
+
+
+def test_pagerank_empty_edges(spark):
+    from extract_kit_spark.ops import webgraph
+    edges = spark.createDataFrame([], "src string, dst string, n long")
+    assert webgraph.pagerank(edges).collect() == []
+
+
+def test_outlinks_hot_domains_rank_top(spark):
+    """The fixture's two hot domains receive ~20% of outlinks each
+    (fixtures._domain), so PageRank must place them first and second
+    by a wide margin over the 48 tail domains."""
+    from extract_kit_spark.fixtures import DOMAINS
+    from extract_kit_spark.queries import QUERIES
+    ranked = sorted(
+        QUERIES["web_pagerank"](spark, "/root/testdata/sf0.001")
+        .collect(), key=lambda r: -r.rank)
+    top2 = {ranked[0].node, ranked[1].node}
+    assert top2 == {DOMAINS[0], DOMAINS[1]}
+    assert ranked[1].rank > 2 * ranked[2].rank
