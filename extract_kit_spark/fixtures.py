@@ -1588,3 +1588,54 @@ def write_unicode_docs_dir(path: str, n: int, n_files: int = 4,
         tbl = pa.table({"doc_id": [r["doc_id"] for r in rows],
                         "text": [r["text"] for r in rows]})
         pq.write_table(tbl, os.path.join(path, f"part-{f:04d}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# HTML-metadata twin corpus (r4): the html pages of the main fixture
+# with a deterministic head block spliced in right after <head> —
+# <link rel=canonical>, og:title, and (for i%11==3) a robots-noindex
+# meta. The splice is derived from (i, url) WITHOUT consuming rng
+# draws, so the page bodies stay byte-identical to gen_page's. Pages
+# with i%10==6 additionally emit a "?ref=alt" url-variant row whose
+# canonical still points at the bare url — real collisions for the
+# canonical-collapse gate.
+# ---------------------------------------------------------------------------
+
+def gen_meta_pages(i: int, seed: int = SEED) -> list[dict]:
+    r = gen_page(i, seed)
+    r.pop("_kind")
+    if not r["html"].startswith(b"<!DOCTYPE"):
+        return []
+    url = r["url"]
+    og = "og-" + url.rsplit("/", 1)[1]
+    head = (f'<link rel="canonical" href="{url}">'
+            f'<meta property="og:title" content="{og}">')
+    if i % 11 == 3:
+        head += '<meta name="robots" content="noindex">'
+    r["html"] = r["html"].replace(b"<head>",
+                                  b"<head>" + head.encode("ascii"), 1)
+    rows = [r]
+    if i % 10 == 6:
+        v = dict(r)
+        v["url"] = url + "?ref=alt"
+        v["warc_ts"] = r["warc_ts"] + _dt.timedelta(hours=1)
+        rows.append(v)
+    return rows
+
+
+def write_meta_pages_dir(path: str, n: int, n_files: int = 8,
+                         seed: int = SEED) -> None:
+    import os
+    import pyarrow.parquet as pq
+    os.makedirs(path, exist_ok=True)
+    per = -(-n // n_files)
+    for f in range(n_files):
+        lo, hi = f * per, min((f + 1) * per, n)
+        if lo >= hi:
+            break
+        rows = []
+        for i in range(lo, hi):
+            rows.extend(gen_meta_pages(i, seed))
+        if rows:
+            pq.write_table(_rows_to_arrow(rows),
+                           os.path.join(path, f"part-{f:04d}.parquet"))

@@ -158,3 +158,45 @@ def domain_blocklist(df: DataFrame, blocked: DataFrame,
     return (df.select(F.col(url_col), dom.alias("domain"))
             .join(hits, url_col, "left")
             .withColumn("blocked", F.col("matched_rule").isNotNull()))
+
+
+# -- head metadata: canonical link / og:title / robots gate (r4) --------------
+# Real crawls carry dedup signals IN the page head: <link rel=canonical>
+# names the preferred url of a duplicate family, and a robots-noindex
+# meta opts the page out of indexing entirely. Honoring both before
+# content dedup removes whole duplicate families for the cost of a head
+# regexp — orders of magnitude cheaper than shingling the bodies.
+
+_CANONICAL_RE = '<link rel="canonical" href="([^"]+)"'
+_OG_TITLE_RE = '<meta property="og:title" content="([^"]+)"'
+_NOINDEX_LIT = '<meta name="robots" content="noindex"'
+
+
+def html_meta(df: DataFrame, url_col: str = "url",
+              html_col: str = "html") -> DataFrame:
+    """Per-page head metadata as pure plan-side expressions (decode →
+    regexp_extract / contains): canonical href (null when absent),
+    og:title, robots-noindex flag. Whole-stage codegen; no Python."""
+    s = F.decode(F.col(html_col), "UTF-8")
+    return df.select(
+        F.col(url_col).alias("url"),
+        F.nullif(F.regexp_extract(s, _CANONICAL_RE, 1),
+                 F.lit("")).alias("canonical"),
+        F.nullif(F.regexp_extract(s, _OG_TITLE_RE, 1),
+                 F.lit("")).alias("og_title"),
+        s.contains(_NOINDEX_LIT).alias("noindex"))
+
+
+def canonical_collapse(df: DataFrame, url_col: str = "url",
+                       html_col: str = "html") -> DataFrame:
+    """The canonical-family gate: drop noindex pages, then keep ONE
+    url per canonical target (pages without a canonical are their own
+    family). Deterministic keep rule: min(url) — the bare url sorts
+    before its '?...'-suffixed variants. One hash shuffle on the
+    skinny (canonical, url) projection; payloads never move."""
+    meta = html_meta(df, url_col, html_col)
+    key = F.coalesce("canonical", "url")
+    return (meta.where(~F.col("noindex"))
+            .groupBy(key.alias("canonical"))
+            .agg(F.count(F.lit(1)).alias("n_variants"),
+                 F.min("url").alias("kept_url")))

@@ -91,6 +91,23 @@ def ensure_warc(path: str = WARC_PATH, n: int = N_PAGES) -> str:
     return path
 
 
+# -- HTML-metadata twin corpus (r4): html pages with canonical /
+# og:title / robots-noindex head tags + "?ref=alt" duplicate-variant
+# rows (fixtures.gen_meta_pages) -----------------------------------
+META_PAGES_PATH = f"/tmp/ekspark_metapages_v1_{N_PAGES}"
+META_PAGES_GLOB = f"{META_PAGES_PATH}/*.parquet"
+
+
+def ensure_meta_pages(path: str = META_PAGES_PATH,
+                      n: int = N_PAGES) -> str:
+    from .fixtures import write_meta_pages_dir
+    if not os.path.isdir(path):
+        tmp = path + ".tmp"
+        write_meta_pages_dir(tmp, n, n_files=8)
+        os.replace(tmp, path)
+    return path
+
+
 def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -2328,6 +2345,60 @@ def q_web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webgraph.pagerank(edges)
 
 
+# -- HTML head metadata / canonical-family gate (r4) ----------------------------
+
+def q_web_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction (weburl.html_meta): canonical href,
+    og:title, robots-noindex — plan-side regexps over the meta twin
+    corpus."""
+    ensure_meta_pages()
+    df = _read_parallel(spark, META_PAGES_PATH)
+    return weburl.html_meta(df)
+
+
+_ORACLE_HTML_META = f"""
+WITH p AS (SELECT url, decode(html) AS s
+           FROM read_parquet('{META_PAGES_GLOB}'))
+SELECT url,
+       nullif(regexp_extract(
+           s, '<link rel="canonical" href="([^"]+)"', 1), '')
+           AS canonical,
+       nullif(regexp_extract(
+           s, '<meta property="og:title" content="([^"]+)"', 1), '')
+           AS og_title,
+       contains(s, '<meta name="robots" content="noindex"')
+           AS noindex
+FROM p
+"""
+
+
+def q_web_canonical_collapse(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Canonical-family gate (weburl.canonical_collapse): noindex rows
+    dropped, one kept url per canonical target, variant counts — the
+    head-metadata dedup pass that removes whole duplicate families
+    before any body shingling."""
+    ensure_meta_pages()
+    df = _read_parallel(spark, META_PAGES_PATH)
+    return weburl.canonical_collapse(df)
+
+
+_ORACLE_CANONICAL_COLLAPSE = f"""
+WITH m AS (
+  SELECT url,
+         coalesce(nullif(regexp_extract(
+             decode(html), '<link rel="canonical" href="([^"]+)"', 1),
+             ''), url) AS canonical,
+         contains(decode(html),
+                  '<meta name="robots" content="noindex"') AS noindex
+  FROM read_parquet('{META_PAGES_GLOB}'))
+SELECT canonical, count(*)::BIGINT AS n_variants,
+       min(url) AS kept_url
+FROM m WHERE NOT noindex
+GROUP BY canonical
+"""
+
+
 # -- registry --------------------------------------------------------------------
 
 QUERIES = {
@@ -2346,6 +2417,8 @@ QUERIES = {
     "warc_fetch": q_warc_fetch,
     "web_outlinks": q_web_outlinks,
     "web_pagerank": q_web_pagerank,
+    "web_html_meta": q_web_html_meta,
+    "web_canonical_collapse": q_web_canonical_collapse,
     "ts_stats": q_ts_stats,
     "ts_stats_zipf": q_ts_stats_zipf,
     "ts_normalize": q_ts_normalize,
@@ -2470,6 +2543,8 @@ ORACLES = {
     "warc_read": _ORACLE_WARC_READ,
     "warc_fetch": _ORACLE_WARC_FETCH,
     "web_outlinks": _ORACLE_OUTLINKS,
+    "web_html_meta": _ORACLE_HTML_META,
+    "web_canonical_collapse": _ORACLE_CANONICAL_COLLAPSE,
     "ts_stats": _ORACLE_TS_STATS,
     "ts_stats_zipf": _ORACLE_TS_STATS_ZIPF,
     "ts_normalize": _ORACLE_TS_NORMALIZE,

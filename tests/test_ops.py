@@ -927,3 +927,34 @@ def test_outlinks_hot_domains_rank_top(spark):
     top2 = {ranked[0].node, ranked[1].node}
     assert top2 == {DOMAINS[0], DOMAINS[1]}
     assert ranked[1].rank > 2 * ranked[2].rank
+
+
+def test_canonical_collapse_gate_semantics(spark):
+    """Hand-built family: bare url + two variants collapse to the bare
+    url; an all-noindex family disappears entirely; a page without a
+    canonical is its own family."""
+    from extract_kit_spark.ops import weburl
+
+    def page(head: str) -> bytearray:
+        return bytearray(
+            f"<!DOCTYPE html><html><head>{head}</head>"
+            f"<body>x</body></html>".encode())
+
+    can = '<link rel="canonical" href="https://d.ex/a">'
+    noi = '<meta name="robots" content="noindex">'
+    rows = [
+        ("https://d.ex/a", page(can)),
+        ("https://d.ex/a?ref=1", page(can)),
+        ("https://d.ex/a?ref=2", page(can + noi)),  # noindex variant
+        ("https://d.ex/gone", page(
+            '<link rel="canonical" href="https://d.ex/gone">' + noi)),
+        ("https://d.ex/solo", page("")),  # no canonical at all
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r.canonical: r for r in
+           weburl.canonical_collapse(df).collect()}
+    assert set(got) == {"https://d.ex/a", "https://d.ex/solo"}
+    fam = got["https://d.ex/a"]
+    assert fam.kept_url == "https://d.ex/a"
+    assert fam.n_variants == 2  # noindex variant excluded from count
+    assert got["https://d.ex/solo"].n_variants == 1

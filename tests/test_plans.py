@@ -304,3 +304,23 @@ def test_blocklist_broadcasts_rules(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan or "LeftOuter" in plan
     assert "InPandas" not in plan and "EvalPython" not in plan
+
+
+def test_html_meta_and_collapse_are_jvm_only(spark):
+    """Head-metadata extraction and the canonical gate must stay in
+    whole-stage codegen (regexp/contains expressions, one skinny
+    aggregation) — no Python evaluation anywhere."""
+    plan = _plan(QUERIES["web_html_meta"](spark, SF_DIR))
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    plan = _plan(QUERIES["web_canonical_collapse"](spark, SF_DIR))
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    # partial+final aggregation (min(string) ⇒ SortAggregate — the
+    # buffer type is immutable — but the map-side combine must exist)
+    # over exactly ONE skinny exchange
+    assert "partial_count" in plan
+    assert plan.count("+- Exchange") == 1
+
+
+def test_outlinks_is_jvm_only(spark):
+    plan = _plan(QUERIES["web_outlinks"](spark, SF_DIR))
+    assert "InPandas" not in plan and "EvalPython" not in plan
