@@ -402,6 +402,8 @@ HEADLINE = ("ext_invoice_fields", "ext_pdf_invoice_fields",
             "ext_pdf_receipt_fields", "web_domain_stats",
             "web_domain_join_salted", "web_kind_rollup",
             "web_url_dedup", "web_domain_cap", "web_blocklist",
+            "web_outlinks", "web_pagerank", "web_html_meta",
+            "web_canonical_collapse", "warc_read", "warc_fetch",
             "ts_stats",
             "ts_tfidf_topk", "ts_tfidf_zipf", "ts_repetition",
             "ts_normalize",
