@@ -1639,3 +1639,41 @@ def write_meta_pages_dir(path: str, n: int, n_files: int = 8,
         if rows:
             pq.write_table(_rows_to_arrow(rows),
                            os.path.join(path, f"part-{f:04d}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# robots.txt fixture (r4): one deterministic robots.txt per corpus
+# domain — a '*' group with 0-3 Disallow prefixes drawn from the url
+# slug vocabulary (so rules genuinely hit pages) and sometimes an
+# Allow that extends the FIRST disallowed prefix (real
+# longest-match-Allow-wins cases); ~30% of domains carry a
+# 'User-agent: badbot / Disallow: /' group the '*' parser must skip;
+# comments, blank lines, and an empty 'Disallow:' no-op exercise the
+# parser.
+# ---------------------------------------------------------------------------
+
+def gen_robots_row(d_idx: int, seed: int = SEED) -> dict:
+    domain = DOMAINS[d_idx]
+    rng = random.Random(f"{seed}:robots:{domain}")
+    lines = ["# fixture robots.txt", ""]
+    if rng.random() < 0.3:
+        lines += ["User-agent: badbot", "Disallow: /", ""]
+    lines.append("User-agent: *")
+    n_dis = rng.randint(0, 3)
+    dis_words = [rng.choice(WORDS) for _ in range(n_dis)]
+    for w in dis_words:
+        lines.append(f"Disallow: /{w}")
+    if dis_words and rng.random() < 0.6:
+        lines.append(f"Allow: /{dis_words[0]}-{rng.choice(WORDS)}")
+    if rng.random() < 0.15:
+        lines.append("Disallow:")  # empty value = no-op per spec
+    return {"domain": domain, "robots_txt": "\n".join(lines) + "\n"}
+
+
+def write_robots_parquet(path: str, seed: int = SEED) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    rows = [gen_robots_row(i, seed) for i in range(len(DOMAINS))]
+    pq.write_table(pa.table({
+        "domain": [r["domain"] for r in rows],
+        "robots_txt": [r["robots_txt"] for r in rows]}), path)

@@ -200,3 +200,83 @@ def canonical_collapse(df: DataFrame, url_col: str = "url",
             .groupBy(key.alias("canonical"))
             .agg(F.count(F.lit(1)).alias("n_variants"),
                  F.min("url").alias("kept_url")))
+
+
+# -- robots.txt: parse + longest-match gate (r4) -------------------------------
+# Crawl compliance is a pre-extraction pass: parse each domain's
+# robots.txt once, then gate the page table against the rules. The
+# evaluation follows the Googlebot convention: the MOST SPECIFIC
+# (longest) matching path rule wins, Allow winning length ties; a url
+# with no matching rule (or no robots.txt at all) is allowed.
+# Simplification, documented: stacked consecutive User-agent lines
+# sharing one group are not merged — the forward-fill keeps the last
+# one (the fixture never stacks; a real deployment would pre-split
+# groups).
+
+_ROBOTS_UA_RE = r"(?i)^user-agent:\s*(\S+)"
+_ROBOTS_RULE_RE = r"(?i)^(allow|disallow):\s*(\S*)"
+
+
+def robots_rules(robots: DataFrame, domain_col: str = "domain",
+                 txt_col: str = "robots_txt") -> DataFrame:
+    """robots.txt text → (domain, rule ∈ {allow,disallow}, path) rows
+    for the '*' user-agent group. Pure plan-side: posexplode the
+    lines, forward-fill the current User-agent with a
+    last(ignorenulls) window keyed on line position, keep rule lines
+    of the '*' group with non-empty paths (an empty 'Disallow:' is a
+    no-op per the spec). Robots files are tiny — the window runs over
+    a per-domain handful of rows."""
+    lines = robots.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(txt_col), "\n"))
+        .alias("pos", "line"))
+    ua = F.when(F.col("line").rlike(_ROBOTS_UA_RE),
+                F.regexp_extract("line", _ROBOTS_UA_RE, 1))
+    parsed = lines.select(
+        "domain", "pos", ua.alias("ua"),
+        F.lower(F.regexp_extract("line", _ROBOTS_RULE_RE, 1))
+        .alias("rule"),
+        F.regexp_extract("line", _ROBOTS_RULE_RE, 2).alias("path"))
+    w = (Window.partitionBy("domain").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (parsed
+            .withColumn("cur_ua", F.last("ua", ignorenulls=True).over(w))
+            .where((F.col("cur_ua") == "*") & (F.col("rule") != "")
+                   & (F.col("path") != ""))
+            .select("domain", "rule", "path"))
+
+
+def robots_gate(pages: DataFrame, robots: DataFrame,
+                url_col: str = "url") -> DataFrame:
+    """Evaluate every page url against its domain's parsed rules.
+
+    Scale shape: rules collapse to ONE row per domain carrying
+    (allows[], disallows[]) arrays — a broadcast-sized dim — so the
+    pages side is a single BroadcastHashJoin + map-side higher-order
+    functions (filter/transform/array_max): ZERO exchange on the big
+    table, and only (url, domain, path) is ever projected."""
+    per_domain = (robots_rules(robots).groupBy("domain").agg(
+        F.collect_list(F.when(F.col("rule") == "allow",
+                              F.col("path"))).alias("allows"),
+        F.collect_list(F.when(F.col("rule") == "disallow",
+                              F.col("path"))).alias("disallows")))
+    p = pages.select(
+        F.col(url_col).alias("url"),
+        F.regexp_extract(url_col, r"https://([a-z0-9.-]+)", 1)
+        .alias("domain"),
+        F.coalesce(F.nullif(F.regexp_extract(
+            url_col, r"https://[^/]+(/.*)$", 1), F.lit("")), F.lit("/"))
+        .alias("path"))
+    j = p.join(F.broadcast(per_domain), "domain", "left")
+
+    def longest(arr: str) -> F.Column:
+        return F.expr(
+            f"coalesce(array_max(transform(filter({arr}, "
+            f"r -> startswith(path, r)), r -> length(r))), 0)")
+
+    return (j.withColumn("allow_len", longest("allows").cast("int"))
+            .withColumn("disallow_len", longest("disallows").cast("int"))
+            .select("url", "domain",
+                    (F.col("allow_len") >= F.col("disallow_len"))
+                    .alias("allowed"),
+                    "allow_len", "disallow_len"))

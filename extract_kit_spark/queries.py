@@ -108,6 +108,20 @@ def ensure_meta_pages(path: str = META_PAGES_PATH,
     return path
 
 
+# -- robots.txt fixture (r4): one deterministic robots.txt per corpus
+# domain (fixtures.gen_robots_row) ----------------------------------
+ROBOTS_PATH = "/tmp/ekspark_robots_v1.parquet"
+
+
+def ensure_robots(path: str = ROBOTS_PATH) -> str:
+    from .fixtures import write_robots_parquet
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        write_robots_parquet(tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -2399,6 +2413,80 @@ GROUP BY canonical
 """
 
 
+# -- robots.txt parse + gate (r4) ------------------------------------------------
+
+def q_web_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parser (weburl.robots_rules): '*'-group
+    Allow/Disallow rules via posexplode + forward-fill window — all
+    plan-side."""
+    ensure_robots()
+    return weburl.robots_rules(spark.read.parquet(ROBOTS_PATH))
+
+
+_ROBOTS_PARSE_CTES = f"""
+l AS (SELECT domain,
+             unnest(split(robots_txt, chr(10))) AS line,
+             unnest(range(len(split(robots_txt, chr(10))))) AS pos
+      FROM read_parquet('{ROBOTS_PATH}')),
+pr AS (SELECT domain, pos,
+         CASE WHEN regexp_matches(line, '(?i)^user-agent:')
+              THEN regexp_extract(line,
+                   '(?i)^user-agent:\\s*(\\S+)', 1) END AS ua,
+         lower(regexp_extract(line,
+               '(?i)^(allow|disallow):\\s*(\\S*)', 1)) AS rule,
+         regexp_extract(line,
+               '(?i)^(allow|disallow):\\s*(\\S*)', 2) AS path
+       FROM l),
+ff AS (SELECT *, last_value(ua IGNORE NULLS) OVER (
+           PARTITION BY domain ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur_ua
+       FROM pr),
+rules AS (SELECT domain, rule, path FROM ff
+          WHERE cur_ua = '*' AND rule != '' AND path != '')
+"""
+
+_ORACLE_ROBOTS_RULES = f"""
+WITH {_ROBOTS_PARSE_CTES}
+SELECT domain, rule, path FROM rules
+"""
+
+
+def q_web_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-match robots gate (weburl.robots_gate): per-domain rule
+    arrays broadcast onto the pages scan, evaluated map-side with
+    higher-order functions — zero exchange on the page table."""
+    ensure_pages()
+    ensure_robots()
+    pages = _read_parallel(spark, PAGES_PATH).select("url")
+    return weburl.robots_gate(pages,
+                              spark.read.parquet(ROBOTS_PATH))
+
+
+_ORACLE_ROBOTS_GATE = f"""
+WITH {_ROBOTS_PARSE_CTES},
+agg AS (SELECT domain,
+          list(path) FILTER (WHERE rule = 'allow') AS allows,
+          list(path) FILTER (WHERE rule = 'disallow') AS disallows
+        FROM rules GROUP BY domain),
+pg AS (SELECT url,
+         regexp_extract(url, 'https://([a-z0-9.-]+)', 1) AS domain,
+         coalesce(nullif(regexp_extract(
+             url, 'https://[^/]+(/.*)$', 1), ''), '/') AS path
+       FROM read_parquet('{PAGES_GLOB}')),
+ev AS (SELECT url, pg.domain AS domain,
+         coalesce(list_max(list_transform(list_filter(
+             allows, r -> starts_with(path, r)),
+             r -> length(r))), 0)::INTEGER AS allow_len,
+         coalesce(list_max(list_transform(list_filter(
+             disallows, r -> starts_with(path, r)),
+             r -> length(r))), 0)::INTEGER AS disallow_len
+       FROM pg LEFT JOIN agg ON pg.domain = agg.domain)
+SELECT url, domain, allow_len >= disallow_len AS allowed,
+       allow_len, disallow_len
+FROM ev
+"""
+
+
 # -- registry --------------------------------------------------------------------
 
 QUERIES = {
@@ -2419,6 +2507,8 @@ QUERIES = {
     "web_pagerank": q_web_pagerank,
     "web_html_meta": q_web_html_meta,
     "web_canonical_collapse": q_web_canonical_collapse,
+    "web_robots_rules": q_web_robots_rules,
+    "web_robots_gate": q_web_robots_gate,
     "ts_stats": q_ts_stats,
     "ts_stats_zipf": q_ts_stats_zipf,
     "ts_normalize": q_ts_normalize,
@@ -2545,6 +2635,8 @@ ORACLES = {
     "web_outlinks": _ORACLE_OUTLINKS,
     "web_html_meta": _ORACLE_HTML_META,
     "web_canonical_collapse": _ORACLE_CANONICAL_COLLAPSE,
+    "web_robots_rules": _ORACLE_ROBOTS_RULES,
+    "web_robots_gate": _ORACLE_ROBOTS_GATE,
     "ts_stats": _ORACLE_TS_STATS,
     "ts_stats_zipf": _ORACLE_TS_STATS_ZIPF,
     "ts_normalize": _ORACLE_TS_NORMALIZE,

@@ -958,3 +958,46 @@ def test_canonical_collapse_gate_semantics(spark):
     assert fam.kept_url == "https://d.ex/a"
     assert fam.n_variants == 2  # noindex variant excluded from count
     assert got["https://d.ex/solo"].n_variants == 1
+
+
+def test_robots_rules_parser_hand_cases(spark):
+    """Hand-written robots.txt: only the '*' group's non-empty rules
+    survive — the badbot group, comments, blank lines, and the empty
+    'Disallow:' no-op are all dropped; case-insensitive directives."""
+    from extract_kit_spark.ops import weburl
+    txt = ("# c\n\nUser-agent: badbot\nDisallow: /\n\n"
+           "User-Agent: *\nDISALLOW: /a\nallow: /a-b\nDisallow:\n")
+    df = spark.createDataFrame([("d.ex", txt)],
+                               "domain string, robots_txt string")
+    got = sorted((r.rule, r.path)
+                 for r in weburl.robots_rules(df).collect())
+    assert got == [("allow", "/a-b"), ("disallow", "/a")]
+
+
+def test_robots_gate_longest_match_hand_cases(spark):
+    """Googlebot longest-match semantics by hand:
+    rules: Disallow /a, Allow /a-b, Disallow /a-b-c.
+    /a-x     → disallow(2) > allow(0)             → blocked
+    /a-b-x   → allow(4)    > disallow(2)          → allowed
+    /a-b-c-x → disallow(6) > allow(4)             → blocked
+    /z       → no match (0 >= 0, allow wins tie)  → allowed
+    other domain with no robots row               → allowed"""
+    from extract_kit_spark.ops import weburl
+    txt = "User-agent: *\nDisallow: /a\nAllow: /a-b\nDisallow: /a-b-c\n"
+    robots = spark.createDataFrame([("d.ex", txt)],
+                                   "domain string, robots_txt string")
+    pages = spark.createDataFrame(
+        [("https://d.ex/a-x",), ("https://d.ex/a-b-x",),
+         ("https://d.ex/a-b-c-x",), ("https://d.ex/z",),
+         ("https://other.ex/a-x",), ("https://d.ex",)],
+        "url string")
+    got = {r.url: r.allowed
+           for r in weburl.robots_gate(pages, robots).collect()}
+    assert got == {
+        "https://d.ex/a-x": False,
+        "https://d.ex/a-b-x": True,
+        "https://d.ex/a-b-c-x": False,
+        "https://d.ex/z": True,
+        "https://other.ex/a-x": True,
+        "https://d.ex": True,  # bare root → path '/', no rule matches
+    }

@@ -324,3 +324,17 @@ def test_html_meta_and_collapse_are_jvm_only(spark):
 def test_outlinks_is_jvm_only(spark):
     plan = _plan(QUERIES["web_outlinks"](spark, SF_DIR))
     assert "InPandas" not in plan and "EvalPython" not in plan
+
+
+def test_robots_gate_broadcasts_rules_no_page_exchange(spark):
+    """The robots gate must evaluate map-side: per-domain rule arrays
+    broadcast onto the page scan, no shuffle of the pages side. The
+    only Exchange allowed in the plan is inside the tiny rules
+    aggregation feeding the broadcast."""
+    plan = _plan(QUERIES["web_robots_gate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    # the pages scan must flow into the broadcast join without an
+    # exchange: every Exchange in the plan is a broadcast or feeds the
+    # rules-side window/agg, never hashpartitioning on url
+    assert "hashpartitioning(url" not in plan
