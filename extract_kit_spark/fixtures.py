@@ -1667,6 +1667,10 @@ def gen_robots_row(d_idx: int, seed: int = SEED) -> dict:
         lines.append(f"Allow: /{dis_words[0]}-{rng.choice(WORDS)}")
     if rng.random() < 0.15:
         lines.append("Disallow:")  # empty value = no-op per spec
+    # drawn AFTER every other draw: adding this line (r4 politeness)
+    # left all previously-generated rules byte-identical
+    if rng.random() < 0.5:
+        lines.append(f"Crawl-delay: {rng.randint(1, 9)}")
     return {"domain": domain, "robots_txt": "\n".join(lines) + "\n"}
 
 

@@ -280,3 +280,59 @@ def robots_gate(pages: DataFrame, robots: DataFrame,
                     (F.col("allow_len") >= F.col("disallow_len"))
                     .alias("allowed"),
                     "allow_len", "disallow_len"))
+
+
+_ROBOTS_DELAY_RE = r"(?i)^crawl-delay:\s*(\d+)"
+
+
+def robots_crawl_delays(robots: DataFrame, domain_col: str = "domain",
+                        txt_col: str = "robots_txt") -> DataFrame:
+    """(domain, delay_s) from each '*' group's Crawl-delay line (first
+    one wins if repeated). Same forward-fill parse as robots_rules."""
+    lines = robots.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(txt_col), "\n"))
+        .alias("pos", "line"))
+    ua = F.when(F.col("line").rlike(_ROBOTS_UA_RE),
+                F.regexp_extract("line", _ROBOTS_UA_RE, 1))
+    w = (Window.partitionBy("domain").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (lines
+            .select("domain", "pos", ua.alias("ua"),
+                    F.nullif(F.regexp_extract("line", _ROBOTS_DELAY_RE,
+                                              1), F.lit(""))
+                    .alias("delay"))
+            .withColumn("cur_ua", F.last("ua", ignorenulls=True).over(w))
+            .where((F.col("cur_ua") == "*") & F.col("delay").isNotNull())
+            .groupBy("domain")
+            .agg(F.min_by("delay", "pos").cast("long").alias("delay_s")))
+
+
+def politeness_schedule(pages: DataFrame, robots: DataFrame,
+                        default_delay_s: int = 1,
+                        url_col: str = "url",
+                        ts_col: str = "warc_ts") -> DataFrame:
+    """Per-domain fetch schedule honoring Crawl-delay: urls are
+    sequenced within their domain by (first-seen ts, url) and slot i
+    fetches at offset i*delay seconds. Politeness is BY DEFINITION a
+    per-domain serial order, so the row_number window partitioned on
+    domain is the honest shape — a hot domain's fetch queue is one
+    partition because it must be fetched one-at-a-time anyway; the
+    shuffle carries only (url, ts, domain). Returns
+    (url, domain, seq, delay_s, fetch_offset_s)."""
+    delays = robots_crawl_delays(robots)
+    p = pages.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("ts"),
+        F.regexp_extract(url_col, r"https://([a-z0-9.-]+)", 1)
+        .alias("domain"))
+    j = p.join(F.broadcast(delays), "domain", "left") \
+         .withColumn("delay_s",
+                     F.coalesce("delay_s",
+                                F.lit(default_delay_s).cast("long")))
+    w = Window.partitionBy("domain").orderBy("ts", "url")
+    return (j.withColumn("seq",
+                         (F.row_number().over(w) - 1).cast("long"))
+            .select("url", "domain", "seq", "delay_s",
+                    (F.col("seq") * F.col("delay_s"))
+                    .alias("fetch_offset_s")))

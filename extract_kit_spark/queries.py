@@ -110,7 +110,7 @@ def ensure_meta_pages(path: str = META_PAGES_PATH,
 
 # -- robots.txt fixture (r4): one deterministic robots.txt per corpus
 # domain (fixtures.gen_robots_row) ----------------------------------
-ROBOTS_PATH = "/tmp/ekspark_robots_v1.parquet"
+ROBOTS_PATH = "/tmp/ekspark_robots_v2.parquet"  # v2: +Crawl-delay lines
 
 
 def ensure_robots(path: str = ROBOTS_PATH) -> str:
@@ -2435,7 +2435,9 @@ pr AS (SELECT domain, pos,
          lower(regexp_extract(line,
                '(?i)^(allow|disallow):\\s*(\\S*)', 1)) AS rule,
          regexp_extract(line,
-               '(?i)^(allow|disallow):\\s*(\\S*)', 2) AS path
+               '(?i)^(allow|disallow):\\s*(\\S*)', 2) AS path,
+         regexp_extract(line,
+               '(?i)^crawl-delay:\\s*(\\d+)', 1) AS delay
        FROM l),
 ff AS (SELECT *, last_value(ua IGNORE NULLS) OVER (
            PARTITION BY domain ORDER BY pos
@@ -2448,6 +2450,39 @@ rules AS (SELECT domain, rule, path FROM ff
 _ORACLE_ROBOTS_RULES = f"""
 WITH {_ROBOTS_PARSE_CTES}
 SELECT domain, rule, path FROM rules
+"""
+
+
+def q_web_politeness_schedule(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Per-domain fetch schedule honoring Crawl-delay
+    (weburl.politeness_schedule): row_number over the domain queue ×
+    the domain's delay (default 1 s) — politeness is a per-domain
+    serial order by definition, so the window partition IS the unit of
+    work."""
+    ensure_pages()
+    ensure_robots()
+    pages = _read_parallel(spark, PAGES_PATH).select("url", "warc_ts")
+    return weburl.politeness_schedule(
+        pages, spark.read.parquet(ROBOTS_PATH))
+
+
+_ORACLE_POLITENESS = f"""
+WITH {_ROBOTS_PARSE_CTES},
+dl AS (SELECT domain, min_by(delay, pos)::BIGINT AS delay_s
+       FROM ff WHERE cur_ua = '*' AND delay != ''
+       GROUP BY domain),
+pg AS (SELECT url, warc_ts,
+         regexp_extract(url, 'https://([a-z0-9.-]+)', 1) AS domain
+       FROM read_parquet('{PAGES_GLOB}')),
+sq AS (SELECT url, pg.domain AS domain,
+         (row_number() OVER (PARTITION BY pg.domain
+                             ORDER BY warc_ts, url) - 1)::BIGINT AS seq,
+         coalesce(dl.delay_s, 1)::BIGINT AS delay_s
+       FROM pg LEFT JOIN dl ON pg.domain = dl.domain)
+SELECT url, domain, seq, delay_s,
+       (seq * delay_s)::BIGINT AS fetch_offset_s
+FROM sq
 """
 
 
@@ -2509,6 +2544,7 @@ QUERIES = {
     "web_canonical_collapse": q_web_canonical_collapse,
     "web_robots_rules": q_web_robots_rules,
     "web_robots_gate": q_web_robots_gate,
+    "web_politeness_schedule": q_web_politeness_schedule,
     "ts_stats": q_ts_stats,
     "ts_stats_zipf": q_ts_stats_zipf,
     "ts_normalize": q_ts_normalize,
@@ -2637,6 +2673,7 @@ ORACLES = {
     "web_canonical_collapse": _ORACLE_CANONICAL_COLLAPSE,
     "web_robots_rules": _ORACLE_ROBOTS_RULES,
     "web_robots_gate": _ORACLE_ROBOTS_GATE,
+    "web_politeness_schedule": _ORACLE_POLITENESS,
     "ts_stats": _ORACLE_TS_STATS,
     "ts_stats_zipf": _ORACLE_TS_STATS_ZIPF,
     "ts_normalize": _ORACLE_TS_NORMALIZE,

@@ -1001,3 +1001,29 @@ def test_robots_gate_longest_match_hand_cases(spark):
         "https://other.ex/a-x": True,
         "https://d.ex": True,  # bare root → path '/', no rule matches
     }
+
+
+def test_politeness_schedule_hand_cases(spark):
+    """Domain with Crawl-delay 5: three urls sequence by (ts, url) and
+    fetch at offsets 0/5/10; a domain with no robots row falls back to
+    the 1 s default."""
+    import datetime as dt
+    from extract_kit_spark.ops import weburl
+    robots = spark.createDataFrame(
+        [("d.ex", "User-agent: *\nCrawl-delay: 5\n"),
+         ("nodelay.ex", "User-agent: *\nDisallow: /x\n")],
+        "domain string, robots_txt string")
+    t0 = dt.datetime(2025, 1, 1)
+    pages = spark.createDataFrame(
+        [("https://d.ex/b", t0), ("https://d.ex/a", t0),
+         ("https://d.ex/c", t0 + dt.timedelta(seconds=1)),
+         ("https://other.ex/q", t0)],
+        "url string, warc_ts timestamp")
+    got = {r.url: (r.seq, r.delay_s, r.fetch_offset_s)
+           for r in weburl.politeness_schedule(pages, robots).collect()}
+    assert got == {
+        "https://d.ex/a": (0, 5, 0),    # same ts: url breaks the tie
+        "https://d.ex/b": (1, 5, 5),
+        "https://d.ex/c": (2, 5, 10),
+        "https://other.ex/q": (0, 1, 0),
+    }
