@@ -1681,3 +1681,63 @@ def write_robots_parquet(path: str, seed: int = SEED) -> None:
     pq.write_table(pa.table({
         "domain": [r["domain"] for r in rows],
         "robots_txt": [r["robots_txt"] for r in rows]}), path)
+
+
+# ---------------------------------------------------------------------------
+# sitemap.xml fixture (r4): one urlset per domain listing up to 5 of
+# the domain's REAL page urls (already crawled) plus 2 novel urls the
+# crawler has not seen — the discovery signal a sitemap-driven
+# frontier builder needs. gen_page_url replays only gen_page's url-
+# determining rng prefix (kind, domain, slug), so building the per-
+# domain url map never generates payloads; prefix equality is pinned
+# in tests.
+# ---------------------------------------------------------------------------
+
+def gen_page_url(i: int, seed: int = SEED) -> str:
+    rng = random.Random(f"{seed}:{i}")
+    kind_of(rng.random())
+    domain = _domain(rng)
+    return f"https://{domain}/{_slug(rng)}-{i:08d}"
+
+
+def gen_sitemaps(n_pages: int, seed: int = SEED) -> list[dict]:
+    by_domain: dict[str, list[str]] = {d: [] for d in DOMAINS}
+    for i in range(n_pages):
+        u = gen_page_url(i, seed)
+        d = u.split("/")[2]
+        if len(by_domain[d]) < 5:
+            by_domain[d].append(u)
+    rows = []
+    for di, domain in enumerate(DOMAINS):
+        rng = random.Random(f"{seed}:sitemap:{domain}")
+        ents = []
+        # month cycle includes 12: a known url whose lastmod is AFTER
+        # its crawl ts (BASE_TS = 2025-08-29) is the stale-refetch case
+        months = ("01", "03", "05", "09", "12")
+        for k, u in enumerate(by_domain[domain]):
+            ents.append((u, f"2025-{months[(di + k) % 5]}"
+                            f"-{1 + (di * 3 + k) % 27:02d}"))
+        for k in range(2):
+            ents.append((
+                f"https://{domain}/{_slug(rng)}-new{di:04d}{k}",
+                f"2025-0{1 + (di + k) % 9}-28"))
+        body = "".join(
+            f"<url><loc>{u}</loc><lastmod>{lm}</lastmod></url>\n"
+            for u, lm in ents)
+        rows.append({
+            "domain": domain,
+            "sitemap_xml": ('<?xml version="1.0" encoding="UTF-8"?>\n'
+                            '<urlset xmlns="http://www.sitemaps.org/'
+                            'schemas/sitemap/0.9">\n'
+                            f"{body}</urlset>\n")})
+    return rows
+
+
+def write_sitemaps_parquet(path: str, n_pages: int,
+                           seed: int = SEED) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    rows = gen_sitemaps(n_pages, seed)
+    pq.write_table(pa.table({
+        "domain": [r["domain"] for r in rows],
+        "sitemap_xml": [r["sitemap_xml"] for r in rows]}), path)

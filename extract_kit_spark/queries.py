@@ -122,6 +122,21 @@ def ensure_robots(path: str = ROBOTS_PATH) -> str:
     return path
 
 
+# -- sitemap fixture (r4): one urlset per domain — ≤5 real page urls
+# + 2 novel ones; lastmod months cycle through 12 so known-but-stale
+# rows exist (fixtures.gen_sitemaps) -------------------------------
+SITEMAPS_PATH = "/tmp/ekspark_sitemaps_v1.parquet"
+
+
+def ensure_sitemaps(path: str = SITEMAPS_PATH) -> str:
+    from .fixtures import write_sitemaps_parquet
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        write_sitemaps_parquet(tmp, N_PAGES)
+        os.replace(tmp, path)
+    return path
+
+
 def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -2522,6 +2537,55 @@ FROM ev
 """
 
 
+# -- sitemap discovery / refresh frontier (r4) ----------------------------------
+
+def q_web_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap urlset parser (weburl.sitemap_urls): positional
+    loc/lastmod zip, plan-side."""
+    ensure_sitemaps()
+    return weburl.sitemap_urls(spark.read.parquet(SITEMAPS_PATH))
+
+
+_ORACLE_SITEMAP_URLS = f"""
+SELECT domain,
+       unnest(regexp_extract_all(
+           sitemap_xml, '<loc>([^<]+)</loc>', 1)) AS loc,
+       unnest(regexp_extract_all(
+           sitemap_xml, '<lastmod>([^<]+)</lastmod>', 1)) AS lastmod
+FROM read_parquet('{SITEMAPS_PATH}')
+"""
+
+
+def q_web_sitemap_frontier(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Fetch frontier from sitemaps (weburl.sitemap_frontier): never-
+    crawled urls ('new') + known urls whose lastmod postdates their
+    crawl date ('stale'); skinny equality join, payload never read."""
+    ensure_pages()
+    ensure_sitemaps()
+    pages = _read_parallel(spark, PAGES_PATH).select("url", "warc_ts")
+    return weburl.sitemap_frontier(
+        spark.read.parquet(SITEMAPS_PATH), pages)
+
+
+_ORACLE_SITEMAP_FRONTIER = f"""
+WITH s AS (
+  SELECT domain,
+         unnest(regexp_extract_all(
+             sitemap_xml, '<loc>([^<]+)</loc>', 1)) AS loc,
+         unnest(regexp_extract_all(
+             sitemap_xml, '<lastmod>([^<]+)</lastmod>', 1)) AS lastmod
+  FROM read_parquet('{SITEMAPS_PATH}')),
+k AS (SELECT url AS known_url, warc_ts::DATE AS crawl_date
+      FROM read_parquet('{PAGES_GLOB}'))
+SELECT domain, loc AS url, lastmod,
+       CASE WHEN known_url IS NULL THEN 'new' ELSE 'stale' END
+           AS reason
+FROM s LEFT JOIN k ON s.loc = k.known_url
+WHERE known_url IS NULL OR lastmod::DATE > crawl_date
+"""
+
+
 # -- registry --------------------------------------------------------------------
 
 QUERIES = {
@@ -2545,6 +2609,8 @@ QUERIES = {
     "web_robots_rules": q_web_robots_rules,
     "web_robots_gate": q_web_robots_gate,
     "web_politeness_schedule": q_web_politeness_schedule,
+    "web_sitemap_urls": q_web_sitemap_urls,
+    "web_sitemap_frontier": q_web_sitemap_frontier,
     "ts_stats": q_ts_stats,
     "ts_stats_zipf": q_ts_stats_zipf,
     "ts_normalize": q_ts_normalize,
@@ -2674,6 +2740,8 @@ ORACLES = {
     "web_robots_rules": _ORACLE_ROBOTS_RULES,
     "web_robots_gate": _ORACLE_ROBOTS_GATE,
     "web_politeness_schedule": _ORACLE_POLITENESS,
+    "web_sitemap_urls": _ORACLE_SITEMAP_URLS,
+    "web_sitemap_frontier": _ORACLE_SITEMAP_FRONTIER,
     "ts_stats": _ORACLE_TS_STATS,
     "ts_stats_zipf": _ORACLE_TS_STATS_ZIPF,
     "ts_normalize": _ORACLE_TS_NORMALIZE,

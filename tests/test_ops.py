@@ -1027,3 +1027,36 @@ def test_politeness_schedule_hand_cases(spark):
         "https://d.ex/c": (2, 5, 10),
         "https://other.ex/q": (0, 1, 0),
     }
+
+
+def test_sitemap_frontier_hand_cases(spark):
+    """Hand-built sitemap vs a two-url crawl: a never-seen url is
+    'new', a known url with lastmod after its crawl date is 'stale',
+    a known fresh url is absent."""
+    import datetime as dt
+    from extract_kit_spark.ops import weburl
+    xml = ('<?xml version="1.0"?><urlset>'
+           '<url><loc>https://d.ex/seen-fresh</loc>'
+           '<lastmod>2025-01-01</lastmod></url>'
+           '<url><loc>https://d.ex/seen-stale</loc>'
+           '<lastmod>2025-12-01</lastmod></url>'
+           '<url><loc>https://d.ex/brand-new</loc>'
+           '<lastmod>2025-06-01</lastmod></url></urlset>')
+    sitemaps = spark.createDataFrame(
+        [("d.ex", xml)], "domain string, sitemap_xml string")
+    t = dt.datetime(2025, 8, 29)
+    pages = spark.createDataFrame(
+        [("https://d.ex/seen-fresh", t), ("https://d.ex/seen-stale", t)],
+        "url string, warc_ts timestamp")
+    got = {r.url: r.reason for r in
+           weburl.sitemap_frontier(sitemaps, pages).collect()}
+    assert got == {"https://d.ex/brand-new": "new",
+                   "https://d.ex/seen-stale": "stale"}
+
+
+def test_gen_page_url_matches_gen_page(spark):
+    """The url-only rng-prefix twin must stay in lockstep with
+    gen_page for every index (the sitemap fixture depends on it)."""
+    from extract_kit_spark.fixtures import gen_page, gen_page_url
+    for i in range(0, 400, 7):
+        assert gen_page_url(i) == gen_page(i)["url"], i
