@@ -296,3 +296,15 @@ def extract_document(url: str, payload: bytes | None,
         err = errors.classify_exception(exc)
         return _result(url, detect.KIND_UNKNOWN, status=err.code,
                        val_errors=[str(exc)], t0=t0)
+
+
+def span_digest(spans: "list[dict]") -> str:
+    """Canonical digest of a span list: sha256 over
+    'start:end:kind|...' in emission order. Computed identically by
+    the Spark pipeline and the non-Spark golden generator
+    (tests/gen_goldens.py), making the FULL span structure — not just
+    its count — a hard driver-oracle signal per url."""
+    import hashlib
+    joined = "|".join(f"{s['start']}:{s['end']}:{s['kind']}"
+                      for s in spans)
+    return hashlib.sha256(joined.encode("utf-8")).hexdigest()

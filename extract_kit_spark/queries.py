@@ -2288,6 +2288,54 @@ FROM n
 """
 
 
+# -- span-structure digest (r4) -------------------------------------------------
+
+_SPANS_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("n_spans", T.LongType()),
+    T.StructField("spans_sha256", T.StringType()),
+    T.StructField("span_cover", T.LongType()),
+])
+
+
+def _spans_digest_batches(batches: Iterator[pd.DataFrame]) \
+        -> Iterator[pd.DataFrame]:
+    from .kernels.extract import extract_document, span_digest
+    for pdf in batches:
+        rows = []
+        for url, payload in zip(pdf["url"].tolist(),
+                                pdf["html"].tolist()):
+            spans = extract_document(url, payload)["spans"]
+            rows.append({
+                "url": url,
+                "n_spans": len(spans),
+                "spans_sha256": span_digest(spans),
+                "span_cover": sum(s["end"] - s["start"]
+                                  for s in spans),
+            })
+        yield pd.DataFrame(rows, columns=[f.name
+                                          for f in _SPANS_SCHEMA.fields])
+
+
+def q_ext_spans_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span half of the byte-identity invariant: every page's FULL
+    (start, end, kind) span sequence as a canonical sha256 + coverage
+    sum, matched against the committed non-Spark golden registry —
+    n_spans alone can't catch a shifted offset; this can."""
+    _ensure_importable(spark)
+    ensure_pages()
+    pages = spark.read.parquet(PAGES_PATH).select("url", "html")
+    return pages.mapInPandas(_spans_digest_batches,
+                             schema=_SPANS_SCHEMA)
+
+
+_ORACLE_SPANS_DIGEST = f"""
+SELECT url, n_spans::BIGINT AS n_spans, spans_sha256,
+       span_cover::BIGINT AS span_cover
+FROM read_json('{_FLAGSHIP_GOLDEN}', format='array')
+"""
+
+
 # -- WARC source / random access (r4) -----------------------------------------
 
 def q_warc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2600,6 +2648,7 @@ QUERIES = {
     "ext_pdf_invoice_fields_hex": q_ext_pdf_invoice_fields_hex,
     "ext_pdf_receipt_fields": q_ext_pdf_receipt_fields,
     "ext_pdf_encrypted": q_ext_pdf_encrypted,
+    "ext_spans_digest": q_ext_spans_digest,
     "warc_read": q_warc_read,
     "warc_fetch": q_warc_fetch,
     "web_outlinks": q_web_outlinks,
@@ -2732,6 +2781,7 @@ ORACLES = {
     "ext_pdf_invoice_fields_hex": _ORACLE_PDF_INVOICE_HEX,
     "ext_pdf_receipt_fields": _ORACLE_PDF_RECEIPT,
     "ext_pdf_encrypted": _ORACLE_PDF_ENCRYPTED,
+    "ext_spans_digest": _ORACLE_SPANS_DIGEST,
     "warc_read": _ORACLE_WARC_READ,
     "warc_fetch": _ORACLE_WARC_FETCH,
     "web_outlinks": _ORACLE_OUTLINKS,

@@ -18,7 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 from extract_kit_spark.fixtures import gen_page  # noqa: E402
-from extract_kit_spark.kernels.extract import extract_document  # noqa: E402
+from extract_kit_spark.kernels.extract import (extract_document,
+                                                span_digest)  # noqa: E402
 
 N = 150
 FULL_TEXT_PER_KIND = 2
@@ -76,6 +77,10 @@ for i in range(N_PAGES):
         "ok": res["validation"]["success"],
         "text_sha256": hashlib.sha256(
             res["extracted_text"].encode("utf-8")).hexdigest(),
+        # full span-structure signal (r4): digest of start:end:kind in
+        # emission order + coverage sum — kernels.extract.span_digest
+        "spans_sha256": span_digest(res["spans"]),
+        "span_cover": sum(s["end"] - s["start"] for s in res["spans"]),
     })
 flagship_path = os.path.join(here, "golden", "flagship_1200.json")
 with open(flagship_path, "w") as f:
