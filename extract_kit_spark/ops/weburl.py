@@ -380,3 +380,27 @@ def sitemap_frontier(sitemaps: DataFrame, pages: DataFrame,
             .select("domain", F.col("loc").alias("url"), "lastmod",
                     F.when(F.col("known_url").isNull(), "new")
                     .otherwise("stale").alias("reason")))
+
+
+def crawl_plan(sitemaps: DataFrame, pages: DataFrame,
+               robots: DataFrame,
+               default_delay_s: int = 1) -> DataFrame:
+    """The next crawl cycle, composed end-to-end: sitemap frontier
+    (never-seen + stale urls) → robots longest-match gate → per-domain
+    politeness schedule. Returns (url, domain, reason, seq, delay_s,
+    fetch_offset_s) — what to fetch, in what order, how fast.
+
+    Every stage keeps its own scale shape: the frontier join and the
+    schedule window move only skinny url rows, the rule/delay dims
+    broadcast, and page payloads are never read (pruned at the
+    scan)."""
+    frontier = sitemap_frontier(sitemaps, pages)
+    gated = robots_gate(frontier, robots)
+    allowed = frontier.join(
+        gated.where(F.col("allowed")).select("url"), "url")
+    sched = politeness_schedule(
+        allowed.withColumn("warc_ts", F.to_timestamp("lastmod")),
+        robots, default_delay_s)
+    return (sched.join(allowed.select("url", "reason"), "url")
+            .select("url", "domain", "reason", "seq", "delay_s",
+                    "fetch_offset_s"))

@@ -2634,6 +2634,66 @@ WHERE known_url IS NULL OR lastmod::DATE > crawl_date
 """
 
 
+# -- composed crawl-cycle plan (r4) ----------------------------------------------
+
+def q_web_crawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl stack composed end-to-end (weburl.crawl_plan):
+    sitemap frontier → robots gate → politeness schedule, oracled as
+    ONE chained SQL statement — proof the operators compose without
+    semantic drift."""
+    ensure_pages()
+    ensure_robots()
+    ensure_sitemaps()
+    pages = _read_parallel(spark, PAGES_PATH).select("url", "warc_ts")
+    return weburl.crawl_plan(
+        spark.read.parquet(SITEMAPS_PATH), pages,
+        spark.read.parquet(ROBOTS_PATH))
+
+
+_ORACLE_CRAWL_PLAN = f"""
+WITH {_ROBOTS_PARSE_CTES},
+agg AS (SELECT domain,
+          list(path) FILTER (WHERE rule = 'allow') AS allows,
+          list(path) FILTER (WHERE rule = 'disallow') AS disallows
+        FROM rules GROUP BY domain),
+dl AS (SELECT domain, min_by(delay, pos)::BIGINT AS delay_s
+       FROM ff WHERE cur_ua = '*' AND delay != ''
+       GROUP BY domain),
+s AS (SELECT domain,
+        unnest(regexp_extract_all(
+            sitemap_xml, '<loc>([^<]+)</loc>', 1)) AS loc,
+        unnest(regexp_extract_all(
+            sitemap_xml, '<lastmod>([^<]+)</lastmod>', 1)) AS lastmod
+      FROM read_parquet('{SITEMAPS_PATH}')),
+k AS (SELECT url AS known_url, warc_ts::DATE AS crawl_date
+      FROM read_parquet('{PAGES_GLOB}')),
+fr AS (SELECT s.domain AS domain, loc AS url, lastmod,
+         CASE WHEN known_url IS NULL THEN 'new' ELSE 'stale' END
+             AS reason
+       FROM s LEFT JOIN k ON s.loc = k.known_url
+       WHERE known_url IS NULL OR lastmod::DATE > crawl_date),
+ev AS (SELECT fr.*,
+         coalesce(nullif(regexp_extract(
+             url, 'https://[^/]+(/.*)$', 1), ''), '/') AS path
+       FROM fr),
+alw AS (SELECT ev.* FROM ev LEFT JOIN agg ON ev.domain = agg.domain
+        WHERE coalesce(list_max(list_transform(list_filter(
+                  allows, r -> starts_with(path, r)),
+                  r -> length(r))), 0)
+              >= coalesce(list_max(list_transform(list_filter(
+                  disallows, r -> starts_with(path, r)),
+                  r -> length(r))), 0)),
+sq AS (SELECT url, alw.domain AS domain, reason,
+         (row_number() OVER (PARTITION BY alw.domain
+              ORDER BY lastmod::TIMESTAMP, url) - 1)::BIGINT AS seq,
+         coalesce(dl.delay_s, 1)::BIGINT AS delay_s
+       FROM alw LEFT JOIN dl ON alw.domain = dl.domain)
+SELECT url, domain, reason, seq, delay_s,
+       (seq * delay_s)::BIGINT AS fetch_offset_s
+FROM sq
+"""
+
+
 # -- registry --------------------------------------------------------------------
 
 QUERIES = {
@@ -2660,6 +2720,7 @@ QUERIES = {
     "web_politeness_schedule": q_web_politeness_schedule,
     "web_sitemap_urls": q_web_sitemap_urls,
     "web_sitemap_frontier": q_web_sitemap_frontier,
+    "web_crawl_plan": q_web_crawl_plan,
     "ts_stats": q_ts_stats,
     "ts_stats_zipf": q_ts_stats_zipf,
     "ts_normalize": q_ts_normalize,
@@ -2792,6 +2853,7 @@ ORACLES = {
     "web_politeness_schedule": _ORACLE_POLITENESS,
     "web_sitemap_urls": _ORACLE_SITEMAP_URLS,
     "web_sitemap_frontier": _ORACLE_SITEMAP_FRONTIER,
+    "web_crawl_plan": _ORACLE_CRAWL_PLAN,
     "ts_stats": _ORACLE_TS_STATS,
     "ts_stats_zipf": _ORACLE_TS_STATS_ZIPF,
     "ts_normalize": _ORACLE_TS_NORMALIZE,

@@ -44,6 +44,18 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "quarantined rows of an existing --output "
                         "table (after a kernel/config fix) and merge "
                         "them back in place")
+    p.add_argument("--crawl-plan", action="store_true",
+                   help="instead of extracting, compute the next "
+                        "crawl cycle (sitemap frontier -> robots "
+                        "gate -> politeness schedule) from --input "
+                        "pages + --robots + --sitemaps; writes "
+                        "<output>/crawl_plan")
+    p.add_argument("--robots", default=None,
+                   help="robots.txt table (domain, robots_txt) "
+                        "parquet, for --crawl-plan")
+    p.add_argument("--sitemaps", default=None,
+                   help="sitemap table (domain, sitemap_xml) parquet, "
+                        "for --crawl-plan")
     p.add_argument("--curate", action="store_true",
                    help="instead of extracting, run the corpus "
                         "curation pipeline (quality/lang gate -> "
@@ -149,6 +161,47 @@ def main(argv: list[str] | None = None) -> int:
             print(f"extract_kit_spark: error: --input contains no "
                   f"{ext} files: {args.input}", file=sys.stderr)
             return 2
+    if args.crawl_plan:
+        if not args.robots or not args.sitemaps:
+            print("extract_kit_spark: error: --crawl-plan requires "
+                  "--robots and --sitemaps", file=sys.stderr)
+            return 2
+        for pth, nm in ((args.robots, "--robots"),
+                        (args.sitemaps, "--sitemaps")):
+            if "://" not in pth and not os.path.exists(pth):
+                print(f"extract_kit_spark: error: {nm} path does not "
+                      f"exist: {pth}", file=sys.stderr)
+                return 2
+        from pyspark.sql import functions as F
+        from .ops.weburl import crawl_plan
+        from .session import get_spark
+        spark = get_spark(master=args.master,
+                          app_name="extract-kit-crawl-plan")
+        try:
+            pages = spark.read.parquet(args.input) \
+                .select("url", "warc_ts")
+            plan = crawl_plan(spark.read.parquet(args.sitemaps),
+                              pages, spark.read.parquet(args.robots))
+            out = os.path.join(args.output, "crawl_plan")
+            (plan.sortWithinPartitions("domain", "seq")
+             .write.mode("overwrite").parquet(out))
+            done = spark.read.parquet(out)
+            row = done.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("reason") == "new", 1)
+                      .otherwise(0)).alias("n_new"),
+                F.countDistinct("domain").alias("n_domains"),
+                F.max("fetch_offset_s").alias("max_off")).collect()[0]
+            summary = {"n_urls": int(row["n"]),
+                       "n_new": int(row["n_new"] or 0),
+                       "n_stale": int(row["n"] - (row["n_new"] or 0)),
+                       "n_domains": int(row["n_domains"]),
+                       "max_offset_s": int(row["max_off"] or 0),
+                       "output": out}
+            print(json.dumps(summary), flush=True)
+            return 0
+        finally:
+            spark.stop()
     from .session import get_spark
     from .pipeline import (reprocess_quarantined,
                            run_extraction_bucketed, run_extraction_scan)

@@ -84,3 +84,58 @@ def test_cli_empty_input_dir_friendly_error(tmp_path):
     empty.mkdir()
     rc = main(["--input", str(empty), "--output", str(tmp_path / "o")])
     assert rc == 2
+
+
+def test_cli_crawl_plan_validation(tmp_path, capsys):
+    """--crawl-plan without --robots/--sitemaps (or with missing
+    paths) exits 2 with a one-line error, like every other input
+    check."""
+    from extract_kit_spark.fixtures import write_pages_parquet
+    from extract_kit_spark.run import main
+    pages = tmp_path / "pages.parquet"
+    write_pages_parquet(str(pages), 5)
+    rc = main(["--crawl-plan", "--input", str(pages),
+               "--output", str(tmp_path / "o")])
+    assert rc == 2
+    assert "--robots" in capsys.readouterr().err
+    rc = main(["--crawl-plan", "--input", str(pages),
+               "--robots", str(tmp_path / "nope.parquet"),
+               "--sitemaps", str(tmp_path / "nope2.parquet"),
+               "--output", str(tmp_path / "o")])
+    assert rc == 2
+
+
+def test_cli_crawl_plan_end_to_end(tmp_path, capsys):
+    """--crawl-plan writes a schedule whose per-domain offsets step by
+    the domain's Crawl-delay and whose reasons split new/stale."""
+    import json as _json
+
+    import duckdb
+
+    from extract_kit_spark.fixtures import (write_pages_parquet,
+                                            write_robots_parquet,
+                                            write_sitemaps_parquet)
+    from extract_kit_spark.run import main
+    pages = tmp_path / "pages.parquet"
+    write_pages_parquet(str(pages), 120)
+    robots = tmp_path / "robots.parquet"
+    write_robots_parquet(str(robots))
+    sitemaps = tmp_path / "sitemaps.parquet"
+    write_sitemaps_parquet(str(sitemaps), 120)
+    rc = main(["--crawl-plan", "--input", str(pages),
+               "--robots", str(robots), "--sitemaps", str(sitemaps),
+               "--output", str(tmp_path / "o"),
+               "--master", "local[4]"])
+    assert rc == 0
+    summary = _json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_urls"] == summary["n_new"] + summary["n_stale"]
+    # 2 novel urls per domain = 100, MINUS the ones the robots gate
+    # legitimately blocks (slugs starting with a disallowed word)
+    assert 50 <= summary["n_new"] < 2 * 50
+    rows = duckdb.sql(
+        f"SELECT domain, seq, delay_s, fetch_offset_s FROM "
+        f"read_parquet('{tmp_path}/o/crawl_plan/*.parquet') "
+        f"ORDER BY domain, seq").fetchall()
+    for d, seq, delay, off in rows:
+        assert off == seq * delay, (d, seq)
