@@ -107,20 +107,34 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     return args
 
 
+def _cli_spark(app_name: str, master: str | None):
+    """CLI session with OWNERSHIP: getOrCreate() returns any already-
+    active session (ignoring our builder configs), and stopping a
+    session we didn't create kills the caller's — e.g. the pytest
+    session fixture when tests drive main() in-process. Returns
+    (spark, owns); callers stop only when owns is True. Under
+    spark-submit there is never a pre-existing session, so the CLI
+    still tears down its own."""
+    from pyspark.sql import SparkSession
+
+    from .session import get_spark
+    pre = SparkSession.getActiveSession()
+    spark = get_spark(master=master, app_name=app_name)
+    return spark, pre is None
+
+
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
     import glob
     import os
     if args.compact:
         from .compact import compact_output
-        from .session import get_spark
         if "://" not in args.output and not os.path.isdir(
                 os.path.join(args.output, "data")):
             print(f"extract_kit_spark: error: --output has no data/ "
                   f"dir to compact: {args.output}", file=sys.stderr)
             return 2
-        spark = get_spark(master=args.master,
-                          app_name="extract-kit-compact")
+        spark, owns = _cli_spark("extract-kit-compact", args.master)
         try:
             summary = compact_output(
                 spark, args.output,
@@ -128,17 +142,16 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(summary), flush=True)
             return 0
         finally:
-            spark.stop()
+            if owns:
+                spark.stop()
     if args.curate:
         from .pipeline import curate_extracted
-        from .session import get_spark
         if "://" not in args.output and not os.path.isdir(
                 os.path.join(args.output, "data")):
             print(f"extract_kit_spark: error: --output has no data/ "
                   f"dir to curate: {args.output}", file=sys.stderr)
             return 2
-        spark = get_spark(master=args.master,
-                          app_name="extract-kit-curate")
+        spark, owns = _cli_spark("extract-kit-curate", args.master)
         try:
             summary = curate_extracted(
                 spark, args.output, min_quality=args.min_quality,
@@ -146,7 +159,8 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(summary), flush=True)
             return 0
         finally:
-            spark.stop()
+            if owns:
+                spark.stop()
     if "://" not in args.input:
         if not os.path.exists(args.input):
             print(f"extract_kit_spark: error: --input path does not "
@@ -174,9 +188,7 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
         from pyspark.sql import functions as F
         from .ops.weburl import crawl_plan
-        from .session import get_spark
-        spark = get_spark(master=args.master,
-                          app_name="extract-kit-crawl-plan")
+        spark, owns = _cli_spark("extract-kit-crawl-plan", args.master)
         try:
             pages = spark.read.parquet(args.input) \
                 .select("url", "warc_ts")
@@ -201,11 +213,11 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(summary), flush=True)
             return 0
         finally:
-            spark.stop()
-    from .session import get_spark
+            if owns:
+                spark.stop()
     from .pipeline import (reprocess_quarantined,
                            run_extraction_bucketed, run_extraction_scan)
-    spark = get_spark(master=args.master, app_name="extract-kit-run")
+    spark, owns = _cli_spark("extract-kit-run", args.master)
     try:
         if args.reprocess_quarantined:
             summary = reprocess_quarantined(
@@ -234,7 +246,8 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(summary), flush=True)
         return 0
     finally:
-        spark.stop()
+        if owns:
+            spark.stop()
 
 
 if __name__ == "__main__":
