@@ -403,8 +403,12 @@ HEADLINE = ("ext_invoice_fields", "ext_pdf_invoice_fields",
             "web_domain_join_salted", "web_kind_rollup",
             "web_url_dedup", "web_domain_cap", "web_blocklist",
             "web_outlinks", "web_pagerank", "web_html_meta",
-            "web_canonical_collapse", "warc_read", "warc_fetch",
-            "ts_stats",
+            "web_canonical_collapse", "web_anchor_stats",
+            "web_robots_rules", "web_robots_gate",
+            "web_politeness_schedule", "web_sitemap_urls",
+            "web_sitemap_frontier", "web_crawl_plan",
+            "warc_read", "warc_fetch", "ext_spans_digest",
+            "ts_stats", "ts_lm_bigrams", "ts_lm_score",
             "ts_tfidf_topk", "ts_tfidf_zipf", "ts_repetition",
             "ts_normalize",
             "corpus_split", "corpus_curate", "corpus_curate_near",

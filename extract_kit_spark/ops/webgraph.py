@@ -133,3 +133,73 @@ r{k} AS (
     GROUP BY e.dst) c ON n.node = c.node)""")
     return ("WITH " + ",".join(ctes)
             + f"\nSELECT node, rank FROM r{n_iter}")
+
+
+# -- anchor-text aggregation ---------------------------------------------------
+
+# any <a> tag with a double-quoted href and flat text content — the
+# same shape the fixture chrome/nav/articles emit and the reference's
+# Turndown anchor rule serializes (`office-to-markdown` link rule)
+ANCHOR_TAG_RE = '<a href="([^"]*)">([^<]*)</a>'
+
+
+def anchor_text_stats(pages: DataFrame) -> DataFrame:
+    """Per-target anchor-text aggregation — the classic web-corpus
+    ranking/labeling signal (anchor text describes the TARGET page
+    better than the page itself; used by every production search/crawl
+    stack since PageRank-era Google).
+
+    Edges are (target, anchor) pairs from every `<a>` tag on every
+    page: relative hrefs resolve against the linking page's own
+    domain, absolute https hrefs pass through, javascript:/mailto:
+    pseudo-links are dropped. Output per target url: inlink count,
+    distinct anchor-text count, and the modal anchor text (ties broken
+    by anchor string ascending — a total order, so the answer is
+    partition-independent).
+
+    Scale shape: tag extraction is pure plan-side regex on the page
+    scan (one pass, no UDF); everything after the explode is skinny
+    (target, anchor) strings — two partial-aggregated groupBys and one
+    per-target window over modal candidates. The page payload is never
+    shuffled. Like outlink_edges above, non-HTML payloads (PDF/DOCX
+    binaries) are handled by the regex simply never matching their
+    decoded bytes; the DuckDB twin filters to the '<!DO' magic instead
+    because its decode() ERRORS on invalid UTF-8 — same row set either
+    way on any corpus whose binary formats don't embed literal
+    `<a href=...>` runs (pinned by the oracle at sf0.01)."""
+    s = F.decode(F.col("html"), "UTF-8")
+    src = F.regexp_extract(F.col("url"), r"https://([a-z0-9.-]+)/", 1)
+    tags = (pages
+            .select(src.alias("src_domain"),
+                    F.explode(F.regexp_extract_all(
+                        s, F.lit(ANCHOR_TAG_RE), F.lit(0))).alias("tag"))
+            .select("src_domain",
+                    F.regexp_extract("tag", ANCHOR_TAG_RE, 1)
+                    .alias("href"),
+                    F.regexp_extract("tag", ANCHOR_TAG_RE, 2)
+                    .alias("anchor")))
+    resolved = (tags
+                .filter(~F.col("href").rlike("^(javascript|mailto):"))
+                .select(
+                    F.when(F.col("href").startswith("https://"),
+                           F.col("href"))
+                    .when(F.col("href").startswith("/"),
+                          F.concat(F.lit("https://"),
+                                   F.col("src_domain"), F.col("href")))
+                    .alias("target"),
+                    "anchor")
+                .filter(F.col("target").isNotNull()))
+    per_anchor = (resolved.groupBy("target", "anchor")
+                  .agg(F.count(F.lit(1)).alias("n")))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("target")
+         .orderBy(F.col("n").desc(), F.col("anchor").asc()))
+    top = (per_anchor
+           .withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") == 1)
+           .select("target", F.col("anchor").alias("top_anchor"),
+                   F.col("n").alias("top_anchor_n")))
+    totals = (per_anchor.groupBy("target")
+              .agg(F.sum("n").alias("n_inlinks"),
+                   F.count(F.lit(1)).alias("n_anchors")))
+    return totals.join(top, "target")

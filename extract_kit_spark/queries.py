@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
 from .fixtures import write_pages_dir
+from .ops import lm as lm_ops
 from .ops import (corpus, contamination, dedup, multimodal, pii,
                   similarity, textstats, weburl)
 
@@ -835,6 +836,87 @@ _ORACLE_TS_STATS_ZIPF = _ORACLE_TS_STATS.replace(
 _ORACLE_TS_TFIDF_ZIPF = _ORACLE_TS_TFIDF.replace(
     "FROM documents", f"FROM read_parquet('{ZIPF_DOCS_GLOB}')").replace(
     "0.95 * nd.n", "0.5 * nd.n")
+
+
+# -- n-gram LM scoring (CCNet-style corpus filter) ------------------------------
+
+_LM_MIN_COUNT, _LM_TOP_K = 2, 20000
+
+
+def q_ts_lm_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained bigram LM itself (ops/lm.train_bigram_lm over the
+    Zipf corpus): top-20k bigrams with >= 2 occurrences, each with its
+    fixed-point conditional cost floor(1e6*ln(c1/c12)) — int64, so the
+    DuckDB twin is exact (see ops/lm.py docstring). The cut is a total
+    order (count desc, bigram asc) -> deterministic under any
+    partitioning; Spark executes the orderBy().limit() as
+    TakeOrderedAndProject (distributed top-k, no global sort)."""
+    ensure_zipf_docs()
+    docs = _read_parallel(spark, ZIPF_DOCS_GLOB)
+    return lm_ops.train_bigram_lm(docs, min_count=_LM_MIN_COUNT,
+                                  top_k=_LM_TOP_K)
+
+
+def q_ts_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-document LM scoring (ops/lm.lm_score): every
+    doc's bigram cost sum / OOV count / mean cost in micro-nats
+    against the corpus-trained LM — the classic perplexity-filter
+    gate of pretraining pipelines (Wenzek et al. 2020), exact-oracled
+    via fixed-point costs. Scale shape: broadcast LM join on the
+    narrow explode, partial-aggregated groupBy(doc_id); the corpus
+    scan is never shuffled with payload."""
+    ensure_zipf_docs()
+    docs = _read_parallel(spark, ZIPF_DOCS_GLOB)
+    lm = lm_ops.train_bigram_lm(docs, min_count=_LM_MIN_COUNT,
+                                top_k=_LM_TOP_K)
+    return lm_ops.lm_score(docs, lm)
+
+
+_LM_SQL_COMMON = f"""
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+         END AS toks
+  FROM read_parquet('{ZIPF_DOCS_GLOB}')),
+uni AS (SELECT t AS w1, count(*)::BIGINT AS c1
+        FROM (SELECT unnest(toks) AS t FROM docs) GROUP BY t),
+bt AS (SELECT doc_id, unnest(list_transform(
+           generate_series(1, greatest(len(toks)-1, 0)),
+           i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM docs),
+bc AS (SELECT bigram, count(*)::BIGINT AS c12 FROM bt GROUP BY bigram
+       HAVING count(*) >= {{mc}}),
+lm AS (SELECT bigram, c12, c1,
+              floor(1e6 * ln(c1::DOUBLE / c12))::BIGINT AS cost_micro
+       FROM (SELECT bigram, c12, split_part(bigram, ' ', 1) AS w1
+             FROM bc) b
+       JOIN uni USING (w1)),
+lmk AS (SELECT * FROM lm ORDER BY c12 DESC, bigram ASC LIMIT {{tk}})
+"""
+
+_ORACLE_TS_LM_BIGRAMS = (
+    _LM_SQL_COMMON.format(mc=_LM_MIN_COUNT, tk=_LM_TOP_K)
+    + "SELECT bigram, c12, c1, cost_micro FROM lmk")
+
+_ORACLE_TS_LM_SCORE = (
+    _LM_SQL_COMMON.format(mc=_LM_MIN_COUNT, tk=_LM_TOP_K) + f""",
+per AS (
+  SELECT bt.doc_id,
+         count(*)::BIGINT AS n_bigrams,
+         sum(CASE WHEN l.bigram IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS oov_bigrams,
+         sum(COALESCE(l.cost_micro, {lm_ops.OOV_COST_MICRO}))::BIGINT
+             AS cost_sum_micro
+  FROM bt LEFT JOIN lmk l USING (bigram) GROUP BY bt.doc_id)
+SELECT d.doc_id,
+       COALESCE(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+       COALESCE(p.oov_bigrams, 0)::BIGINT AS oov_bigrams,
+       COALESCE(p.cost_sum_micro, 0)::BIGINT AS cost_sum_micro,
+       CASE WHEN p.n_bigrams > 0
+            THEN p.cost_sum_micro::DOUBLE / p.n_bigrams
+       END AS avg_cost_micro
+FROM (SELECT doc_id FROM docs) d LEFT JOIN per p USING (doc_id)
+""")
 
 
 # -- corpus curation ------------------------------------------------------------
@@ -2422,6 +2504,49 @@ def q_web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webgraph.pagerank(edges)
 
 
+def q_web_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text aggregation (webgraph.anchor_text_stats):
+    inlink count, distinct-anchor count, and the modal anchor per
+    target url — the classic web-corpus target-description signal.
+    Plan-side regex over the html scan; only skinny (target, anchor)
+    strings shuffle."""
+    from .ops import webgraph
+    df = _pages_with_kind(spark).where(F.col("kind") == "html")
+    return webgraph.anchor_text_stats(df.select("url", "html"))
+
+
+_ANCHOR_RE_SQL = '<a href="([^"]*)">([^<]*)</a>'
+_ORACLE_ANCHORS = f"""
+WITH p AS (SELECT url, decode(html) AS s
+           FROM read_parquet('{PAGES_GLOB}')
+           WHERE starts_with(hex(html), '{_HEX_HTML}')),
+tags AS (
+  SELECT regexp_extract(url, 'https://([a-z0-9.-]+)/', 1) AS src_domain,
+         unnest(regexp_extract_all(s, '{_ANCHOR_RE_SQL}', 0)) AS tag
+  FROM p),
+pairs AS (
+  SELECT CASE WHEN starts_with(href, 'https://') THEN href
+              WHEN starts_with(href, '/')
+                   THEN 'https://' || src_domain || href
+         END AS target, anchor
+  FROM (SELECT src_domain,
+               regexp_extract(tag, '{_ANCHOR_RE_SQL}', 1) AS href,
+               regexp_extract(tag, '{_ANCHOR_RE_SQL}', 2) AS anchor
+        FROM tags)
+  WHERE NOT regexp_matches(href, '^(javascript|mailto):')),
+pa AS (SELECT target, anchor, count(*)::BIGINT AS n
+       FROM pairs WHERE target IS NOT NULL GROUP BY target, anchor),
+top AS (SELECT target, anchor AS top_anchor, n AS top_anchor_n
+        FROM (SELECT *, row_number() OVER (PARTITION BY target
+                    ORDER BY n DESC, anchor ASC) AS rk FROM pa)
+        WHERE rk = 1),
+tot AS (SELECT target, sum(n)::BIGINT AS n_inlinks,
+               count(*)::BIGINT AS n_anchors FROM pa GROUP BY target)
+SELECT t.target, t.n_inlinks, t.n_anchors, p.top_anchor, p.top_anchor_n
+FROM tot t JOIN top p USING (target)
+"""
+
+
 # -- HTML head metadata / canonical-family gate (r4) ----------------------------
 
 def q_web_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2713,6 +2838,7 @@ QUERIES = {
     "warc_fetch": q_warc_fetch,
     "web_outlinks": q_web_outlinks,
     "web_pagerank": q_web_pagerank,
+    "web_anchor_stats": q_web_anchor_stats,
     "web_html_meta": q_web_html_meta,
     "web_canonical_collapse": q_web_canonical_collapse,
     "web_robots_rules": q_web_robots_rules,
@@ -2726,6 +2852,8 @@ QUERIES = {
     "ts_normalize": q_ts_normalize,
     "ts_tfidf_topk": q_ts_tfidf,
     "ts_tfidf_zipf": q_ts_tfidf_zipf,
+    "ts_lm_bigrams": q_ts_lm_bigrams,
+    "ts_lm_score": q_ts_lm_score,
     "corpus_split": q_corpus_split,
     "corpus_curate": q_corpus_curate,
     "corpus_curate_near": q_corpus_curate_near,
@@ -2859,6 +2987,8 @@ ORACLES = {
     "ts_normalize": _ORACLE_TS_NORMALIZE,
     "ts_tfidf_topk": _ORACLE_TS_TFIDF,
     "ts_tfidf_zipf": _ORACLE_TS_TFIDF_ZIPF,
+    "ts_lm_bigrams": _ORACLE_TS_LM_BIGRAMS,
+    "ts_lm_score": _ORACLE_TS_LM_SCORE,
     "corpus_split": _ORACLE_SPLIT,
     "corpus_curate": _ORACLE_CURATE,
     "corpus_curate_near": _ORACLE_CURATE_NEAR,
@@ -2906,3 +3036,4 @@ ORACLES = {
 # (standard SQL forbids aggregation in a recursive term)
 from .ops import webgraph as _webgraph  # noqa: E402
 ORACLES["web_pagerank"] = _webgraph.oracle_sql(PAGES_GLOB)
+ORACLES["web_anchor_stats"] = _ORACLE_ANCHORS

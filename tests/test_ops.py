@@ -1060,3 +1060,82 @@ def test_gen_page_url_matches_gen_page(spark):
     from extract_kit_spark.fixtures import gen_page, gen_page_url
     for i in range(0, 400, 7):
         assert gen_page_url(i) == gen_page(i)["url"], i
+
+
+def test_lm_train_and_score_hand_case(spark):
+    """Hand-computed bigram LM: corpus 'a b' x3 + 'a b c' -> c(a)=4,
+    c('a b')=4, c('b c')=1. With min_count=2 only 'a b' survives;
+    scoring 'a b c' gives one known bigram (cost floor(1e6*ln(4/4))=0)
+    and one OOV ('b c')."""
+    from extract_kit_spark.ops import lm
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a b"), (3, "a b c")],
+        "doc_id long, text string")
+    model = lm.train_bigram_lm(docs, min_count=2, top_k=10)
+    rows = {r["bigram"]: r for r in model.collect()}
+    assert set(rows) == {"a b"}
+    assert rows["a b"]["c12"] == 4 and rows["a b"]["c1"] == 4
+    assert rows["a b"]["cost_micro"] == 0  # ln(1) = 0 exactly
+    scored = {r["doc_id"]: r
+              for r in lm.lm_score(docs, model).collect()}
+    assert scored[0]["n_bigrams"] == 1
+    assert scored[0]["oov_bigrams"] == 0
+    assert scored[0]["cost_sum_micro"] == 0
+    assert scored[3]["n_bigrams"] == 2
+    assert scored[3]["oov_bigrams"] == 1
+    assert scored[3]["cost_sum_micro"] == lm.OOV_COST_MICRO
+    assert scored[3]["avg_cost_micro"] == lm.OOV_COST_MICRO / 2
+
+
+def test_lm_score_keeps_bigramless_docs(spark):
+    """Docs with <2 tokens (or empty) still appear, with zero counts
+    and NULL avg — 1-in-1-out like every per-doc op."""
+    from extract_kit_spark.ops import lm
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "solo"), (2, ""), (3, "   ")],
+        "doc_id long, text string")
+    model = lm.train_bigram_lm(docs, min_count=1, top_k=10)
+    got = {r["doc_id"]: r for r in lm.lm_score(docs, model).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    for d in (1, 2, 3):
+        assert got[d]["n_bigrams"] == 0
+        assert got[d]["cost_sum_micro"] == 0
+        assert got[d]["avg_cost_micro"] is None
+
+
+def test_lm_cost_ordering_matches_probability(spark):
+    """Rarer continuations cost more: c('x a')=1 vs c('x b')=3 from
+    the same prefix -> cost('x a') > cost('x b') > 0."""
+    from extract_kit_spark.ops import lm
+
+    docs = spark.createDataFrame(
+        [(0, "x b x b x b x a")], "doc_id long, text string")
+    model = lm.train_bigram_lm(docs, min_count=1, top_k=10)
+    rows = {r["bigram"]: r["cost_micro"] for r in model.collect()}
+    assert rows["x a"] > rows["x b"] > 0
+
+
+def test_anchor_text_stats_hand_case(spark):
+    """Relative hrefs resolve against the page's own domain; js
+    pseudo-links drop; the modal anchor breaks ties by anchor asc."""
+    from extract_kit_spark.ops.webgraph import anchor_text_stats
+
+    html = (b'<!DOCTYPE html><html><body>'
+            b'<a href="/about">about us</a>'
+            b'<a href="/about">about us</a>'
+            b'<a href="/about">the team</a>'
+            b'<a href="https://other.example/page">ext</a>'
+            b'<a href="javascript:void(0)">fake</a>'
+            b'</body></html>')
+    pages = spark.createDataFrame(
+        [("https://site.example/index", bytearray(html))],
+        "url string, html binary")
+    got = {r["target"]: r for r in anchor_text_stats(pages).collect()}
+    assert set(got) == {"https://site.example/about",
+                        "https://other.example/page"}
+    about = got["https://site.example/about"]
+    assert about["n_inlinks"] == 3 and about["n_anchors"] == 2
+    assert about["top_anchor"] == "about us"
+    assert about["top_anchor_n"] == 2

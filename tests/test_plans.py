@@ -338,3 +338,45 @@ def test_robots_gate_broadcasts_rules_no_page_exchange(spark):
     # exchange: every Exchange in the plan is a broadcast or feeds the
     # rules-side window/agg, never hashpartitioning on url
     assert "hashpartitioning(url" not in plan
+
+
+def test_lm_score_broadcasts_model_no_payload_shuffle(spark):
+    """LM scoring: the vocabulary-cut model reaches the exploded
+    corpus through a BroadcastHashJoin (never a SortMergeJoin that
+    would shuffle per-bigram rows), and the per-doc fold is a 2-phase
+    HashAggregate — the only hash Exchange carries (doc_id, partial
+    sums)."""
+    from extract_kit_spark.queries import ensure_zipf_docs
+    ensure_zipf_docs()
+    plan = _plan(QUERIES["ts_lm_score"](spark, SF_DIR))
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the one SortMergeJoin-free join: scoring side; training-side
+    # joins are count-frame joins and may shuffle, but never rows
+    # wider than (bigram, counts)
+    score_tail = plan.split("BroadcastHashJoin")[-1]
+    assert "text" not in score_tail.split("ReadSchema")[0]
+
+
+def test_lm_train_topk_is_take_ordered_not_global_sort(spark):
+    """The top_k vocabulary cut compiles to TakeOrderedAndProject
+    (per-partition top-k + driver merge), NOT a single-partition
+    global Sort — the difference between a bounded trainer and a
+    straggler at 100 TB vocab."""
+    from extract_kit_spark.queries import ensure_zipf_docs
+    ensure_zipf_docs()
+    plan = _plan(QUERIES["ts_lm_bigrams"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_anchor_stats_regex_rides_scan_jvm_only(spark):
+    """Anchor aggregation: zero Python nodes; the page payload is
+    consumed by plan-side regex before any Exchange — every shuffle
+    is over skinny (target, anchor) strings."""
+    plan = _plan(QUERIES["web_anchor_stats"](spark, SF_DIR))
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    # no html bytes beyond the scan: the explode output is projected
+    # to (src_domain, tag) before the first aggregate Exchange
+    first_exchange_tail = plan.split("Exchange hashpartitioning", 1)[0]
+    assert "regexp_extract_all" in first_exchange_tail
