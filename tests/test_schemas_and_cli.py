@@ -139,3 +139,20 @@ def test_cli_crawl_plan_end_to_end(tmp_path, capsys):
         f"ORDER BY domain, seq").fetchall()
     for d, seq, delay, off in rows:
         assert off == seq * delay, (d, seq)
+
+
+def test_cli_inprocess_leaves_shared_session_alive(spark, tmp_path):
+    """Driving main() in-process must not stop a SparkSession it did
+    not create (run._cli_spark ownership): getOrCreate() hands back
+    the caller's session, and stopping it kills every later query in
+    the calling process — the exact failure mode that broke streaming
+    tests downstream of the crawl-plan CLI tests."""
+    from extract_kit_spark.fixtures import write_pages_dir
+    from extract_kit_spark.run import main
+    write_pages_dir(str(tmp_path / "pages"), 20, n_files=1)
+    rc = main(["--input", str(tmp_path / "pages"),
+               "--output", str(tmp_path / "o"), "--n-groups", "1"])
+    assert rc == 0
+    # the shared fixture session must still be fully operational
+    assert spark.range(3).count() == 3
+    assert spark.sparkContext._jsc is not None
