@@ -192,3 +192,38 @@ def mixture_sample(df: DataFrame, weights: dict[str, float],
                    < F.col("keep_rate") * SPLIT_MOD)
             .select(id_col, source_col, "n_tokens", "bucket",
                     F.round("keep_rate", 6).alias("keep_rate")))
+
+
+def assembly_manifest(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      source_col: str = "source",
+                      min_quality: float = 0.5,
+                      salt: str = "split-v1:",
+                      splits=DEFAULT_SPLITS) -> DataFrame:
+    """Pretraining-mixture manifest: per (source, predicted language,
+    split) — document count, token/char totals, quality-pass count,
+    and each cell's share of the corpus token budget. Every dataset
+    release ships this table (the RedPajama/Dolma-style composition
+    report); it is also the input a mixture_sample weighting pass
+    reads.
+
+    Scale shape: stats and split labels ride the scan (pure
+    expressions), then ONE partial-aggregated groupBy over the skinny
+    label triple. token_share needs the corpus total, so it is a
+    window over the AGGREGATED frame — |sources|x|langs|x|splits| rows,
+    constant in corpus size, which is the only reason an un-partitioned
+    window is acceptable here. Exact-oracle-safe: every aggregate is an
+    int64 sum; the share is one int/int double division per output
+    row."""
+    stats = with_text_stats(df, text_col)
+    lab = deterministic_split(stats, id_col, salt, splits)
+    g = (lab.groupBy(source_col, "lang_pred", "split")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("n_tokens").cast("long").alias("n_tokens"),
+              F.sum("n_chars_calc").cast("long").alias("n_chars"),
+              F.sum(F.when(F.col("quality_score") >= min_quality, 1)
+                    .otherwise(0)).cast("long").alias("n_quality_ok")))
+    return g.withColumn(
+        "token_share",
+        F.col("n_tokens").cast("double")
+        / F.sum("n_tokens").over(Window.partitionBy()))

@@ -1975,6 +1975,96 @@ SELECT b.doc_id, b.n_sents, b.dup_sent_frac,
 FROM base b LEFT JOIN t USING (doc_id)
 """
 
+def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-mixture manifest (corpus.assembly_manifest): per
+    (source, lang_pred, split) doc/token/char totals + quality-pass
+    counts + token share — the composition report every dataset
+    release ships. One skinny groupBy over the scan; the share window
+    runs over the constant-size aggregated frame only."""
+    docs = _read_parallel(spark, _t(sf_dir, "documents"))
+    return corpus.assembly_manifest(docs, min_quality=MIN_QUALITY)
+
+
+_ORACLE_MANIFEST = f"""
+WITH s AS ({_ORACLE_TS_STATS}),
+j AS (SELECT s.doc_id, s.n_tokens, s.quality_score, s.lang_pred,
+             length(d.text)::BIGINT AS n_chars, d.source,
+             {_SPLIT_SQL} AS bucket
+      FROM s JOIN documents d USING (doc_id)),
+g AS (SELECT source, lang_pred,
+             CASE WHEN bucket < 8000 THEN 'train'
+                  WHEN bucket < 9000 THEN 'val' ELSE 'test'
+             END AS split,
+             count(*)::BIGINT AS n_docs,
+             sum(n_tokens)::BIGINT AS n_tokens,
+             sum(n_chars)::BIGINT AS n_chars,
+             sum(CASE WHEN quality_score >= {MIN_QUALITY} THEN 1
+                      ELSE 0 END)::BIGINT AS n_quality_ok
+      FROM j GROUP BY source, lang_pred, 3)
+SELECT *, n_tokens::DOUBLE / sum(n_tokens) OVER () AS token_share
+FROM g
+"""
+
+# LM-gated curation: quality gate AND a CCNet-style perplexity cut.
+# 10 nats/bigram (= 10e6 micro-nats) sits between the Zipf corpus's
+# median (~9.8e6) and 90th percentile (~10.9e6) mean cost, so the LM
+# gate does real, non-degenerate work in the composed pipeline.
+# Bigram-less docs score avg NULL and are excluded by the <= —
+# identical three-valued logic in both engines.
+LM_MAX_AVG_COST_MICRO = 10_000_000
+
+
+def q_corpus_curate_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet story end-to-end: train the bigram LM on the corpus,
+    score every doc, and curate with BOTH the heuristic quality gate
+    and the LM mean-cost cut, then split deterministically — the
+    perplexity-filter pipeline of Wenzek et al. 2020 as one Spark
+    dataflow. Scale shape: union of the pieces' shapes — trainer
+    aggregations + broadcast-LM scoring join + one per-doc stats/gate
+    projection; the corpus text crosses no Exchange."""
+    ensure_zipf_docs()
+    docs = _read_parallel(spark, ZIPF_DOCS_GLOB)
+    model = lm_ops.train_bigram_lm(docs, min_count=_LM_MIN_COUNT,
+                                   top_k=_LM_TOP_K)
+    scored = lm_ops.lm_score(docs, model)
+    stats = textstats.with_text_stats(docs)
+    gated = (stats.join(scored.select("doc_id", "n_bigrams",
+                                      "oov_bigrams",
+                                      "avg_cost_micro"), "doc_id")
+             .where((F.col("quality_score") >= MIN_QUALITY)
+                    & (F.col("avg_cost_micro")
+                       <= LM_MAX_AVG_COST_MICRO)))
+    return corpus.deterministic_split(gated).select(
+        "doc_id", "n_tokens", "quality_score", "lang_pred",
+        "avg_cost_micro", "bucket", "split")
+
+
+_ORACLE_CURATE_LM = (
+    _LM_SQL_COMMON.format(mc=_LM_MIN_COUNT, tk=_LM_TOP_K) + f""",
+per AS (
+  SELECT bt.doc_id,
+         count(*)::BIGINT AS n_bigrams,
+         sum(COALESCE(l.cost_micro, {lm_ops.OOV_COST_MICRO}))::BIGINT
+             AS cost_sum_micro
+  FROM bt LEFT JOIN lmk l USING (bigram) GROUP BY bt.doc_id),
+s AS (SELECT * FROM ({_ORACLE_TS_STATS_ZIPF})),
+g AS (
+  SELECT s.doc_id, s.n_tokens, s.quality_score, s.lang_pred,
+         p.cost_sum_micro::DOUBLE / p.n_bigrams AS avg_cost_micro,
+         {_SPLIT_SQL.replace("doc_id", "s.doc_id")} AS bucket
+  FROM s JOIN per p USING (doc_id)
+  WHERE s.quality_score >= {MIN_QUALITY}
+    AND p.n_bigrams > 0
+    AND p.cost_sum_micro::DOUBLE / p.n_bigrams
+        <= {LM_MAX_AVG_COST_MICRO})
+SELECT doc_id, n_tokens, quality_score, lang_pred, avg_cost_micro,
+       bucket,
+       CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+FROM g
+""")
+
+
 PACK_BUDGET = 512
 PACK_STREAMS = 8
 
@@ -2857,6 +2947,8 @@ QUERIES = {
     "corpus_split": q_corpus_split,
     "corpus_curate": q_corpus_curate,
     "corpus_curate_near": q_corpus_curate_near,
+    "corpus_curate_lm": q_corpus_curate_lm,
+    "corpus_manifest": q_corpus_manifest,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_clusters": q_dedup_clusters,
@@ -3013,6 +3105,8 @@ ORACLES = {
     "web_domain_cap": _ORACLE_DOMAIN_CAP,
     "ts_repetition": _ORACLE_TS_REPETITION,
     "corpus_pack_plan": _ORACLE_PACK_PLAN,
+    "corpus_curate_lm": _ORACLE_CURATE_LM,
+    "corpus_manifest": _ORACLE_MANIFEST,
     "pii_scrub": _ORACLE_PII,
     "dedup_lines": _ORACLE_LINE_DEDUP,
     "contamination_8gram": _ORACLE_CONTAM,

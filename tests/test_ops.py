@@ -1139,3 +1139,53 @@ def test_anchor_text_stats_hand_case(spark):
     assert about["n_inlinks"] == 3 and about["n_anchors"] == 2
     assert about["top_anchor"] == "about us"
     assert about["top_anchor_n"] == 2
+
+
+def test_assembly_manifest_hand_case(spark):
+    """Totals and shares from a 3-doc corpus with known stats: shares
+    sum to 1, token sums are exact, every (source, lang, split) cell
+    counts its docs."""
+    from extract_kit_spark.ops.corpus import assembly_manifest
+
+    long_en = ("the of and to in " * 12).strip()       # 60 tokens, en
+    docs = spark.createDataFrame(
+        [(0, long_en, "a"), (1, long_en, "a"), (2, "le la les", "b")],
+        "doc_id long, text string, source string")
+    got = assembly_manifest(docs, min_quality=0.0).collect()
+    assert sum(r["n_docs"] for r in got) == 3
+    assert sum(r["n_tokens"] for r in got) == 60 + 60 + 3
+    assert abs(sum(r["token_share"] for r in got) - 1.0) < 1e-12
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], 0)
+        by_src[r["source"]] += r["n_docs"]
+        assert r["split"] in ("train", "val", "test")
+    assert by_src == {"a": 2, "b": 1}
+    langs = {r["source"]: r["lang_pred"] for r in got}
+    assert langs["a"] == "en" and langs["b"] == "fr"
+
+
+def test_curate_lm_gate_is_binding_and_subset(spark):
+    """The composed LM curation: output is a subset of the plain
+    quality gate, the LM cut removes a non-empty set, and every
+    survivor satisfies both thresholds."""
+    from extract_kit_spark.queries import (LM_MAX_AVG_COST_MICRO,
+                                           MIN_QUALITY, QUERIES,
+                                           ensure_zipf_docs,
+                                           ZIPF_DOCS_GLOB)
+    from extract_kit_spark.ops.textstats import with_text_stats
+    from pyspark.sql import functions as F
+
+    ensure_zipf_docs()
+    out = QUERIES["corpus_curate_lm"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows, "gate must not be empty"
+    assert all(r["quality_score"] >= MIN_QUALITY for r in rows)
+    assert all(r["avg_cost_micro"] <= LM_MAX_AVG_COST_MICRO
+               for r in rows)
+    docs = spark.read.parquet(ZIPF_DOCS_GLOB.rsplit("/", 1)[0])
+    n_quality_only = (with_text_stats(docs)
+                      .where(F.col("quality_score") >= MIN_QUALITY)
+                      .count())
+    # the LM cut must do real work beyond the heuristic gate
+    assert 0 < len(rows) < n_quality_only

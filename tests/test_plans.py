@@ -380,3 +380,27 @@ def test_anchor_stats_regex_rides_scan_jvm_only(spark):
     # to (src_domain, tag) before the first aggregate Exchange
     first_exchange_tail = plan.split("Exchange hashpartitioning", 1)[0]
     assert "regexp_extract_all" in first_exchange_tail
+
+
+def test_manifest_single_skinny_aggregate(spark):
+    """Mixture manifest: JVM-only, one hash Exchange for the
+    (source, lang, split) groupBy; the share window runs over the
+    aggregated frame (constant-size), never the corpus."""
+    plan = _plan(QUERIES["corpus_manifest"](spark, SF_DIR))
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    # exactly one hash shuffle: the 2-phase (source, lang, split)
+    # aggregate. (The SinglePartition exchange below it feeds the
+    # share window over the constant-size aggregated frame.)
+    assert plan.count("hashpartitioning(") == 1
+    assert "partial_sum" in plan
+    assert "Window" in plan
+
+
+def test_curate_lm_broadcasts_model(spark):
+    """LM-gated curation keeps the scoring join broadcast — composing
+    the gate must not demote the LM join to a payload shuffle."""
+    from extract_kit_spark.queries import ensure_zipf_docs
+    ensure_zipf_docs()
+    plan = _plan(QUERIES["corpus_curate_lm"](spark, SF_DIR))
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
