@@ -580,3 +580,41 @@ def curate_extracted(spark: SparkSession, output_dir: str,
     return {"n_ok_docs": int(n_docs),
             "n_survivors": int(sum(splits.values())),
             "splits": splits, "curated": dest}
+
+
+def manifest_extracted(spark: SparkSession, output_dir: str,
+                       min_quality: float = 0.5) -> dict:
+    """Maintenance pass: write the pretraining-mixture manifest
+    (ops/corpus.assembly_manifest) for an existing extraction table's
+    ok rows to ``<output>/manifest`` — the composition report
+    (docs / tokens / chars / quality-pass / token share per
+    (domain, predicted language, split)) a dataset release ships next
+    to the data. Source = the page's domain: the grouping a crawl
+    corpus is actually weighted by. Same two-step spark-submit shape
+    as curate_extracted; the manifest output is constant-size in the
+    corpus (|domains|x|langs|x3), so the write is a driver-light
+    single-stage job at any scale."""
+    import os
+    data = os.path.join(output_dir, "data")
+    docs = (spark.read.parquet(data)
+            .where(F.col("status") == "ok")
+            .select(F.xxhash64("url").alias("doc_id"),
+                    F.regexp_extract(
+                        "url", r"https://([a-z0-9.-]+)/", 1)
+                    .alias("source"),
+                    F.col("extracted_text").alias("text")))
+    from .ops import corpus
+    m = corpus.assembly_manifest(docs, min_quality=min_quality)
+    dest = os.path.join(output_dir, "manifest")
+    m.write.mode("overwrite").parquet(dest)
+    done = spark.read.parquet(dest)
+    row = done.agg(
+        F.count(F.lit(1)).alias("cells"),
+        F.sum("n_docs").alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.sum("n_quality_ok").alias("quality_ok")).first()
+    return {"n_cells": int(row["cells"]),
+            "n_docs": int(row["docs"] or 0),
+            "n_tokens": int(row["tokens"] or 0),
+            "n_quality_ok": int(row["quality_ok"] or 0),
+            "manifest": dest}

@@ -63,6 +63,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "deterministic split) over an existing "
                         "--output extraction table; writes "
                         "<output>/curated")
+    p.add_argument("--manifest", action="store_true",
+                   help="instead of extracting, write the "
+                        "pretraining-mixture manifest (docs/tokens/"
+                        "quality per domain x lang x split) for an "
+                        "existing --output extraction table to "
+                        "<output>/manifest")
     p.add_argument("--min-quality", type=float, default=0.5)
     p.add_argument("--langs", default="en",
                    help="comma-separated language allowlist for "
@@ -96,12 +102,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         p.error("--max-doc-bytes must be > 0")
     if args.n_buckets is not None and args.n_buckets <= 0:
         p.error("--n-buckets must be > 0")
-    if not (args.compact or args.curate) and args.input is None:
-        p.error("--input is required (unless --compact/--curate)")
+    if not (args.compact or args.curate or args.manifest) \
+            and args.input is None:
+        p.error("--input is required (unless --compact/--curate/"
+                "--manifest)")
     if sum((args.compact, args.reprocess_quarantined,
-            args.curate)) > 1:
-        p.error("--compact, --reprocess-quarantined and --curate are "
-                "exclusive")
+            args.curate, args.manifest)) > 1:
+        p.error("--compact, --reprocess-quarantined, --curate and "
+                "--manifest are exclusive")
     if not 0.0 <= args.min_quality <= 1.0:
         p.error("--min-quality must be in [0, 1]")
     return args
@@ -139,6 +147,22 @@ def main(argv: list[str] | None = None) -> int:
             summary = compact_output(
                 spark, args.output,
                 target_bytes=args.target_partition_bytes)
+            print(json.dumps(summary), flush=True)
+            return 0
+        finally:
+            if owns:
+                spark.stop()
+    if args.manifest:
+        from .pipeline import manifest_extracted
+        if "://" not in args.output and not os.path.isdir(
+                os.path.join(args.output, "data")):
+            print(f"extract_kit_spark: error: --output has no data/ "
+                  f"dir to manifest: {args.output}", file=sys.stderr)
+            return 2
+        spark, owns = _cli_spark("extract-kit-manifest", args.master)
+        try:
+            summary = manifest_extracted(
+                spark, args.output, min_quality=args.min_quality)
             print(json.dumps(summary), flush=True)
             return 0
         finally:

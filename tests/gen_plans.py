@@ -88,6 +88,24 @@ SECTIONS = [
      "WARC source: binaryFile scan → MapInPandas parse, NO Exchange "
      "— one task per archive file, payload bytes never shuffle "
      "(mirrors the parquet flagship's scan shape)."),
+    ("ts_lm_score",
+     "Bigram-LM scoring: the vocabulary-cut model reaches the "
+     "exploded corpus through a BroadcastHashJoin; the per-doc fold "
+     "is a 2-phase HashAggregate, so the only hash Exchange carries "
+     "(doc_id, partial sums) — text never shuffles."),
+    ("ts_lm_bigrams",
+     "LM training: the top-k vocabulary cut compiles to "
+     "TakeOrderedAndProject (distributed per-partition top-k), never "
+     "a single-partition global Sort."),
+    ("web_anchor_stats",
+     "Anchor-text aggregation: tag extraction is plan-side regex on "
+     "the page scan; every Exchange carries skinny (target, anchor) "
+     "strings."),
+    ("corpus_manifest",
+     "Mixture manifest: ONE 2-phase hash aggregate over "
+     "(source, lang, split); the token-share window runs on the "
+     "constant-size aggregated frame behind a SinglePartition "
+     "exchange — never over the corpus."),
 ]
 
 

@@ -156,3 +156,33 @@ def test_cli_inprocess_leaves_shared_session_alive(spark, tmp_path):
     # the shared fixture session must still be fully operational
     assert spark.range(3).count() == 3
     assert spark.sparkContext._jsc is not None
+
+
+def test_cli_manifest_mode(spark, tmp_path):
+    """--manifest writes the mixture-manifest table for an existing
+    extraction output: shares sum to 1, doc totals equal the ok rows,
+    and a data-less --output fails with the friendly exit 2."""
+    import json as _json
+
+    import duckdb
+
+    from extract_kit_spark.fixtures import write_pages_dir
+    from extract_kit_spark.run import main
+
+    rc = main(["--manifest", "--output", str(tmp_path / "nope")])
+    assert rc == 2
+    write_pages_dir(str(tmp_path / "pages"), 40, n_files=1)
+    assert main(["--input", str(tmp_path / "pages"),
+                 "--output", str(tmp_path / "o"),
+                 "--n-groups", "1"]) == 0
+    rc = main(["--manifest", "--output", str(tmp_path / "o")],)
+    assert rc == 0
+    got = duckdb.sql(
+        f"SELECT sum(n_docs) AS d, sum(token_share) AS s FROM "
+        f"read_parquet('{tmp_path}/o/manifest/*.parquet')").fetchone()
+    n_ok = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet("
+        f"'{tmp_path}/o/data/*/*.parquet') "
+        f"WHERE status = 'ok'").fetchone()[0]
+    assert int(got[0]) == n_ok
+    assert abs(got[1] - 1.0) < 1e-9
