@@ -1518,12 +1518,104 @@ def pdf_encrypt(payload: bytes, owner_pw: bytes = b"owner",
         body, count=1)
 
 
+def _rebuild_classic_xref(body: bytes) -> bytes:
+    """Regenerate the classic xref table + /Size + startxref after
+    object offsets moved (AES ciphertext is longer than plaintext).
+    Assumes the single-xref fixture layout (gen 0 objects only)."""
+    import re as _re
+    xm = _re.search(rb"\nxref\n0 \d+\n", body)
+    tm = _re.search(rb"trailer\n", body, )
+    assert xm and tm and tm.start() > xm.start()
+    head = body[:xm.start()]
+    # match over b"\n"+head so an object at offset 0 still matches;
+    # the digit at prefixed position m.start(1) sits at m.start(1)-1
+    # in head coordinates
+    offs = {int(m.group(1)): m.start(1) - 1 for m in
+            _re.finditer(rb"\n(\d+)\s+0\s+obj\b", b"\n" + head)}
+    size = max(offs) + 1
+    entries = [b"0000000000 65535 f \n"]
+    for num in range(1, size):
+        entries.append(b"%010d 00000 n \n" % offs[num])
+    trailer = body[tm.start():]
+    trailer = _re.sub(rb"/Size \d+", b"/Size %d" % size, trailer,
+                      count=1)
+    trailer = _re.sub(rb"startxref\n\d+\n",
+                      b"startxref\n%d\n" % (len(head) + 1), trailer,
+                      count=1)
+    return head + b"\nxref\n0 %d\n" % size + b"".join(entries) \
+        + trailer
+
+
+def pdf_encrypt_aes(payload: bytes, owner_pw: bytes = b"owner",
+                    p: int = -44) -> bytes:
+    """AESV2 (AES-128-CBC, /V 4 /R 4) twin of a classic-layout PDF:
+    every stream becomes IV + CBC ciphertext with deterministic
+    per-object IVs (md5 of num/gen/id — fixtures must be byte-
+    deterministic), direct /Length values are rewritten, the crypt-
+    filter /Encrypt dictionary is spliced in, and the xref table is
+    REBUILT (unlike RC4, AES changes offsets)."""
+    import hashlib as _hl
+    import re as _re
+
+    from .kernels.aes import cbc_encrypt
+    from .kernels.pdf_crypt import (_LENGTH_RE, _OBJ_RE, _STREAM_RE,
+                                    _user_check_bytes, file_key,
+                                    object_key, owner_value)
+    assert b"trailer" in payload, "classic xref-trailer layout only"
+    v, r, n = 4, 4, 16
+    id0 = _hl.md5(payload).digest()
+    o = owner_value(owner_pw, b"", r, n)
+    key = file_key(o, p, id0, r, n)
+    u = (_user_check_bytes(key, id0, r) + b"\x00" * 32)[:32]
+    obj_marks = [(m.start(), int(m.group(1)), int(m.group(2)))
+                 for m in _OBJ_RE.finditer(payload)]
+    segs, pos = [], 0
+    for m in _STREAM_RE.finditer(payload):
+        params, start = m.group(1), m.end()
+        lm = _LENGTH_RE.search(params)
+        assert lm, "fixture PDFs carry direct /Length"
+        end = start + int(lm.group(1))
+        num = gen = 0
+        for off, onum, ogen in obj_marks:
+            if off > m.start():
+                break
+            num, gen = onum, ogen
+        iv = _hl.md5(b"iv:%d:%d:" % (num, gen) + id0).digest()
+        ct = iv + cbc_encrypt(object_key(key, num, gen, aes=True),
+                              iv, payload[start:end])
+        segs += [payload[pos:m.start(1) + lm.start(1)],
+                 str(len(ct)).encode("ascii"),
+                 payload[m.start(1) + lm.end(1):start], ct]
+        pos = end
+    segs.append(payload[pos:])
+    body = b"".join(segs)
+    encnum = max(int(m.group(1)) for m in
+                 _re.finditer(rb"(\d+)\s+\d+\s+obj\b", body)) + 1
+    enc_obj = (b"%d 0 obj\n<< /Filter /Standard /V %d /R %d "
+               b"/Length 128 /CF << /StdCF << /CFM /AESV2 "
+               b"/AuthEvent /DocOpen /Length 16 >> >> "
+               b"/StmF /StdCF /StrF /StdCF "
+               b"/O <%s> /U <%s> /P %d >>\nendobj\n"
+               % (encnum, v, r, o.hex().encode(), u.hex().encode(),
+                  p))
+    idhex = id0.hex().encode()
+    ti = body.index(b"xref\n0 ")
+    body = body[:ti] + enc_obj + body[ti:]
+    body = _re.sub(
+        rb"trailer\n<<",
+        b"trailer\n<< /Encrypt %d 0 R /ID [<%s> <%s>] "
+        % (encnum, idhex, idhex),
+        body, count=1)
+    return _rebuild_classic_xref(body)
+
+
 def write_pages_enc_dir(path: str, n: int, n_files: int = 4,
                         seed: int = SEED) -> None:
     """Every trailer-layout PDF page of the corpus, re-emitted as its
-    encrypted twin (alternating 128-bit R3 / 40-bit R2 by index) —
-    same urls, so the flagship golden registry's per-url text sha256
-    is the independent expected answer for the decrypted extraction."""
+    encrypted twin (cycling RC4-128 R3 / RC4-40 R2 / AES-128 AESV2 by
+    index) — same urls, so the flagship golden registry's per-url
+    text sha256 is the independent expected answer for the decrypted
+    extraction."""
     import os
     import pyarrow.parquet as pq
     os.makedirs(path, exist_ok=True)
@@ -1533,11 +1625,13 @@ def write_pages_enc_dir(path: str, n: int, n_files: int = 4,
         if not r["html"].startswith(b"%PDF-") \
                 or b"trailer" not in r["html"]:
             continue
-        if i % 2:
-            r["html"] = pdf_encrypt(r["html"])
-        else:
+        if i % 3 == 0:
             r["html"] = pdf_encrypt(r["html"], v=1, r=2,
                                     length_bits=40)
+        elif i % 3 == 1:
+            r["html"] = pdf_encrypt(r["html"])
+        else:
+            r["html"] = pdf_encrypt_aes(r["html"])
         rows.append(r)
     per = -(-len(rows) // n_files)
     for f in range(n_files):

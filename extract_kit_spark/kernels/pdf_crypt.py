@@ -1,23 +1,29 @@
-"""PDF standard-security-handler decryption (RC4, PDF 32000-1 §7.6.2–
-7.6.4) — pure stdlib (hashlib.md5 + a 20-line RC4), no crypto deps.
+"""PDF standard-security-handler decryption (PDF 32000-1 §7.6.2–
+7.6.4) — pure stdlib (hashlib.md5, a 20-line RC4, and kernels/aes.py
+for AESV2), no crypto deps.
 
 Scope (deliberately the high-volume slice of the encrypted web-PDF
-population): /Filter /Standard with /V 1 or 2 (RC4 40–128 bit),
-R 2 or 3, EMPTY user password — the "owner-locked but world-readable"
-documents that dominate encrypted PDFs found by crawlers (they open in
-any viewer; the owner password only gates editing). Anything else —
-user-password-protected, V 4/5 crypt filters (AESV2/V3 would need an
-AES primitive the sandbox lacks) — returns None and the caller
-quarantines, which is still strictly ahead of the reference (it
-rejects every encrypted file: `pdf-processor/src/core/file-processor
-.ts:46-49` isValidPDF → reject).
+population): /Filter /Standard with /V 1, 2 (RC4 40–128 bit, R 2/3)
+or /V 4 crypt filters (/CFM /AESV2 = AES-128-CBC, or /CFM /V2 =
+RC4-128, R 4), EMPTY user password — the "owner-locked but
+world-readable" documents that dominate encrypted PDFs found by
+crawlers (they open in any viewer; the owner password only gates
+editing). Anything else — user-password-protected, /V 5 R 6
+(AES-256, a different key-derivation entirely), Identity/unknown
+crypt filters — returns None and the caller quarantines, which is
+still strictly ahead of the reference (it rejects every encrypted
+file: `pdf-processor/src/core/file-processor.ts:46-49` isValidPDF →
+reject).
 
 Design: ``decrypt_payload`` rewrites the WHOLE file in place — every
-stream's data bytes are replaced by their RC4 plaintext. RC4 is
+stream's data bytes are replaced by their plaintext. RC4 is
 length-preserving, so the decrypted file is byte-layout-identical
 (every offset, /Length and xref slot still true) and the entire
 existing parser runs on it unchanged; no decryption state threads
-through the interpreter. Document-level STRINGS outside streams are
+through the interpreter. AES-CBC plaintext is SHORTER than
+IV+ciphertext, so the AES path keeps the layout by space-filling the
+tail of each stream slot and re-patching direct /Length values
+within their own digit span (see transform_streams). Document-level STRINGS outside streams are
 not rewritten — extraction reads text exclusively from content/CMap
 streams, so plaintext metadata strings are never consumed (documented
 scope cut, not an oversight).
@@ -116,10 +122,12 @@ def _pdf_string(payload: bytes, m: "re.Match") -> "bytes | None":
 
 
 def file_key(o: bytes, p: int, id0: bytes, r: int, n: int,
-             user_pw: bytes = b"") -> bytes:
+             user_pw: bytes = b"",
+             encrypt_metadata: bool = True) -> bytes:
     """Algorithm 2: the file encryption key from the USER password."""
+    tail = b"" if encrypt_metadata or r < 4 else b"\xff\xff\xff\xff"
     h = hashlib.md5(_pad_pw(user_pw) + o[:32]
-                    + struct.pack("<I", p & 0xFFFFFFFF) + id0)
+                    + struct.pack("<I", p & 0xFFFFFFFF) + id0 + tail)
     key = h.digest()
     if r >= 3:
         for _ in range(50):
@@ -153,10 +161,13 @@ def owner_value(owner_pw: bytes, user_pw: bytes, r: int,
     return o
 
 
-def object_key(key: bytes, num: int, gen: int) -> bytes:
-    """Algorithm 1: the per-object RC4 key."""
+def object_key(key: bytes, num: int, gen: int,
+               aes: bool = False) -> bytes:
+    """Algorithm 1: the per-object key (AESV2 appends the spec's
+    'sAlT' constant to the MD5 input)."""
     h = hashlib.md5(key + struct.pack("<I", num)[:3]
-                    + struct.pack("<I", gen)[:2]).digest()
+                    + struct.pack("<I", gen)[:2]
+                    + (b"sAlT" if aes else b"")).digest()
     return h[:min(len(key) + 5, 16)]
 
 
@@ -179,9 +190,19 @@ def _parse_encrypt(payload: bytes):
         nums[k] = int(m.group(1)) if m else None
     v = nums[b"V"] or 1
     r = nums[b"R"] or 2
-    if v not in (1, 2) or r not in (2, 3) or nums[b"P"] is None:
-        return None  # V4/V5 crypt filters (incl. AES): unsupported
-    n = (nums[b"Length"] or 40) // 8 if v == 2 else 5
+    if v not in (1, 2, 4) or r not in (2, 3, 4) \
+            or nums[b"P"] is None:
+        return None  # V5/R6 (AES-256) stays quarantined
+    cfm = b"rc4"
+    encrypt_metadata = b"/EncryptMetadata false" not in re.sub(
+        rb"\s+", b" ", body)
+    if v == 4:
+        # the stream/string crypt filter: /CF <</StdCF <</CFM ...>>>>
+        cm = re.search(rb"/CFM\s*/(\w+)", body)
+        if not cm or cm.group(1) not in (b"AESV2", b"V2"):
+            return None  # Identity/unknown filters: quarantine
+        cfm = b"aes" if cm.group(1) == b"AESV2" else b"rc4"
+    n = (nums[b"Length"] or 40) // 8 if v in (2, 4) else 5
     strs = {}
     for k, rx in _STR_RE.items():
         m = rx.search(body)
@@ -191,13 +212,23 @@ def _parse_encrypt(payload: bytes):
         strs[k] = s
     idm = _ID_RE.search(payload)
     id0 = bytes.fromhex(idm.group(1).decode("ascii")) if idm else b""
-    return strs[b"O"], strs[b"U"], nums[b"P"], id0, v, r, n
+    return (strs[b"O"], strs[b"U"], nums[b"P"], id0, v, r, n,
+            cfm, encrypt_metadata)
 
 
-def transform_streams(payload: bytes, key: bytes) -> bytes:
-    """RC4 every stream's data in place with its per-object key
-    (symmetric: the same transform encrypts a plaintext file and
-    decrypts a ciphertext one). Byte-layout-identical output."""
+def transform_streams(payload: bytes, key: bytes,
+                      method: bytes = b"rc4") -> bytes:
+    """Transform every stream's data in place with its per-object key.
+
+    RC4 is symmetric and length-preserving: the same call encrypts a
+    plaintext file and decrypts a ciphertext one, byte-layout-
+    identical. AES (method=b"aes") DECRYPTS: CBC plaintext is always
+    >= 17 bytes shorter than IV+ciphertext, so the plaintext is
+    written in place, the remainder is filled with spaces (whitespace
+    is inert in every stream grammar we parse, and zlib tolerates
+    trailing garbage after a complete Flate stream — pinned in
+    tests), and a direct /Length value is re-patched within its own
+    digit span so offsets and the xref stay true."""
     obj_marks = [(m.start(), int(m.group(1)), int(m.group(2)))
                  for m in _OBJ_RE.finditer(payload)]
     out = bytearray(payload)
@@ -221,8 +252,23 @@ def transform_streams(payload: bytes, key: bytes) -> bytes:
             if off > m.start():
                 break
             num, gen = onum, ogen
-        out[start:end] = rc4(object_key(key, num, gen),
-                             payload[start:end])
+        data = payload[start:end]
+        if method == b"aes":
+            from .aes import cbc_decrypt
+            pt = cbc_decrypt(object_key(key, num, gen, aes=True),
+                             data[:16], data[16:])
+            if pt is None:
+                continue  # corrupt stream: leave it; parser skips
+            out[start:start + len(pt)] = pt
+            out[start + len(pt):end] = b" " * (end - start - len(pt))
+            if lm:
+                dig_lo = m.start(1) + lm.start(1)
+                dig_hi = m.start(1) + lm.end(1)
+                out[dig_lo:dig_hi] = \
+                    str(len(pt)).encode("ascii").ljust(
+                        dig_hi - dig_lo)
+        else:
+            out[start:end] = rc4(object_key(key, num, gen), data)
     return bytes(out)
 
 
@@ -234,10 +280,10 @@ def decrypt_payload(payload: bytes) -> "bytes | None":
     parsed = _parse_encrypt(payload)
     if parsed is None:
         return None
-    o, u, p, id0, _v, r, n = parsed
-    key = file_key(o, p, id0, r, n)
+    o, u, p, id0, _v, r, n, cfm, enc_meta = parsed
+    key = file_key(o, p, id0, r, n, encrypt_metadata=enc_meta)
     want = _user_check_bytes(key, id0, r)
     have = u[:32] if r == 2 else u[:16]
     if want[:len(have)] != have:
         return None  # non-empty user password: cannot decrypt
-    return transform_streams(payload, key)
+    return transform_streams(payload, key, method=cfm)

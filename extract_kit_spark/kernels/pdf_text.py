@@ -881,7 +881,7 @@ def extract_pdf_pages(payload: bytes) -> list[list[str]]:
         # world-readable) are decrypted IN PLACE — RC4 is length-
         # preserving, so the decrypted payload is byte-layout-identical
         # and the whole parser below runs unchanged. Password-protected
-        # or AES files still quarantine (kernels/pdf_crypt.py scope).
+        # files or AES-256 still quarantine (kernels/pdf_crypt.py scope).
         from .pdf_crypt import decrypt_payload
         payload = decrypt_payload(payload)
         if payload is None:

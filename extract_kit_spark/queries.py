@@ -2341,7 +2341,8 @@ WHERE t.bucket < r.keep_rate * 10000
 """
 
 
-PAGES_ENC_PATH = f"/tmp/ekspark_pages_enc_v1_{N_PAGES}"
+# v2: +AESV2 variant in the RC4-40/RC4-128/AES cycle
+PAGES_ENC_PATH = f"/tmp/ekspark_pages_enc_v2_{N_PAGES}"
 PAGES_ENC_GLOB = f"{PAGES_ENC_PATH}/*.parquet"
 
 
@@ -2356,9 +2357,9 @@ def ensure_pages_enc(path: str = PAGES_ENC_PATH,
 
 
 def q_ext_pdf_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full extraction over the ENCRYPTED-PDF twins (RC4 standard
-    security handler, alternating 128-bit R3 / 40-bit R2, empty user
-    password — kernels/pdf_crypt.py). The oracle is the flagship
+    """Full extraction over the ENCRYPTED-PDF twins (standard
+    security handler, cycling RC4-40 R2 / RC4-128 R3 / AES-128 AESV2,
+    empty user password — kernels/pdf_crypt.py + kernels/aes.py). The oracle is the flagship
     golden registry's rows for the same urls, which were computed from
     the PLAIN twins — so a green row proves decryption restores
     byte-identical text (sha256), spans, title and status, against an

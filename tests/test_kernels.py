@@ -1319,12 +1319,13 @@ def test_rc4_published_vectors():
 
 
 def test_pdf_encrypted_twins_extract_byte_identical():
-    """Every trailer-layout PDF in the corpus, encrypted under BOTH
-    supported cipher variants (RC4-128/R3 and RC4-40/R2), must extract
-    byte-identically to its plain twin; the encrypted bytes must trip
-    the encryption gate first (proving extraction went through real
-    decryption, not a bypass)."""
-    from extract_kit_spark.fixtures import gen_page, pdf_encrypt
+    """Every trailer-layout PDF in the corpus, encrypted under ALL
+    three supported cipher variants (RC4-128/R3, RC4-40/R2, and
+    AES-128/AESV2), must extract byte-identically to its plain twin;
+    the encrypted bytes must trip the encryption gate first (proving
+    extraction went through real decryption, not a bypass)."""
+    from extract_kit_spark.fixtures import (gen_page, pdf_encrypt,
+                                            pdf_encrypt_aes)
     from extract_kit_spark.kernels.pdf_text import (extract_pdf_pages,
                                                     _is_encrypted)
     n_checked = 0
@@ -1334,7 +1335,8 @@ def test_pdf_encrypted_twins_extract_byte_identical():
             continue
         plain = extract_pdf_pages(pl)
         for variant in (pdf_encrypt(pl),
-                        pdf_encrypt(pl, v=1, r=2, length_bits=40)):
+                        pdf_encrypt(pl, v=1, r=2, length_bits=40),
+                        pdf_encrypt_aes(pl)):
             assert _is_encrypted(variant)
             assert variant != pl
             assert extract_pdf_pages(variant) == plain, i
@@ -1344,8 +1346,8 @@ def test_pdf_encrypted_twins_extract_byte_identical():
 
 def test_pdf_encryption_gates_still_quarantine():
     """Out-of-scope encrypted files must still fail loudly, never emit
-    ciphertext: wrong user password (corrupted /U), AES / V4 crypt
-    filters, and a non-Standard handler."""
+    ciphertext: wrong user password (corrupted /U), /V 4 without a
+    parseable crypt filter, and a non-Standard handler."""
     import re
     import pytest
     from extract_kit_spark.fixtures import gen_page, pdf_encrypt
@@ -1366,3 +1368,53 @@ def test_pdf_encryption_gates_still_quarantine():
     other = re.sub(rb"/Standard", b"/MyCustom", enc, count=1)
     with pytest.raises(ExtractError):
         extract_pdf_pages(other)
+
+
+def test_aes_published_vectors():
+    """AES-128 pinned against FIPS-197 Appendix B and the SP 800-38A
+    F.2 CBC vectors; CBC padding errors return None (quarantine), not
+    garbage plaintext."""
+    from extract_kit_spark.kernels import aes
+    key = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    ks = aes._expand_key(key)
+    pt = bytes.fromhex("3243f6a8885a308d313198a2e0370734")
+    ct = aes.encrypt_block(ks, pt)
+    assert ct.hex() == "3925841d02dc09fbdc118597196a0b32"
+    assert aes.decrypt_block(ks, ct) == pt
+    iv = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    p1 = bytes.fromhex("6bc1bee22e409f96e93d7e117393172a")
+    c = aes.cbc_encrypt(key, iv, p1)
+    assert c[:16].hex() == "7649abac8119b246cee98e9b12e9197d"
+    assert aes.cbc_decrypt(key, iv, c) == p1
+    assert aes.cbc_decrypt(key, iv, b"\x00" * 16) is None  # bad pad
+    assert aes.cbc_decrypt(key, iv, b"\x00" * 15) is None  # bad len
+
+
+def test_aes_twin_is_valid_pdf_and_v5_quarantines():
+    """The AESV2 fixture twin is a structurally VALID PDF — every
+    rebuilt xref offset points at its object, startxref at the xref —
+    (unlike RC4, AES changes offsets, so this pins the rebuild); a
+    /V 5 (AES-256) doctor of the same file still quarantines."""
+    import re
+
+    import pytest
+
+    from extract_kit_spark.fixtures import gen_page, pdf_encrypt_aes
+    from extract_kit_spark.kernels.errors import ExtractError
+    from extract_kit_spark.kernels.pdf_text import extract_pdf_pages
+    pl = next(gen_page(i)["html"] for i in range(300)
+              if gen_page(i)["html"].startswith(b"%PDF-")
+              and b"trailer" in gen_page(i)["html"])
+    enc = pdf_encrypt_aes(pl)
+    xm = re.search(rb"\nxref\n0 (\d+)\n", enc)
+    size = int(xm.group(1))
+    table = enc[xm.end():xm.end() + 20 * size]
+    for num in range(1, size):
+        off = int(table[20 * num:20 * num + 10])
+        assert re.match(rb"%d\s+0\s+obj" % num, enc[off:off + 20])
+    sx = int(re.search(rb"startxref\n(\d+)\n", enc).group(1))
+    assert enc[sx:sx + 4] == b"xref"
+    assert re.search(rb"/Size %d\b" % size, enc)
+    v5 = re.sub(rb"/V 4 /R 4", b"/V 5 /R 6", enc, count=1)
+    with pytest.raises(ExtractError):
+        extract_pdf_pages(v5)
