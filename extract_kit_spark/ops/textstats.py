@@ -262,3 +262,78 @@ def normalize_text(df: DataFrame, id_col: str = "doc_id",
         F.length("__orig").cast("long").alias("n_chars_before"),
         F.length("norm_text").cast("long").alias("n_chars_after"),
         (F.col("norm_text") != F.col("__orig")).alias("changed"))
+
+
+def dup_span_coverage(df: DataFrame, n: int = 8, min_df: int = 2,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Cross-DOCUMENT repeated-substring coverage — the dup-span
+    signal of exact-substring dedup (Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better", applied at fixed
+    n-gram granularity as in RefinedWeb/Dolma): for every document,
+    the fraction of its token positions covered by at least one
+    n-gram that also occurs in ≥ ``min_df`` documents. Complements
+    the existing duplicate-text ladder — whole-doc exact
+    (dedup_exact), whole-doc near (MinHash/SimHash/Jaccard), and
+    line-level exact (dedup_lines) — with sub-line cross-doc overlap,
+    the granularity boilerplate sentences and template spans live at.
+
+    Exact union-length without per-token explosion: duplicated gram
+    START positions are sorted per doc (one skinny window) and each
+    contributes ``min(n, next_pos - pos)`` covered tokens — the
+    standard sorted-interval union, mirrored verbatim in the SQL twin.
+
+    Scale shape: grams are built plan-side and exploded; the
+    document-frequency cut is a 2-phase count-distinct groupBy on the
+    gram key; only positions of DUPLICATED grams (the minority by
+    construction) reach the per-doc window. Grams travel as strings
+    here for the exact oracle; at 100 TB the key would be
+    xxhash64(gram) exactly like dedup.shingles' production path."""
+    t = F.trim(F.col(text_col))
+    toks = F.when(t == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(F.lower(t), r"\s+"))
+    base = df.select(F.col(id_col), toks.alias("__toks")) \
+        .select(F.col(id_col),
+                F.size("__toks").cast("long").alias("n_tokens"),
+                F.expr(
+                    # guard: Spark's sequence(1, 0) counts DOWN to
+                    # [1, 0] (it is not empty like SQL generate_series)
+                    # and slice(..., 0, n) then throws — docs shorter
+                    # than n tokens must short-circuit to no grams
+                    f"CASE WHEN size(__toks) < {n} "
+                    f"THEN array() "
+                    f"ELSE transform(sequence(1, size(__toks) "
+                    f"- {n} + 1), "
+                    f"i -> array_join(slice(__toks, i, {n}), ' ')) "
+                    f"END")
+                .alias("__grams"))
+    pos_grams = base.select(
+        F.col(id_col), F.posexplode("__grams").alias("__p0", "g")) \
+        .select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "g")
+    dup_g = (pos_grams.groupBy("g")
+             .agg(F.count_distinct(F.col(id_col)).alias("df"))
+             .filter(F.col("df") >= min_df)
+             .select("g"))
+    dup_pos = pos_grams.join(dup_g, "g").select(id_col, "pos")
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy(F.col("pos").asc())
+    covered = (dup_pos
+               .withColumn(
+                   "__c", F.least(
+                       F.lit(n),
+                       F.coalesce(F.lead("pos").over(w) - F.col("pos"),
+                                  F.lit(n))))
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_dup_grams"),
+                    F.sum("__c").cast("long").alias("dup_tokens")))
+    return (base.select(id_col, "n_tokens")
+            .join(covered, id_col, "left")
+            .select(F.col(id_col), F.col("n_tokens"),
+                    F.coalesce("n_dup_grams", F.lit(0)).cast("long")
+                    .alias("n_dup_grams"),
+                    F.coalesce("dup_tokens", F.lit(0)).cast("long")
+                    .alias("dup_tokens"),
+                    F.when(F.col("n_tokens") > 0,
+                           F.coalesce("dup_tokens", F.lit(0))
+                           .cast("double") / F.col("n_tokens"))
+                    .otherwise(F.lit(0.0)).alias("dup_coverage")))

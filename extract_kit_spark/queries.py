@@ -2005,6 +2005,7 @@ SELECT *, n_tokens::DOUBLE / sum(n_tokens) OVER () AS token_share
 FROM g
 """
 
+
 # LM-gated curation: quality gate AND a CCNet-style perplexity cut.
 # 10 nats/bigram (= 10e6 micro-nats) sits between the Zipf corpus's
 # median (~9.8e6) and 90th percentile (~10.9e6) mean cost, so the LM
@@ -2178,6 +2179,58 @@ FROM s3
 """
 
 LINE_MAX_DF = 2
+
+
+DUP_SPAN_N, DUP_SPAN_MIN_DF = 5, 2
+
+
+def q_ts_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring coverage
+    (textstats.dup_span_coverage): per doc, the fraction of token
+    positions covered by a 5-gram occurring in >= 2 documents — the
+    Lee-et-al/RefinedWeb dup-span signal at fixed granularity,
+    completing the duplicate-text ladder below line level. Runs over
+    the line corpus, whose cross-doc boilerplate pool is the planted
+    ground truth."""
+    ensure_line_docs()
+    docs = _read_parallel(spark, LINE_DOCS_GLOB.rsplit("/", 1)[0])
+    return textstats.dup_span_coverage(docs, n=DUP_SPAN_N,
+                                       min_df=DUP_SPAN_MIN_DF)
+
+
+_ORACLE_TS_DUP_SPANS = f"""
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+         END AS toks
+  FROM read_parquet('{LINE_DOCS_GLOB}')),
+pg AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(toks[i:i+{DUP_SPAN_N}-1], ' ') AS g
+  FROM docs, unnest(generate_series(
+      1, greatest(len(toks) - {DUP_SPAN_N} + 1, 0))) AS t(i)),
+dg AS (SELECT g FROM pg GROUP BY g
+       HAVING count(DISTINCT doc_id) >= {DUP_SPAN_MIN_DF}),
+dp AS (SELECT doc_id, pos FROM pg JOIN dg USING (g)),
+dp2 AS (
+  SELECT doc_id,
+         least({DUP_SPAN_N}, COALESCE(lead(pos) OVER (
+             PARTITION BY doc_id ORDER BY pos) - pos,
+             {DUP_SPAN_N})) AS c
+  FROM dp),
+cov AS (
+  SELECT doc_id, count(*)::BIGINT AS n_dup_grams,
+         sum(c)::BIGINT AS dup_tokens
+  FROM dp2 GROUP BY doc_id)
+SELECT d.doc_id, len(d.toks)::BIGINT AS n_tokens,
+       COALESCE(c.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+       COALESCE(c.dup_tokens, 0)::BIGINT AS dup_tokens,
+       CASE WHEN len(d.toks) > 0
+            THEN COALESCE(c.dup_tokens, 0)::DOUBLE / len(d.toks)
+            ELSE 0.0 END AS dup_coverage
+FROM docs d LEFT JOIN cov c USING (doc_id)
+"""
 
 
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2945,6 +2998,7 @@ QUERIES = {
     "ts_tfidf_zipf": q_ts_tfidf_zipf,
     "ts_lm_bigrams": q_ts_lm_bigrams,
     "ts_lm_score": q_ts_lm_score,
+    "ts_dup_spans": q_ts_dup_spans,
     "corpus_split": q_corpus_split,
     "corpus_curate": q_corpus_curate,
     "corpus_curate_near": q_corpus_curate_near,
@@ -3082,6 +3136,7 @@ ORACLES = {
     "ts_tfidf_zipf": _ORACLE_TS_TFIDF_ZIPF,
     "ts_lm_bigrams": _ORACLE_TS_LM_BIGRAMS,
     "ts_lm_score": _ORACLE_TS_LM_SCORE,
+    "ts_dup_spans": _ORACLE_TS_DUP_SPANS,
     "corpus_split": _ORACLE_SPLIT,
     "corpus_curate": _ORACLE_CURATE,
     "corpus_curate_near": _ORACLE_CURATE_NEAR,

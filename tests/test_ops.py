@@ -1189,3 +1189,54 @@ def test_curate_lm_gate_is_binding_and_subset(spark):
                       .count())
     # the LM cut must do real work beyond the heuristic gate
     assert 0 < len(rows) < n_quality_only
+
+
+def test_dup_span_coverage_hand_case(spark):
+    """Planted cross-doc span: docs 0 and 1 share an 8-token run (two
+    5-grams in a row -> 6 covered tokens each, interval union NOT
+    2x5); doc 2 is unique -> zero coverage; doc 3 is too short for
+    any gram and still appears (1-in-1-out)."""
+    from extract_kit_spark.ops.textstats import dup_span_coverage
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    docs = spark.createDataFrame(
+        [(0, shared + " unique0 tail0"),
+         (1, "head1 " + shared + " tail1"),
+         (2, "one two three four five six seven"),
+         (3, "tiny doc")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in dup_span_coverage(docs, n=5, min_df=2).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    # the shared 6-token run holds 5-grams at offsets 0 and 1 ->
+    # sorted-interval union = min(5, 1) + 5 = 6 covered tokens
+    assert got[0]["n_dup_grams"] == 2 and got[0]["dup_tokens"] == 6
+    assert got[1]["n_dup_grams"] == 2 and got[1]["dup_tokens"] == 6
+    assert got[0]["dup_coverage"] == 6 / 8
+    assert got[2]["dup_tokens"] == 0 and got[2]["dup_coverage"] == 0.0
+    assert got[3]["n_tokens"] == 2 and got[3]["dup_coverage"] == 0.0
+
+
+def test_dup_span_coverage_separates_boiler_docs(spark):
+    """On the line corpus the planted cross-doc boilerplate pool is
+    the ground truth: docs carrying a boiler line score > 0, docs
+    without score (almost always) 0 — the filterable signal."""
+    from pyspark.sql import functions as F
+    from extract_kit_spark.ops.textstats import dup_span_coverage
+    from extract_kit_spark.queries import (LINE_DOCS_GLOB,
+                                           ensure_line_docs)
+    ensure_line_docs()
+    docs = spark.read.parquet(LINE_DOCS_GLOB.rsplit("/", 1)[0])
+    cov = dup_span_coverage(docs, n=5, min_df=2)
+    j = docs.select("doc_id",
+                    F.col("text").contains("boiler").alias("has_b")) \
+        .join(cov, "doc_id")
+    rows = j.groupBy("has_b").agg(
+        F.avg("dup_coverage").alias("avg"),
+        F.sum(F.when(F.col("dup_coverage") > 0, 1).otherwise(0))
+        .alias("n_pos"),
+        F.count(F.lit(1)).alias("n")).collect()
+    stats = {r["has_b"]: r for r in rows}
+    # every boiler-carrying doc is detected; clean docs nearly never
+    assert stats[True]["n_pos"] == stats[True]["n"]
+    assert stats[True]["avg"] > 10 * (stats[False]["avg"] or 1e-9)

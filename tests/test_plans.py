@@ -404,3 +404,14 @@ def test_curate_lm_broadcasts_model(spark):
     plan = _plan(QUERIES["corpus_curate_lm"](spark, SF_DIR))
     assert "InPandas" not in plan and "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_dup_spans_jvm_only_skinny_shuffles(spark):
+    """Dup-span coverage: no Python node; gram building rides the
+    scan and every Exchange carries (gram) / (doc_id, pos) strings,
+    never document text."""
+    from extract_kit_spark.queries import ensure_line_docs
+    ensure_line_docs()
+    plan = _plan(QUERIES["ts_dup_spans"](spark, SF_DIR))
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    assert "Window" in plan
