@@ -101,6 +101,10 @@ SECTIONS = [
      "Anchor-text aggregation: tag extraction is plan-side regex on "
      "the page scan; every Exchange carries skinny (target, anchor) "
      "strings."),
+    ("ts_dup_spans",
+     "Dup-span coverage: gram build + explode ride the scan as JVM "
+     "expressions; the df cut and interval-union window shuffle only "
+     "(gram) / (doc_id, pos) — document text crosses no Exchange."),
     ("corpus_manifest",
      "Mixture manifest: ONE 2-phase hash aggregate over "
      "(source, lang, split); the token-share window runs on the "
