@@ -209,12 +209,16 @@ def assembly_manifest(df: DataFrame, id_col: str = "doc_id",
 
     Scale shape: stats and split labels ride the scan (pure
     expressions), then ONE partial-aggregated groupBy over the skinny
-    label triple. token_share needs the corpus total, so it is a
-    window over the AGGREGATED frame — |sources|x|langs|x|splits| rows,
-    constant in corpus size, which is the only reason an un-partitioned
-    window is acceptable here. Exact-oracle-safe: every aggregate is an
+    label triple. token_share needs the corpus token total — a SINGLE
+    scalar — which is collected once from a second aggregate and
+    attached as a literal (the bounded-collect pattern of
+    webgraph.pagerank's node count): with per-DOMAIN sources a 10^12-
+    page manifest still has ~10^8 rows, so an un-partitioned window
+    (one reducer holding the whole frame) would be the straggler this
+    module exists to avoid. Exact-oracle-safe: every aggregate is an
     int64 sum; the share is one int/int double division per output
-    row."""
+    row, identical whether the total arrives as a literal (here) or a
+    window (the SQL twin)."""
     stats = with_text_stats(df, text_col)
     lab = deterministic_split(stats, id_col, salt, splits)
     g = (lab.groupBy(source_col, "lang_pred", "split")
@@ -223,7 +227,10 @@ def assembly_manifest(df: DataFrame, id_col: str = "doc_id",
               F.sum("n_chars_calc").cast("long").alias("n_chars"),
               F.sum(F.when(F.col("quality_score") >= min_quality, 1)
                     .otherwise(0)).cast("long").alias("n_quality_ok")))
+    g = g.localCheckpoint(eager=False)  # one scan for total + output
+    total = g.agg(F.sum("n_tokens")).first()[0]  # bounded: one scalar
     return g.withColumn(
         "token_share",
-        F.col("n_tokens").cast("double")
-        / F.sum("n_tokens").over(Window.partitionBy()))
+        F.when(F.lit(total).isNotNull() & (F.lit(total) > 0),
+               F.col("n_tokens").cast("double") / F.lit(total))
+        .otherwise(F.lit(0.0)))

@@ -107,9 +107,11 @@ SECTIONS = [
      "(gram) / (doc_id, pos) — document text crosses no Exchange."),
     ("corpus_manifest",
      "Mixture manifest: ONE 2-phase hash aggregate over "
-     "(source, lang, split); the token-share window runs on the "
-     "constant-size aggregated frame behind a SinglePartition "
-     "exchange — never over the corpus."),
+     "(source, lang, split); the corpus token total is attached as a "
+     "literal from a bounded one-scalar collect, so there is NO "
+     "window and NO SinglePartition exchange — with per-domain "
+     "sources the aggregated frame itself is ~10^8 rows at 10^12 "
+     "pages."),
 ]
 
 
