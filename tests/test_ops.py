@@ -1240,3 +1240,24 @@ def test_dup_span_coverage_separates_boiler_docs(spark):
     # every boiler-carrying doc is detected; clean docs nearly never
     assert stats[True]["n_pos"] == stats[True]["n"]
     assert stats[True]["avg"] > 10 * (stats[False]["avg"] or 1e-9)
+
+
+def test_round4_ops_tolerate_empty_input(spark):
+    """Empty-corpus hardening (the failure class of the round-3
+    empty-pair-graph ADVICE finding): every round-4 op must return an
+    empty, correctly-typed frame on an empty input — a normal
+    production state reached via upstream gates — not raise."""
+    from extract_kit_spark.ops import lm, textstats, webgraph
+    from extract_kit_spark.ops.corpus import assembly_manifest
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, source string")
+    model = lm.train_bigram_lm(docs)
+    assert model.count() == 0
+    assert lm.lm_score(docs, model).count() == 0
+    assert textstats.dup_span_coverage(docs).count() == 0
+    m = assembly_manifest(docs)
+    assert m.count() == 0
+    assert "token_share" in m.columns
+    pages = spark.createDataFrame([], "url string, html binary")
+    assert webgraph.anchor_text_stats(pages).count() == 0
