@@ -1261,3 +1261,47 @@ def test_round4_ops_tolerate_empty_input(spark):
     assert "token_share" in m.columns
     pages = spark.createDataFrame([], "url string, html binary")
     assert webgraph.anchor_text_stats(pages).count() == 0
+
+
+def test_dup_span_hash_key_path_identical(spark):
+    """The 100 TB shape keys the df-cut on xxhash64(gram) instead of
+    shipping gram strings (the dedup_jaccard precedent): recomputing
+    dup positions with hashed keys must reproduce the string path's
+    per-doc coverage exactly on the line corpus."""
+    from pyspark.sql import functions as F
+    from extract_kit_spark.ops.textstats import dup_span_coverage
+    from extract_kit_spark.queries import (LINE_DOCS_GLOB,
+                                           ensure_line_docs)
+    ensure_line_docs()
+    docs = spark.read.parquet(LINE_DOCS_GLOB.rsplit("/", 1)[0])
+    n, min_df = 5, 2
+    want = {r["doc_id"]: (r["n_dup_grams"], r["dup_tokens"])
+            for r in dup_span_coverage(docs, n=n,
+                                       min_df=min_df).collect()}
+    t = F.trim(F.col("text"))
+    toks = F.when(t == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(F.lower(t), r"\s+"))
+    pg = (docs.select("doc_id", toks.alias("__toks"))
+          .select("doc_id", F.posexplode(F.expr(
+              f"CASE WHEN size(__toks) < {n} THEN array() "
+              f"ELSE transform(sequence(1, size(__toks) - {n} + 1), "
+              f"i -> array_join(slice(__toks, i, {n}), ' ')) END"))
+              .alias("pos", "g"))
+          .select("doc_id", "pos",
+                  F.xxhash64("g").alias("h")))  # hash key, no strings
+    dup_h = (pg.groupBy("h")
+             .agg(F.count_distinct("doc_id").alias("df"))
+             .filter(F.col("df") >= min_df).select("h"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(F.col("pos").asc())
+    got = {r["doc_id"]: (r["n"], r["c"]) for r in
+           (pg.join(dup_h, "h")
+            .withColumn("__c", F.least(
+                F.lit(n), F.coalesce(
+                    F.lead("pos").over(w) - F.col("pos"), F.lit(n))))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("__c").alias("c")).collect())}
+    for d, (ng, ct) in got.items():
+        assert want[d] == (ng, ct)
+    assert sum(1 for v in want.values() if v[0] > 0) == len(got)
