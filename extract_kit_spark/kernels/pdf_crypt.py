@@ -203,6 +203,11 @@ def _parse_encrypt(payload: bytes):
             return None  # Identity/unknown filters: quarantine
         cfm = b"aes" if cm.group(1) == b"AESV2" else b"rc4"
     n = (nums[b"Length"] or 40) // 8 if v in (2, 4) else 5
+    if cfm == b"aes":
+        # AESV2 is AES-128 by definition (PDF 32000-1 §7.6.5): some
+        # writers omit the top-level /Length, which would default n to
+        # 5 and later trip the AES-128 key-expansion assert. Pin it.
+        n = 16
     strs = {}
     for k, rx in _STR_RE.items():
         m = rx.search(body)

@@ -304,8 +304,14 @@ def run_extraction_scan(spark: SparkSession,
 
     if input_format == "warc":
         import glob as _glob
-        all_files = sorted(_glob.glob(
-            os.path.join(input_path, "*.warc.gz")))
+        # recursive: must agree with the CLI's input validation
+        # (run.py accepts nested archives via **/*.warc.gz — a
+        # top-level-only glob here would pass validation then run
+        # with zero file groups). "**" also matches zero directories,
+        # so top-level archives are included.
+        all_files = sorted(set(_glob.glob(
+            os.path.join(input_path, "**", "*.warc.gz"),
+            recursive=True)))
     else:
         all_files = sorted(spark.read.parquet(input_path).inputFiles())
     n_groups = min(n_groups, len(all_files)) or 1

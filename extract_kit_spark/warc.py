@@ -84,10 +84,13 @@ def record_bytes(url: str, ts_micros: int, payload: bytes,
     """One uncompressed WARC/1.1 response record: WARC header block +
     an HTTP/1.1 response block carrying the payload. Deterministic —
     no wall clock, no randomness."""
+    # UTF-8, not ASCII: WARC/1.1 permits UTF-8 header values (the
+    # warcio convention), and pages tables legitimately carry IRI urls
+    # — a strict-ascii encode would fail the whole partition write.
     http = (f"HTTP/1.1 {status} OK\r\n"
             f"Content-Type: {content_type}\r\n"
             f"Content-Length: {len(payload)}\r\n"
-            f"\r\n").encode("ascii") + payload
+            f"\r\n").encode("utf-8") + payload
     rid = uuid.uuid5(_WARC_UUID_NS, f"{url}\x00{ts_micros}")
     head = (f"WARC/1.1\r\n"
             f"WARC-Type: response\r\n"
@@ -96,7 +99,7 @@ def record_bytes(url: str, ts_micros: int, payload: bytes,
             f"WARC-Target-URI: {url}\r\n"
             f"Content-Type: application/http; msgtype=response\r\n"
             f"Content-Length: {len(http)}\r\n"
-            f"\r\n").encode("ascii")
+            f"\r\n").encode("utf-8")
     return head + http + b"\r\n\r\n"
 
 
@@ -106,34 +109,52 @@ def gzip_member(record: bytes) -> bytes:
     return gzip.compress(record, compresslevel=6, mtime=0)
 
 
+def _find_blank(buf: bytes, start: int = 0) -> tuple[int, int]:
+    """First blank line at/after `start`: returns (offset, terminator
+    length). Prefers CRLF-CRLF (the spec framing) but accepts LF-LF —
+    real-world WARCs written through text-mode pipes exist, and a
+    reader that only claims tolerance is worse than one that has it."""
+    crlf = buf.find(b"\r\n\r\n", start)
+    lf = buf.find(b"\n\n", start)
+    if crlf < 0 and lf < 0:
+        return -1, 0
+    # an LF-LF that is really the tail of a CRLF-CRLF sits one byte
+    # inside it; pick whichever terminator starts first
+    if crlf >= 0 and (lf < 0 or crlf <= lf - 1):
+        return crlf, 4
+    return lf, 2
+
+
 def _parse_record(rec: bytes) -> dict:
     """Parse one uncompressed WARC record → row dict. Tolerates both
-    WARC/1.0 and WARC/1.1, LF or CRLF header lines."""
-    sep = rec.find(b"\r\n\r\n")
+    WARC/1.0 and WARC/1.1, LF or CRLF header lines (splitlines handles
+    either), UTF-8 header values (IRI target urls)."""
+    sep, seplen = _find_blank(rec)
     if sep < 0:
         raise ValueError("WARC record: missing header terminator")
     headers: dict[str, str] = {}
-    lines = rec[:sep].split(b"\r\n")
-    version = lines[0].decode("ascii", "replace").strip()
+    lines = rec[:sep].splitlines()
+    version = lines[0].decode("utf-8", "replace").strip()
     if not version.startswith("WARC/"):
         raise ValueError(f"WARC record: bad version line {version!r}")
     for ln in lines[1:]:
         k, _, v = ln.partition(b":")
-        headers[k.decode("ascii", "replace").strip().lower()] = \
-            v.decode("ascii", "replace").strip()
+        headers[k.decode("utf-8", "replace").strip().lower()] = \
+            v.decode("utf-8", "replace").strip()
     clen = int(headers["content-length"])
-    block = rec[sep + 4:sep + 4 + clen]
+    block = rec[sep + seplen:sep + seplen + clen]
     status, ctype, payload = 0, "", b""
-    if headers.get("warc-type") == "response" and block[:5] == b"HTTP/":
-        hsep = block.find(b"\r\n\r\n")
-        http_lines = block[:hsep].split(b"\r\n")
+    if headers.get("warc-type") == "response" and block[:5] == b"HTTP/" \
+            and _find_blank(block)[0] >= 0:
+        hsep, hlen = _find_blank(block)
+        http_lines = block[:hsep].splitlines()
         parts = http_lines[0].split(b" ", 2)
         status = int(parts[1]) if len(parts) > 1 else 0
         for ln in http_lines[1:]:
             k, _, v = ln.partition(b":")
             if k.strip().lower() == b"content-type":
-                ctype = v.decode("ascii", "replace").strip()
-        payload = block[hsep + 4:]
+                ctype = v.decode("utf-8", "replace").strip()
+        payload = block[hsep + hlen:]
     else:
         payload = block
     return {
@@ -163,32 +184,41 @@ def iter_members(data: bytes) -> Iterator[tuple[int, int, bytes]]:
         pos += consumed
 
 
+def iter_member_records(raw: bytes) -> Iterator[dict]:
+    """Split ONE decompressed gzip member into its WARC records by
+    Content-Length (some writers put many records in a member) and
+    parse each. Shared helper between the full scan and the seek-based
+    fetch, so both agree on the intra-member framing."""
+    pos = 0
+    while pos < len(raw):
+        sep, seplen = _find_blank(raw, pos)
+        if sep < 0:
+            break
+        head = raw[pos:sep]
+        clen = 0
+        for hl in head.splitlines()[1:]:
+            k, _, v = hl.partition(b":")
+            if k.strip().lower() == b"content-length":
+                clen = int(v)
+        end = sep + seplen + clen
+        yield _parse_record(raw[pos:end])
+        pos = end
+        while raw[pos:pos + 2] == b"\r\n" or raw[pos:pos + 1] == b"\n":
+            pos += 2 if raw[pos:pos + 2] == b"\r\n" else 1
+
+
 def parse_warc_gz(data: bytes) -> Iterator[tuple[int, int, dict]]:
     """(offset, length, row) per record of a member-per-record .warc.gz.
     Also accepts a single-member archive holding many records (some
-    writers do that): records are then split by Content-Length and all
-    share the member's offset/length."""
+    writers do that): records are then split by Content-Length and
+    every record carries its MEMBER's (offset, length) — a seek to
+    that offset recovers a gzip member containing the record, and
+    `warc_fetch` disambiguates within the member by (url, ts). No
+    record ever gets a sentinel offset, so the cdx → fetch composition
+    works for both archive layouts."""
     for off, ln, raw in iter_members(data):
-        pos = 0
-        first = True
-        while pos < len(raw):
-            sep = raw.find(b"\r\n\r\n", pos)
-            if sep < 0:
-                break
-            head = raw[pos:sep]
-            clen = 0
-            for hl in head.split(b"\r\n")[1:]:
-                k, _, v = hl.partition(b":")
-                if k.strip().lower() == b"content-length":
-                    clen = int(v)
-            end = sep + 4 + clen
-            rec = raw[pos:end]
-            yield (off if first else -1, ln if first else -1,
-                   _parse_record(rec))
-            first = False
-            pos = end
-            while raw[pos:pos + 2] == b"\r\n":
-                pos += 2
+        for rec in iter_member_records(raw):
+            yield off, ln, rec
 
 
 # -- local (no-Spark) writer: used by the fixture generator and tests --------
@@ -296,19 +326,54 @@ READ_SCHEMA = T.StructType([
 ])
 
 
+#: Archives above this size are quarantined, not parsed: binaryFile
+#: materializes a whole archive in one task, so a rogue multi-GiB file
+#: would OOM the executor. Common Crawl targets ~1 GiB per archive;
+#: 2 GiB leaves headroom while keeping the per-task memory invariant
+#: explicit (the same contract as `max_doc_bytes` for documents).
+MAX_ARCHIVE_BYTES = 2 << 30
+
+#: content_type marking a quarantined-oversize-archive row (typed
+#: error row in the page stream; payload is empty, offsets are -1).
+OVERSIZE_CONTENT_TYPE = "application/x-ek-oversize-archive"
+
+
 def read_warc(spark: SparkSession, path: "str | list[str]",
-              with_index: bool = True) -> DataFrame:
+              with_index: bool = True,
+              max_archive_bytes: int = MAX_ARCHIVE_BYTES) -> DataFrame:
     """Scan .warc.gz files into page rows. `path` is an archive
     directory or an explicit file list (the pipeline's file-group
     resume slices the sorted file list into commit groups, exactly as
     it does for parquet input). One task per file (binaryFile split
     granularity); response records only — warcinfo/request/metadata
     records are skipped, matching how a text pipeline consumes
-    Common Crawl."""
+    Common Crawl.
+
+    Archives larger than `max_archive_bytes` are NOT read (the length
+    predicate is pushed down to the binaryFile listing, so their bytes
+    never reach an executor); each yields one typed quarantine row
+    (content_type=OVERSIZE_CONTENT_TYPE, status=-1, empty payload,
+    record_length=file size) so the skip is visible downstream instead
+    of silent — the extraction pipeline routes it to quarantine like
+    any other unsupported document."""
     src = ([os.path.join(path, "*.warc.gz")]
            if isinstance(path, str) else list(path))
-    files = spark.read.format("binaryFile").load(src) \
+    meta = spark.read.format("binaryFile").load(src)
+    files = meta.where(F.col("length") <= F.lit(max_archive_bytes)) \
         .select("path", "content")
+    oversize = (
+        meta.where(F.col("length") > F.lit(max_archive_bytes))
+        .select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("url"),
+            F.lit(0).cast("long").alias("ts_micros"),
+            F.lit(-1).cast("int").alias("status"),
+            F.lit(OVERSIZE_CONTENT_TYPE).alias("content_type"),
+            F.lit(b"").cast("binary").alias("payload"),
+            F.element_at(F.split(F.col("path"), "/"), -1)
+            .alias("warc_file"),
+            F.lit(-1).cast("long").alias("record_offset"),
+            F.col("length").cast("long").alias("record_length"),
+        ))
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -332,7 +397,8 @@ def read_warc(spark: SparkSession, path: "str | list[str]",
             yield pd.DataFrame(
                 rows, columns=[f.name for f in READ_SCHEMA.fields])
 
-    out = files.mapInPandas(_parse, schema=READ_SCHEMA)
+    out = files.mapInPandas(_parse, schema=READ_SCHEMA) \
+        .unionByName(oversize)
     out = out.withColumn("warc_ts", F.timestamp_micros("ts_micros")) \
              .drop("ts_micros")
     if not with_index:
@@ -357,9 +423,20 @@ def warc_fetch(spark: SparkSession, path: str, cdx: DataFrame) -> DataFrame:
 
     The read is grouped per file inside each task (offsets sorted, one
     open handle), and only the index rows shuffle — payload bytes are
-    born inside the task, never shuffled in."""
-    idx = (cdx.select("url", "warc_file", "record_offset",
-                      "record_length")
+    born inside the task, never shuffled in.
+
+    A member holding several records (single-member archives are a
+    supported read layout) is decompressed once and the requested
+    record is picked by url — plus warc_ts when the cdx frame carries
+    it, which `warc_cdx` output always does — so random access works
+    for both archive layouts, not just member-per-record."""
+    sel = ["url", "warc_file", "record_offset", "record_length"]
+    has_ts = "warc_ts" in cdx.columns
+    cols = [F.col(c) for c in sel]
+    if has_ts:
+        cols.append(F.unix_micros(F.col("warc_ts").cast("timestamp"))
+                    .alias("want_ts"))
+    idx = (cdx.select(*cols)
            .repartition("warc_file")
            .sortWithinPartitions("warc_file", "record_offset"))
 
@@ -367,19 +444,39 @@ def warc_fetch(spark: SparkSession, path: str, cdx: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             handle, cur = None, None
+            member_key, member_recs = None, []
+            want_ts = (pdf["want_ts"].tolist() if has_ts
+                       else [None] * len(pdf))
             try:
-                for url, fname, off, ln in zip(
+                for url, fname, off, ln, wts in zip(
                         pdf["url"].tolist(), pdf["warc_file"].tolist(),
                         pdf["record_offset"].tolist(),
-                        pdf["record_length"].tolist()):
+                        pdf["record_length"].tolist(), want_ts):
+                    if int(off) < 0 or int(ln) < 0:
+                        raise ValueError(
+                            f"warc_fetch: negative record_offset/length "
+                            f"for url={url!r} file={fname!r}: the index "
+                            f"row does not point at a gzip member — "
+                            f"random access needs member offsets as "
+                            f"produced by warc_cdx")
                     if fname != cur:
                         if handle:
                             handle.close()
                         handle = open(os.path.join(path, fname), "rb")
                         cur = fname
-                    handle.seek(int(off))
-                    rec = _parse_record(
-                        gzip.decompress(handle.read(int(ln))))
+                    if (fname, int(off)) != member_key:
+                        handle.seek(int(off))
+                        member_recs = list(iter_member_records(
+                            gzip.decompress(handle.read(int(ln)))))
+                        member_key = (fname, int(off))
+                    hits = [r for r in member_recs if r["url"] == url
+                            and (wts is None
+                                 or r["ts_micros"] == int(wts))]
+                    if not hits:
+                        raise ValueError(
+                            f"warc_fetch: no record for url={url!r} in "
+                            f"member at {fname}:{off} — stale index?")
+                    rec = hits[0]
                     rows.append({"url": rec["url"],
                                  "ts_micros": rec["ts_micros"],
                                  "status": rec["status"],
@@ -403,6 +500,9 @@ def warc_cdx(spark: SparkSession, path: str) -> DataFrame:
     crawl scale this runs once per crawl and is then the lookup table
     for everything else."""
     df = read_warc(spark, path, with_index=True)
+    # oversize-quarantine rows carry no member offset — they are not
+    # records and must not enter the random-access index
+    df = df.where(F.col("record_offset") >= 0)
     return df.select(
         "url", "warc_ts", "warc_file", "record_offset", "record_length",
         F.sha2("payload", 256).alias("digest"),

@@ -1418,3 +1418,24 @@ def test_aes_twin_is_valid_pdf_and_v5_quarantines():
     v5 = re.sub(rb"/V 4 /R 4", b"/V 5 /R 6", enc, count=1)
     with pytest.raises(ExtractError):
         extract_pdf_pages(v5)
+
+
+def test_aesv2_without_toplevel_length_decrypts():
+    """ADVICE r4: /V 4 /CFM /AESV2 with the top-level /Length omitted
+    (key length only implied by the crypt filter) must still derive a
+    16-byte key — AESV2 IS AES-128 by definition — and extract
+    byte-identically, not trip the key-expansion assert."""
+    import re
+
+    from extract_kit_spark.fixtures import gen_page, pdf_encrypt_aes
+    from extract_kit_spark.kernels.pdf_text import extract_pdf_pages
+    pl = next(gen_page(i)["html"] for i in range(300)
+              if gen_page(i)["html"].startswith(b"%PDF-")
+              and b"trailer" in gen_page(i)["html"])
+    plain = extract_pdf_pages(pl)
+    enc = pdf_encrypt_aes(pl)
+    no_len = re.sub(rb"/Length 128 ", b"", enc, count=1)
+    assert no_len != enc
+    # the inner crypt-filter /Length 16 must survive the doctoring
+    assert b"/CFM /AESV2 /AuthEvent /DocOpen /Length 16" in no_len
+    assert extract_pdf_pages(no_len) == plain

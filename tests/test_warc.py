@@ -225,3 +225,146 @@ def test_scan_pipeline_over_warc_matches_parquet(spark, tmp_path):
         str(tmp_path / "out_warc" / "data")).collect()}
     assert len(a) == n
     assert a == b
+
+
+# -- round-5 hardening: ADVICE findings + oversize-archive guard -------------
+
+# hand-built LF-only record (Content-Lengths computed for LF framing,
+# as a genuine text-mode writer would emit them)
+_LF_HTTP = (b"HTTP/1.1 404 OK\n"
+            b"Content-Type: text/plain\n"
+            b"Content-Length: 12\n"
+            b"\n"
+            b"hello\nworld\n")
+_HAND_RECORD_LF = (
+    b"WARC/1.0\n"
+    b"WARC-Type: response\n"
+    b"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-000000000001>\n"
+    b"WARC-Date: 2024-03-05T12:00:07Z\n"
+    b"WARC-Target-URI: https://hand.example/x\n"
+    b"Content-Type: application/http; msgtype=response\n"
+    b"Content-Length: " + str(len(_LF_HTTP)).encode() + b"\n"
+    b"\n" + _LF_HTTP + b"\n\n"
+)
+
+
+def test_reader_parses_lf_only_record():
+    """LF-only framing (text-mode-pipe WARCs) must parse identically
+    to the CRLF original — the docstring's tolerance claim, now real."""
+    rec = warc._parse_record(_HAND_RECORD_LF)
+    ref = warc._parse_record(_HAND_RECORD)
+    assert rec == ref
+
+
+def test_single_member_multi_record_cdx_fetch(spark, tmp_path):
+    """An archive written as ONE gzip member holding many records (an
+    explicitly supported input) must survive the warc_cdx → warc_fetch
+    composition: every record carries its member's offset, and fetch
+    disambiguates within the member by (url, ts)."""
+    rows = _pages_rows(9)
+    buf = b"".join(warc.record_bytes(r["url"], r["ts_micros"],
+                                     r["payload"]) for r in rows)
+    d = tmp_path / "single"
+    d.mkdir()
+    (d / "all.warc.gz").write_bytes(gzip.compress(buf, mtime=0))
+
+    got = {r.url: r for r in warc.read_warc(spark, str(d)).collect()}
+    assert len(got) == 9
+    # all records share the single member's offset — never -1
+    offs = {(r.record_offset, r.record_length) for r in got.values()}
+    assert offs == {(0, os.path.getsize(d / "all.warc.gz"))}
+
+    cdx = warc.warc_cdx(spark, str(d))
+    fetched = warc.warc_fetch(spark, str(d), cdx).collect()
+    assert len(fetched) == 9
+    src = {r["url"]: r["payload"] for r in rows}
+    for f in fetched:
+        assert bytes(f.payload) == src[f.url]
+
+
+def test_fetch_rejects_negative_offsets(spark, tmp_path):
+    """Externally-built index rows with sentinel offsets must fail
+    with a clear message, not an obscure OSError from seek(-1)."""
+    rows = _pages_rows(3)
+    d = tmp_path / "a"
+    warc.write_warc_local(rows, str(d), records_per_file=3)
+    fname = os.listdir(d)[0]
+    bad = spark.createDataFrame(
+        [(rows[0]["url"], fname, -1, -1)],
+        "url string, warc_file string, record_offset long, "
+        "record_length long")
+    import pyspark
+    with pytest.raises(Exception, match="negative record_offset"):
+        warc.warc_fetch(spark, str(d), bad).collect()
+
+
+def test_iri_url_roundtrips():
+    """Non-ASCII (IRI) urls must frame and parse — UTF-8 headers per
+    the warcio convention, not strict ASCII."""
+    url = "https://例え.jp/ünïcode/路径?q=café"
+    rec = warc.record_bytes(url, 123_000_000, b"pay", "text/html")
+    parsed = warc._parse_record(rec)
+    assert parsed["url"] == url
+    assert parsed["payload"] == b"pay"
+    # and through a gzip member
+    back = list(warc.iter_member_records(rec))
+    assert back[0]["url"] == url
+
+
+def test_oversize_archive_quarantined(spark, tmp_path):
+    """Archives above max_archive_bytes yield one typed quarantine row
+    (content never read) instead of OOMing the parse task; normal
+    archives in the same directory still parse fully; the cdx index
+    excludes the quarantine row."""
+    rows = _pages_rows(12)
+    d = tmp_path / "mixed"
+    warc.write_warc_local(rows[:6], str(d), records_per_file=6)
+    small = os.listdir(d)[0]
+    # second archive, made "oversize" by a tiny cap rather than real
+    # GiBs; inflate the payloads so it is strictly bigger than the first
+    big_rows = [dict(r, payload=r["payload"] * 40) for r in rows[6:]]
+    paths = warc.write_warc_local(big_rows, str(d / "x"),
+                                  records_per_file=6)
+    big_name = "zz-big.warc.gz"
+    os.replace(paths[0], d / big_name)
+    cap = os.path.getsize(d / small)  # big file exceeds, small passes
+    assert os.path.getsize(d / big_name) > cap
+
+    out = warc.read_warc(spark, str(d), max_archive_bytes=cap).collect()
+    quarantined = [r for r in out
+                   if r.content_type == warc.OVERSIZE_CONTENT_TYPE]
+    parsed = [r for r in out
+              if r.content_type != warc.OVERSIZE_CONTENT_TYPE]
+    assert len(parsed) == 6
+    assert {r.url for r in parsed} == {r["url"] for r in rows[:6]}
+    assert len(quarantined) == 1
+    q = quarantined[0]
+    assert q.warc_file == big_name
+    assert q.status == -1
+    assert q.record_offset == -1
+    assert q.record_length == os.path.getsize(d / big_name)
+    assert bytes(q.payload) == b""
+
+    cdx = warc.warc_cdx(spark, str(d))
+    # default cap (2 GiB) admits both files; the tiny-cap quarantine row
+    # never enters a cdx built at the same cap
+    from extract_kit_spark.warc import read_warc  # noqa: F401
+    cdx_capped = warc.read_warc(
+        spark, str(d), max_archive_bytes=cap).where(
+        "record_offset >= 0")
+    assert cdx_capped.count() == 6
+    assert cdx.where("record_offset < 0").count() == 0
+
+
+def test_scan_pipeline_finds_nested_archives(spark, tmp_path):
+    """run_extraction_scan must use the same recursive glob as the
+    CLI's input validation: a directory whose archives live only in
+    nested subdirectories passes validation AND extracts rows."""
+    from extract_kit_spark import pipeline
+    rows = _pages_rows(10)
+    nested = tmp_path / "crawl" / "segment=0" / "part-a"
+    warc.write_warc_local(rows, str(nested), records_per_file=5)
+    stats = pipeline.run_extraction_scan(
+        spark, str(tmp_path / "crawl"), str(tmp_path / "out"),
+        n_groups=2, input_format="warc")
+    assert stats["n_rows"] == 10
