@@ -37,6 +37,7 @@ HREF_RE = '<a href="https://([a-z0-9.-]+)/'
 SCALE = 10**12
 N_ITER = 8
 DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85 as an exact ratio
+N_SALTS = 16  # contrib-sum salt width (see pagerank docstring)
 
 
 def outlink_edges(pages: DataFrame) -> DataFrame:
@@ -63,7 +64,15 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER,
 
     Every operation is int64; overflow headroom: ranks ≤ scale=1e12,
     85*Σ ≤ 8.5e13 ≪ 2^63. N (node count) is a one-scalar bounded
-    collect. Returns (node, rank)."""
+    collect. Returns (node, rank).
+
+    Skew: the per-round contribution sum is a SALTED two-phase
+    aggregation (partial per (node, salt-of-src), final per node —
+    the ops/webstats.domain_stats_salted pattern), so a mega-in-degree
+    domain (a link farm's target, a CDN every site links) cannot pin
+    one reducer across all n_iter rounds. Salting an int64 SUM is
+    result-invariant — addition is associative/commutative and exact —
+    so the DuckDB oracle is unchanged digit for digit."""
     spark = edges.sparkSession
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
@@ -82,9 +91,13 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER,
     for _ in range(n_iter):
         contrib = (ew.join(ranks, ew["src"] == ranks["node"])
                    .select(F.col("dst").alias("node"),
+                           F.pmod(F.xxhash64(ew["src"]),
+                                  F.lit(N_SALTS)).alias("salt"),
                            F.expr("(rank * n) div w").alias("c"))
+                   .groupBy("node", "salt")
+                   .agg(F.sum("c").alias("ps"))
                    .groupBy("node")
-                   .agg(F.sum("c").alias("s")))
+                   .agg(F.sum("ps").alias("s")))
         ranks = (nodes.join(contrib, "node", "left")
                  .select("node",
                          (F.lit(base) + F.expr(

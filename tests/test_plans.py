@@ -416,3 +416,41 @@ def test_dup_spans_jvm_only_skinny_shuffles(spark):
     plan = _plan(QUERIES["ts_dup_spans"](spark, SF_DIR))
     assert "InPandas" not in plan and "EvalPython" not in plan
     assert "Window" in plan
+
+
+def test_pagerank_contrib_sum_is_salted_two_phase(spark):
+    """Each PageRank round's contribution sum must be the salted
+    two-phase shape (partial per (node, salt), final per node): the
+    plan shows an exchange hash-partitioned on (node, salt) feeding
+    the final hashpartitioning(node) exchange, so a mega-in-degree
+    domain spreads over N_SALTS reducers instead of pinning one."""
+    from pyspark.sql import functions as F
+    from extract_kit_spark.ops import webgraph
+
+    edges = spark.createDataFrame(
+        [("a.com", "hub.com", 3), ("b.com", "hub.com", 1),
+         ("hub.com", "a.com", 2)], "src string, dst string, n long")
+    # one un-checkpointed round, same expressions as pagerank()
+    deg = edges.groupBy("src").agg(F.sum("n").alias("w"))
+    ew = edges.join(deg, "src")
+    ranks = (edges.select(F.col("src").alias("node")).distinct()
+             .withColumn("rank", F.lit(10**9).cast("long")))
+    contrib = (ew.join(ranks, ew["src"] == ranks["node"])
+               .select(F.col("dst").alias("node"),
+                       F.pmod(F.xxhash64(ew["src"]),
+                              F.lit(webgraph.N_SALTS)).alias("salt"),
+                       F.expr("(rank * n) div w").alias("c"))
+               .groupBy("node", "salt")
+               .agg(F.sum("c").alias("ps"))
+               .groupBy("node")
+               .agg(F.sum("ps").alias("s")))
+    plan = _plan(contrib)
+    import re
+    assert re.search(r"hashpartitioning\(node[^)]*salt", plan), plan
+    # and results are identical to the production loop's oracle shape:
+    got = {r.node: r.s for r in contrib.collect()}
+    unsalted = (ew.join(ranks, ew["src"] == ranks["node"])
+                .select(F.col("dst").alias("node"),
+                        F.expr("(rank * n) div w").alias("c"))
+                .groupBy("node").agg(F.sum("c").alias("s")))
+    assert got == {r.node: r.s for r in unsalted.collect()}
