@@ -1765,6 +1765,34 @@ def gen_robots_row(d_idx: int, seed: int = SEED) -> dict:
     # left all previously-generated rules byte-identical
     if rng.random() < 0.5:
         lines.append(f"Crawl-delay: {rng.randint(1, 9)}")
+    # r5 (RFC 9309 semantics) — again drawn strictly AFTER all prior
+    # draws, so every r4 rule above is byte-identical. Page paths are
+    # '/{w1}-{w2}-{w3}-{8 digits}', so these patterns genuinely hit:
+    # wildcard rules in the '*' group…
+    if rng.random() < 0.5:
+        w = rng.choice(WORDS)
+        lines.append(f"Disallow: /*-{w}-")  # w as a NON-first word
+        if rng.random() < 0.6:
+            # longer wildcard Allow that must win by pattern length
+            lines.append(f"Allow: /*-{w}-{rng.choice(WORDS)}-")
+    if rng.random() < 0.3:
+        lines.append(f"Disallow: /*{rng.randint(0, 9)}$")  # $-anchored
+    # …a named group for this engine's token (overrides '*' entirely
+    # for ~25% of domains), sometimes STACKED with another token…
+    if rng.random() < 0.25:
+        lines.append("")
+        if rng.random() < 0.5:
+            lines.append("User-agent: otherbot")  # stacked header
+        lines.append("User-agent: EkBot")  # case-insensitive match
+        for _ in range(rng.randint(1, 2)):
+            lines.append(f"Disallow: /{rng.choice(WORDS)}")
+        if rng.random() < 0.5:
+            lines.append(f"Allow: /*-{rng.choice(WORDS)}-")
+        if rng.random() < 0.4:
+            lines.append(f"Crawl-delay: {rng.randint(1, 4)}")
+    # …and a decoy group for some OTHER crawler that must be ignored
+    if rng.random() < 0.2:
+        lines += ["", "User-agent: megabot", "Disallow: /"]
     return {"domain": domain, "robots_txt": "\n".join(lines) + "\n"}
 
 

@@ -202,64 +202,151 @@ def canonical_collapse(df: DataFrame, url_col: str = "url",
                  F.min("url").alias("kept_url")))
 
 
-# -- robots.txt: parse + longest-match gate (r4) -------------------------------
+# -- robots.txt: RFC 9309 parse + wildcard longest-match gate ------------------
 # Crawl compliance is a pre-extraction pass: parse each domain's
-# robots.txt once, then gate the page table against the rules. The
-# evaluation follows the Googlebot convention: the MOST SPECIFIC
-# (longest) matching path rule wins, Allow winning length ties; a url
-# with no matching rule (or no robots.txt at all) is allowed.
-# Simplification, documented: stacked consecutive User-agent lines
-# sharing one group are not merged — the forward-fill keeps the last
-# one (the fixture never stacks; a real deployment would pre-split
-# groups).
+# robots.txt once, then gate the page table against the rules.
+# (r5) Full RFC 9309 semantics, replacing the r4 prefix-only/'*'-only
+# simplification:
+#  * GROUPS: one or more STACKED User-agent lines head a group; the
+#    first UA line after any rule line starts a new group; every rule
+#    binds to all of its group's UA tokens. Rules before any UA line
+#    are ignored (no group).
+#  * SELECTION: groups naming the crawler's product token (exact,
+#    case-insensitive — default ROBOTS_UA_TOKEN) are selected and
+#    merged; ONLY when a domain has no such group do its '*' groups
+#    apply (fallback, never merged with specific groups — §2.2.1).
+#  * MATCHING: '*' in a rule path matches any octet run, a trailing
+#    '$' anchors the end, otherwise the rule is a prefix (§2.2.2).
+#    The matching rule with the LONGEST raw pattern wins; Allow wins
+#    length ties; no matching rule (or no robots.txt) = allowed
+#    (§2.2.2 "most specific match").
+
+ROBOTS_UA_TOKEN = "ekbot"  # this engine's product token
 
 _ROBOTS_UA_RE = r"(?i)^user-agent:\s*(\S+)"
 _ROBOTS_RULE_RE = r"(?i)^(allow|disallow):\s*(\S*)"
+_ROBOTS_DELAY_RE = r"(?i)^crawl-delay:\s*(\d+)"
+# any directive line terminates a stacked-UA header block
+_ROBOTS_DIRECTIVE_RE = r"(?i)^(allow|disallow|crawl-delay|sitemap):"
+
+# regex metacharacters escaped when a rule path becomes a pattern;
+# '*' is deliberately absent (it becomes '.*' afterwards). Order
+# matters only for '\\', which must be escaped first.
+_RX_META = ["\\", ".", "^", "$", "+", "?", "(", ")", "[", "]",
+            "{", "}", "|"]
 
 
-def robots_rules(robots: DataFrame, domain_col: str = "domain",
-                 txt_col: str = "robots_txt") -> DataFrame:
-    """robots.txt text → (domain, rule ∈ {allow,disallow}, path) rows
-    for the '*' user-agent group. Pure plan-side: posexplode the
-    lines, forward-fill the current User-agent with a
-    last(ignorenulls) window keyed on line position, keep rule lines
-    of the '*' group with non-empty paths (an empty 'Disallow:' is a
-    no-op per the spec). Robots files are tiny — the window runs over
-    a per-domain handful of rows."""
+def rule_pattern_regex(path: Column) -> Column:
+    """RFC 9309 rule path → anchored regex, as a pure column
+    expression: a trailing '$' anchors, '*' matches any run, every
+    other regex metacharacter is escaped, and the whole pattern is
+    start-anchored (rules always match from the path's first byte).
+    The DuckDB oracle mirrors this literal replace chain
+    (queries._sql_rule_rx), so both engines compile identical
+    patterns."""
+    anchored = path.endswith("$")
+    body = F.when(anchored,
+                  path.substr(F.lit(1), F.length(path) - 1)) \
+        .otherwise(path)
+    for ch in _RX_META:
+        body = F.replace(body, F.lit(ch), F.lit("\\" + ch))
+    body = F.replace(body, F.lit("*"), F.lit(".*"))
+    return F.concat(F.lit("^"), body,
+                    F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+
+
+def _robots_parsed(robots: DataFrame, domain_col: str,
+                   txt_col: str) -> DataFrame:
+    """Lines → (domain, pos, ua, rule, path, delay, hdr): posexplode,
+    per-line directive extracts, and the RFC group id `hdr` — the
+    count of directive lines strictly BEFORE the line, so stacked UA
+    lines share one id and the first UA line after a rule starts a
+    fresh group — forward-filled from UA lines onto their rules.
+    Robots files are tiny; the windows run over a per-domain handful
+    of rows."""
     lines = robots.select(
         F.col(domain_col).alias("domain"),
         F.posexplode(F.split(F.col(txt_col), "\n"))
         .alias("pos", "line"))
-    ua = F.when(F.col("line").rlike(_ROBOTS_UA_RE),
-                F.regexp_extract("line", _ROBOTS_UA_RE, 1))
     parsed = lines.select(
-        "domain", "pos", ua.alias("ua"),
+        "domain", "pos",
+        F.when(F.col("line").rlike(_ROBOTS_UA_RE),
+               F.lower(F.regexp_extract("line", _ROBOTS_UA_RE, 1)))
+        .alias("ua"),
         F.lower(F.regexp_extract("line", _ROBOTS_RULE_RE, 1))
         .alias("rule"),
-        F.regexp_extract("line", _ROBOTS_RULE_RE, 2).alias("path"))
-    w = (Window.partitionBy("domain").orderBy("pos")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        F.regexp_extract("line", _ROBOTS_RULE_RE, 2).alias("path"),
+        F.nullif(F.regexp_extract("line", _ROBOTS_DELAY_RE, 1),
+                 F.lit("")).alias("delay"),
+        F.col("line").rlike(_ROBOTS_DIRECTIVE_RE).cast("int")
+        .alias("is_rule"))
+    w_before = (Window.partitionBy("domain").orderBy("pos")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    w_fill = (Window.partitionBy("domain").orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding,
+                           Window.currentRow))
     return (parsed
-            .withColumn("cur_ua", F.last("ua", ignorenulls=True).over(w))
-            .where((F.col("cur_ua") == "*") & (F.col("rule") != "")
-                   & (F.col("path") != ""))
+            .withColumn("nrb", F.coalesce(
+                F.sum("is_rule").over(w_before), F.lit(0)))
+            .withColumn("hdr", F.last(
+                F.when(F.col("ua").isNotNull(), F.col("nrb")),
+                ignorenulls=True).over(w_fill)))
+
+
+def _selected_groups(parsed: DataFrame, ua_token: str) -> DataFrame:
+    """(domain, hdr) of the groups RFC 9309 §2.2.1 selects for
+    `ua_token`: all groups naming the token, else the domain's '*'
+    groups."""
+    hdrs = (parsed.where(F.col("ua").isNotNull())
+            .select("domain", "hdr", F.col("ua").alias("tok")))
+    specific = (hdrs.where(F.col("tok") == ua_token.lower())
+                .select("domain", "hdr").distinct())
+    star = (hdrs.where(F.col("tok") == "*")
+            .select("domain", "hdr").distinct())
+    fallback = star.join(specific.select("domain").distinct(),
+                         "domain", "left_anti")
+    return specific.unionByName(fallback)
+
+
+def robots_rules(robots: DataFrame, domain_col: str = "domain",
+                 txt_col: str = "robots_txt",
+                 ua_token: str = ROBOTS_UA_TOKEN) -> DataFrame:
+    """robots.txt text → (domain, rule ∈ {allow,disallow}, path) rows
+    of the groups selected for `ua_token` (exact token match,
+    fallback to '*'). Empty-path rules ('Disallow:') are no-ops per
+    the spec. Pure plan-side over tiny per-domain frames."""
+    parsed = _robots_parsed(robots, domain_col, txt_col)
+    sel = _selected_groups(parsed, ua_token)
+    return (parsed
+            .where((F.col("rule") != "") & (F.col("path") != ""))
+            .join(sel, ["domain", "hdr"])
             .select("domain", "rule", "path"))
 
 
 def robots_gate(pages: DataFrame, robots: DataFrame,
-                url_col: str = "url") -> DataFrame:
-    """Evaluate every page url against its domain's parsed rules.
+                url_col: str = "url",
+                ua_token: str = ROBOTS_UA_TOKEN) -> DataFrame:
+    """Evaluate every page url against its domain's selected rules
+    with full RFC 9309 matching ('*' wildcards, '$' anchor,
+    longest-raw-pattern wins, Allow wins ties).
 
     Scale shape: rules collapse to ONE row per domain carrying
-    (allows[], disallows[]) arrays — a broadcast-sized dim — so the
-    pages side is a single BroadcastHashJoin + map-side higher-order
-    functions (filter/transform/array_max): ZERO exchange on the big
-    table, and only (url, domain, path) is ever projected."""
-    per_domain = (robots_rules(robots).groupBy("domain").agg(
+    arrays of (regex, pattern-length) structs — a broadcast-sized dim
+    (patterns are compiled from rule paths at parse time, once per
+    RULE, not per page) — so the pages side is a single
+    BroadcastHashJoin + map-side higher-order functions
+    (filter/transform/array_max): ZERO exchange on the big table, and
+    only (url, domain, path) is ever projected."""
+    enriched = robots_rules(robots, ua_token=ua_token).select(
+        "domain", "rule",
+        rule_pattern_regex(F.col("path")).alias("re"),
+        F.length("path").cast("int").alias("plen"))
+    per_domain = enriched.groupBy("domain").agg(
         F.collect_list(F.when(F.col("rule") == "allow",
-                              F.col("path"))).alias("allows"),
+                              F.struct("re", "plen"))).alias("allows"),
         F.collect_list(F.when(F.col("rule") == "disallow",
-                              F.col("path"))).alias("disallows")))
+                              F.struct("re", "plen")))
+        .alias("disallows"))
     p = pages.select(
         F.col(url_col).alias("url"),
         F.regexp_extract(url_col, r"https://([a-z0-9.-]+)", 1)
@@ -272,7 +359,7 @@ def robots_gate(pages: DataFrame, robots: DataFrame,
     def longest(arr: str) -> F.Column:
         return F.expr(
             f"coalesce(array_max(transform(filter({arr}, "
-            f"r -> startswith(path, r)), r -> length(r))), 0)")
+            f"r -> path rlike r.re), r -> r.plen)), 0)")
 
     return (j.withColumn("allow_len", longest("allows").cast("int"))
             .withColumn("disallow_len", longest("disallows").cast("int"))
@@ -282,28 +369,17 @@ def robots_gate(pages: DataFrame, robots: DataFrame,
                     "allow_len", "disallow_len"))
 
 
-_ROBOTS_DELAY_RE = r"(?i)^crawl-delay:\s*(\d+)"
-
-
 def robots_crawl_delays(robots: DataFrame, domain_col: str = "domain",
-                        txt_col: str = "robots_txt") -> DataFrame:
-    """(domain, delay_s) from each '*' group's Crawl-delay line (first
-    one wins if repeated). Same forward-fill parse as robots_rules."""
-    lines = robots.select(
-        F.col(domain_col).alias("domain"),
-        F.posexplode(F.split(F.col(txt_col), "\n"))
-        .alias("pos", "line"))
-    ua = F.when(F.col("line").rlike(_ROBOTS_UA_RE),
-                F.regexp_extract("line", _ROBOTS_UA_RE, 1))
-    w = (Window.partitionBy("domain").orderBy("pos")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (lines
-            .select("domain", "pos", ua.alias("ua"),
-                    F.nullif(F.regexp_extract("line", _ROBOTS_DELAY_RE,
-                                              1), F.lit(""))
-                    .alias("delay"))
-            .withColumn("cur_ua", F.last("ua", ignorenulls=True).over(w))
-            .where((F.col("cur_ua") == "*") & F.col("delay").isNotNull())
+                        txt_col: str = "robots_txt",
+                        ua_token: str = ROBOTS_UA_TOKEN) -> DataFrame:
+    """(domain, delay_s) from the selected groups' Crawl-delay lines
+    (first in file order wins if repeated) — same RFC group selection
+    as robots_rules."""
+    parsed = _robots_parsed(robots, domain_col, txt_col)
+    sel = _selected_groups(parsed, ua_token)
+    return (parsed
+            .where(F.col("delay").isNotNull())
+            .join(sel, ["domain", "hdr"])
             .groupBy("domain")
             .agg(F.min_by("delay", "pos").cast("long").alias("delay_s")))
 

@@ -111,7 +111,9 @@ def ensure_meta_pages(path: str = META_PAGES_PATH,
 
 # -- robots.txt fixture (r4): one deterministic robots.txt per corpus
 # domain (fixtures.gen_robots_row) ----------------------------------
-ROBOTS_PATH = "/tmp/ekspark_robots_v2.parquet"  # v2: +Crawl-delay lines
+# v3: +RFC 9309 cases — wildcard/'$' rules, named-'EkBot' groups,
+# stacked UA headers, decoy groups for other crawlers
+ROBOTS_PATH = "/tmp/ekspark_robots_v3.parquet"
 
 
 def ensure_robots(path: str = ROBOTS_PATH) -> str:
@@ -2748,13 +2750,19 @@ GROUP BY canonical
 # -- robots.txt parse + gate (r4) ------------------------------------------------
 
 def q_web_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """robots.txt parser (weburl.robots_rules): '*'-group
-    Allow/Disallow rules via posexplode + forward-fill window — all
-    plan-side."""
+    """robots.txt parser (weburl.robots_rules): RFC 9309 group
+    formation (stacked UA headers, directive-terminated blocks) and
+    group selection (named 'ekbot' groups override '*') via
+    posexplode + window forward-fill — all plan-side."""
     ensure_robots()
     return weburl.robots_rules(spark.read.parquet(ROBOTS_PATH))
 
 
+# RFC 9309 parse, the DuckDB twin of weburl._robots_parsed /
+# _selected_groups / robots_rules: group ids from the count of
+# directive lines strictly before each line (stacked UA headers share
+# one id), UA ids forward-filled onto rules, groups naming 'ekbot'
+# selected with fallback to '*' (never merged).
 _ROBOTS_PARSE_CTES = f"""
 l AS (SELECT domain,
              unnest(split(robots_txt, chr(10))) AS line,
@@ -2762,26 +2770,73 @@ l AS (SELECT domain,
       FROM read_parquet('{ROBOTS_PATH}')),
 pr AS (SELECT domain, pos,
          CASE WHEN regexp_matches(line, '(?i)^user-agent:')
-              THEN regexp_extract(line,
-                   '(?i)^user-agent:\\s*(\\S+)', 1) END AS ua,
+              THEN lower(regexp_extract(line,
+                   '(?i)^user-agent:\\s*(\\S+)', 1)) END AS ua,
          lower(regexp_extract(line,
                '(?i)^(allow|disallow):\\s*(\\S*)', 1)) AS rule,
          regexp_extract(line,
                '(?i)^(allow|disallow):\\s*(\\S*)', 2) AS path,
          regexp_extract(line,
-               '(?i)^crawl-delay:\\s*(\\d+)', 1) AS delay
+               '(?i)^crawl-delay:\\s*(\\d+)', 1) AS delay,
+         CASE WHEN regexp_matches(line,
+              '(?i)^(allow|disallow|crawl-delay|sitemap):')
+              THEN 1 ELSE 0 END AS is_rule
        FROM l),
-ff AS (SELECT *, last_value(ua IGNORE NULLS) OVER (
+nb AS (SELECT *, coalesce(sum(is_rule) OVER (
            PARTITION BY domain ORDER BY pos
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur_ua
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nrb
        FROM pr),
-rules AS (SELECT domain, rule, path FROM ff
-          WHERE cur_ua = '*' AND rule != '' AND path != '')
+ff AS (SELECT *, last_value(CASE WHEN ua IS NOT NULL THEN nrb END
+           IGNORE NULLS) OVER (
+           PARTITION BY domain ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hdr
+       FROM nb),
+hdrs AS (SELECT DISTINCT domain, hdr, ua FROM ff
+         WHERE ua IS NOT NULL),
+spec AS (SELECT DISTINCT domain, hdr FROM hdrs WHERE ua = 'ekbot'),
+sel AS (SELECT * FROM spec
+        UNION
+        SELECT DISTINCT domain, hdr FROM hdrs
+        WHERE ua = '*'
+          AND domain NOT IN (SELECT domain FROM spec)),
+rules AS (SELECT f.domain, f.rule, f.path
+          FROM ff f JOIN sel ON f.domain = sel.domain
+                            AND f.hdr = sel.hdr
+          WHERE f.rule != '' AND f.path != '')
 """
 
 _ORACLE_ROBOTS_RULES = f"""
 WITH {_ROBOTS_PARSE_CTES}
 SELECT domain, rule, path FROM rules
+"""
+
+
+def _sql_rule_rx(col: str) -> str:
+    """DuckDB expression compiling a robots rule path to the SAME
+    regex weburl.rule_pattern_regex builds plan-side: trailing '$'
+    anchors, metacharacters escaped via the identical replace chain,
+    '*' → '.*', start-anchored."""
+    anchored = f"ends_with({col}, '$')"
+    e = (f"CASE WHEN {anchored} THEN "
+         f"substring({col}, 1, length({col}) - 1) ELSE {col} END")
+    for ch in weburl._RX_META:
+        e = f"replace({e}, '{ch}', '\\{ch}')"
+    e = f"replace({e}, '*', '.*')"
+    return f"'^' || {e} || CASE WHEN {anchored} THEN '$' ELSE '' END"
+
+
+# rule → (regex, raw-pattern length) structs, grouped per domain — the
+# dim the gate broadcasts; shared by the gate and crawl-plan oracles
+_ROBOTS_RX_CTES = f"""
+rx AS (SELECT domain, rule, {_sql_rule_rx('path')} AS re,
+              length(path)::INTEGER AS plen
+       FROM rules),
+agg AS (SELECT domain,
+          list(struct_pack(re := re, plen := plen))
+              FILTER (WHERE rule = 'allow') AS allows,
+          list(struct_pack(re := re, plen := plen))
+              FILTER (WHERE rule = 'disallow') AS disallows
+        FROM rx GROUP BY domain)
 """
 
 
@@ -2801,9 +2856,12 @@ def q_web_politeness_schedule(spark: SparkSession,
 
 _ORACLE_POLITENESS = f"""
 WITH {_ROBOTS_PARSE_CTES},
-dl AS (SELECT domain, min_by(delay, pos)::BIGINT AS delay_s
-       FROM ff WHERE cur_ua = '*' AND delay != ''
-       GROUP BY domain),
+dl AS (SELECT f.domain AS domain,
+              min_by(f.delay, f.pos)::BIGINT AS delay_s
+       FROM ff f JOIN sel ON f.domain = sel.domain
+                         AND f.hdr = sel.hdr
+       WHERE f.delay != ''
+       GROUP BY f.domain),
 pg AS (SELECT url, warc_ts,
          regexp_extract(url, 'https://([a-z0-9.-]+)', 1) AS domain
        FROM read_parquet('{PAGES_GLOB}')),
@@ -2819,8 +2877,9 @@ FROM sq
 
 
 def q_web_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Longest-match robots gate (weburl.robots_gate): per-domain rule
-    arrays broadcast onto the pages scan, evaluated map-side with
+    """RFC 9309 robots gate (weburl.robots_gate): wildcard/'$' rule
+    patterns compiled once per rule, per-domain (regex, length) arrays
+    broadcast onto the pages scan, evaluated map-side with
     higher-order functions — zero exchange on the page table."""
     ensure_pages()
     ensure_robots()
@@ -2831,10 +2890,7 @@ def q_web_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_ROBOTS_GATE = f"""
 WITH {_ROBOTS_PARSE_CTES},
-agg AS (SELECT domain,
-          list(path) FILTER (WHERE rule = 'allow') AS allows,
-          list(path) FILTER (WHERE rule = 'disallow') AS disallows
-        FROM rules GROUP BY domain),
+{_ROBOTS_RX_CTES},
 pg AS (SELECT url,
          regexp_extract(url, 'https://([a-z0-9.-]+)', 1) AS domain,
          coalesce(nullif(regexp_extract(
@@ -2842,11 +2898,11 @@ pg AS (SELECT url,
        FROM read_parquet('{PAGES_GLOB}')),
 ev AS (SELECT url, pg.domain AS domain,
          coalesce(list_max(list_transform(list_filter(
-             allows, r -> starts_with(path, r)),
-             r -> length(r))), 0)::INTEGER AS allow_len,
+             allows, r -> regexp_matches(path, r.re)),
+             r -> r.plen)), 0)::INTEGER AS allow_len,
          coalesce(list_max(list_transform(list_filter(
-             disallows, r -> starts_with(path, r)),
-             r -> length(r))), 0)::INTEGER AS disallow_len
+             disallows, r -> regexp_matches(path, r.re)),
+             r -> r.plen)), 0)::INTEGER AS disallow_len
        FROM pg LEFT JOIN agg ON pg.domain = agg.domain)
 SELECT url, domain, allow_len >= disallow_len AS allowed,
        allow_len, disallow_len
@@ -2921,13 +2977,13 @@ def q_web_crawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_CRAWL_PLAN = f"""
 WITH {_ROBOTS_PARSE_CTES},
-agg AS (SELECT domain,
-          list(path) FILTER (WHERE rule = 'allow') AS allows,
-          list(path) FILTER (WHERE rule = 'disallow') AS disallows
-        FROM rules GROUP BY domain),
-dl AS (SELECT domain, min_by(delay, pos)::BIGINT AS delay_s
-       FROM ff WHERE cur_ua = '*' AND delay != ''
-       GROUP BY domain),
+{_ROBOTS_RX_CTES},
+dl AS (SELECT f.domain AS domain,
+              min_by(f.delay, f.pos)::BIGINT AS delay_s
+       FROM ff f JOIN sel ON f.domain = sel.domain
+                         AND f.hdr = sel.hdr
+       WHERE f.delay != ''
+       GROUP BY f.domain),
 s AS (SELECT domain,
         unnest(regexp_extract_all(
             sitemap_xml, '<loc>([^<]+)</loc>', 1)) AS loc,
@@ -2947,11 +3003,11 @@ ev AS (SELECT fr.*,
        FROM fr),
 alw AS (SELECT ev.* FROM ev LEFT JOIN agg ON ev.domain = agg.domain
         WHERE coalesce(list_max(list_transform(list_filter(
-                  allows, r -> starts_with(path, r)),
-                  r -> length(r))), 0)
+                  allows, r -> regexp_matches(path, r.re)),
+                  r -> r.plen)), 0)
               >= coalesce(list_max(list_transform(list_filter(
-                  disallows, r -> starts_with(path, r)),
-                  r -> length(r))), 0)),
+                  disallows, r -> regexp_matches(path, r.re)),
+                  r -> r.plen)), 0)),
 sq AS (SELECT url, alw.domain AS domain, reason,
          (row_number() OVER (PARTITION BY alw.domain
               ORDER BY lastmod::TIMESTAMP, url) - 1)::BIGINT AS seq,

@@ -1305,3 +1305,110 @@ def test_dup_span_hash_key_path_identical(spark):
     for d, (ng, ct) in got.items():
         assert want[d] == (ng, ct)
     assert sum(1 for v in want.values() if v[0] > 0) == len(got)
+
+
+def test_robots_rfc9309_semantics(spark):
+    """Hand-pinned RFC 9309 cases (independent of the fixture corpus
+    and the DuckDB oracle, which are updated in lockstep and could in
+    principle agree on a shared mistake):
+    wildcard '*', '$' end anchor, longest-raw-pattern-wins with Allow
+    winning ties, named-group selection overriding '*' entirely,
+    stacked User-agent headers, headerless rules ignored, and
+    case-insensitive token match."""
+    from pyspark.sql import functions as F
+    from extract_kit_spark.ops import weburl
+
+    robots = spark.createDataFrame([
+        # d1: wildcard + anchor + longest-match interplay in '*'
+        ("d1.com",
+         "Disallow: /nohdr\n"            # before any UA line: ignored
+         "User-agent: *\n"
+         "Disallow: /*-x-\n"             # blocks any path with -x-
+         "Allow: /*-x-ok\n"              # longer: re-allows -x-ok
+         "Disallow: /end7$\n"),          # anchored
+        # d2: named group (mixed case) overrides '*' entirely; the
+        # stacked header binds the rules to both tokens
+        ("d2.com",
+         "User-agent: *\n"
+         "Disallow: /\n"                 # '*' would block everything
+         "\n"
+         "User-agent: otherbot\n"
+         "User-agent: EKBOT\n"           # case-insensitive
+         "Disallow: /private\n"
+         "Crawl-delay: 4\n"),
+        # d3: '*' fallback when no named group
+        ("d3.com",
+         "User-agent: megabot\n"
+         "Disallow: /\n"
+         "User-agent: *\n"
+         "Disallow: /blocked\n"
+         "Crawl-delay: 7\n"),
+    ], "domain string, robots_txt string")
+
+    pages = spark.createDataFrame([
+        ("https://d1.com/a-x-b",),       # wildcard disallow hits
+        ("https://d1.com/a-x-ok-b",),    # longer wildcard allow wins
+        ("https://d1.com/end7",),        # anchored disallow hits
+        ("https://d1.com/end72",),       # anchor must NOT match
+        ("https://d1.com/nohdr-page",),  # headerless rule ignored
+        ("https://d2.com/anything",),    # '*' group must be ignored
+        ("https://d2.com/private/x",),   # ekbot group disallow
+        ("https://d3.com/blocked/x",),   # fallback '*' applies
+        ("https://d3.com/fine",),
+        ("https://unknown.com/x",),      # no robots.txt: allowed
+    ], "url string")
+
+    got = {r.url: r.allowed
+           for r in weburl.robots_gate(pages, robots).collect()}
+    assert got == {
+        "https://d1.com/a-x-b": False,
+        "https://d1.com/a-x-ok-b": True,
+        "https://d1.com/end7": False,
+        "https://d1.com/end72": True,
+        "https://d1.com/nohdr-page": True,
+        "https://d2.com/anything": True,
+        "https://d2.com/private/x": False,
+        "https://d3.com/blocked/x": False,
+        "https://d3.com/fine": True,
+        "https://unknown.com/x": True,
+    }
+
+    # selected rules: d2 must carry ONLY the ekbot group's rule
+    rules = {(r.domain, r.rule, r.path)
+             for r in weburl.robots_rules(robots).collect()}
+    assert ("d2.com", "disallow", "/private") in rules
+    assert ("d2.com", "disallow", "/") not in rules
+    assert ("d1.com", "disallow", "/nohdr") not in rules
+    assert ("d3.com", "disallow", "/blocked") in rules
+    assert ("d3.com", "disallow", "/") not in rules  # megabot decoy
+
+    # crawl-delay honors group selection too
+    delays = {r.domain: r.delay_s
+              for r in weburl.robots_crawl_delays(robots).collect()}
+    assert delays == {"d2.com": 4, "d3.com": 7}
+
+    # a different token selects differently: megabot sees its group
+    mb = {r.url: r.allowed for r in weburl.robots_gate(
+        pages, robots, ua_token="megabot").collect()
+        if r.url.startswith("https://d3")}
+    assert mb == {"https://d3.com/blocked/x": False,
+                  "https://d3.com/fine": False}
+
+
+def test_rule_pattern_regex_shapes(spark):
+    """The pattern compiler: metacharacters in rule paths are inert,
+    '*' and trailing '$' are the only specials."""
+    from pyspark.sql import functions as F
+    from extract_kit_spark.ops.weburl import rule_pattern_regex
+    rows = spark.createDataFrame(
+        [("/a.b(c)+[d]{e}|f^g?h",), ("/p*q$",), ("/plain",),
+         ("/mid$dollar",)],
+        "path string").select(
+        "path", rule_pattern_regex(F.col("path")).alias("re")).collect()
+    got = {r.path: r.re for r in rows}
+    assert got["/plain"] == "^/plain"
+    assert got["/p*q$"] == "^/p.*q$"
+    # mid-string '$' is a literal (escaped), not an anchor
+    assert got["/mid$dollar"] == "^/mid\\$dollar"
+    esc = got["/a.b(c)+[d]{e}|f^g?h"]
+    assert esc == ("^/a\\.b\\(c\\)\\+\\[d\\]\\{e\\}\\|f\\^g\\?h")
