@@ -51,6 +51,20 @@ def deterministic_split(df: DataFrame, key_col: str = "doc_id",
             .withColumn("split", expr))
 
 
+def strip_stage(df: DataFrame, id_col: str, text_col: str,
+                dup_span_n: int, dup_span_min_df: int) -> DataFrame:
+    """Optional pre-gate stage shared by curate/curate_near:
+    cross-document duplicated spans are DELETED from the text
+    (textstats.dup_span_strip — RefinedWeb-style exact-substring
+    dedup) before any quality signal is computed, so length/token
+    gates judge the post-strip document, and whole-doc fingerprints
+    see boilerplate-free text."""
+    from .textstats import dup_span_strip
+    return (dup_span_strip(df, n=dup_span_n, min_df=dup_span_min_df,
+                           id_col=id_col, text_col=text_col)
+            .select(F.col(id_col), F.col("text").alias(text_col)))
+
+
 def curate_near(df: DataFrame, min_quality: float = 0.5,
                 langs: tuple[str, ...] = ("en",),
                 id_col: str = "doc_id", text_col: str = "text",
@@ -58,7 +72,10 @@ def curate_near(df: DataFrame, min_quality: float = 0.5,
                 jaccard_threshold: float = 0.8, shingle_n: int = 3,
                 max_df: int | None = None,
                 cc_stats_out: dict | None = None,
-                cc_small_graph_edges: int = 1_000_000) -> DataFrame:
+                cc_small_graph_edges: int = 1_000_000,
+                strip_dup_spans: bool = False,
+                dup_span_n: int = 8,
+                dup_span_min_df: int = 2) -> DataFrame:
     """``curate`` + NEAR-duplicate removal: after the quality/lang gate
     and exact dedup, build the n-gram-Jaccard pair graph over the
     survivors, collapse it to connected components
@@ -70,6 +87,9 @@ def curate_near(df: DataFrame, min_quality: float = 0.5,
     adds O(diameter) equality-join rounds over just the PAIRS (tiny
     relative to the corpus)."""
     from .dedup import duplicate_clusters, jaccard_pairs
+    if strip_dup_spans:
+        df = strip_stage(df, id_col, text_col, dup_span_n,
+                         dup_span_min_df)
     stats = with_text_stats(df, text_col)
     kept = stats.where((F.col("quality_score") >= min_quality)
                        & F.col("lang_pred").isin(*langs))
@@ -133,10 +153,17 @@ def pack_plan(df: DataFrame, budget: int = 512, n_streams: int = 8,
 def curate(df: DataFrame, min_quality: float = 0.5,
            langs: tuple[str, ...] = ("en",), id_col: str = "doc_id",
            text_col: str = "text",
-           salt: str = "split-v1:") -> DataFrame:
-    """Quality/lang gate → exact dedup (min id per fingerprint) →
-    deterministic split. Returns one row per surviving document:
+           salt: str = "split-v1:",
+           strip_dup_spans: bool = False,
+           dup_span_n: int = 8,
+           dup_span_min_df: int = 2) -> DataFrame:
+    """[optional dup-span strip →] quality/lang gate → exact dedup
+    (min id per fingerprint) → deterministic split. Returns one row
+    per surviving document:
     (id, n_tokens, quality_score, lang_pred, bucket, split)."""
+    if strip_dup_spans:
+        df = strip_stage(df, id_col, text_col, dup_span_n,
+                         dup_span_min_df)
     stats = with_text_stats(df, text_col)
     kept = stats.where((F.col("quality_score") >= min_quality)
                        & F.col("lang_pred").isin(*langs))

@@ -264,6 +264,93 @@ def normalize_text(df: DataFrame, id_col: str = "doc_id",
         (F.col("norm_text") != F.col("__orig")).alias("changed"))
 
 
+def dup_span_strip(df: DataFrame, n: int = 8, min_df: int = 2,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Cross-document duplicated-span REMOVAL — the exact-substring
+    dedup step of RefinedWeb-style curation (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    §ExactSubstr, at fixed n-gram granularity): every token interval
+    covered by an n-gram occurring in ≥ ``min_df`` documents is
+    DELETED from the text, turning dup_span_coverage's measurement
+    into the rewrite. Symmetric variant, documented: ALL occurrences
+    are stripped (no "keep first copy" — that needs a global document
+    order; the symmetric rule is order-free, partition-independent,
+    and strictly more conservative for training-data hygiene).
+
+    Returns (id, text', n_tokens, tokens_removed, spans_removed)
+    where text' is the kept tokens joined by single spaces — the
+    rewrite is whitespace-normalizing and case-PRESERVING (gram keys
+    are lowered, matching dup_span_coverage; output tokens are not).
+
+    Scale shape: gram discovery is dup_span_coverage's plan verbatim
+    (posexplode → df-cut → only duplicated positions reach the
+    per-doc window). Overlapping/adjacent covered intervals merge via
+    gaps-and-islands (a break wherever pos - prev_pos ≥ n, island id
+    = running sum of breaks — one skinny window over duplicated
+    starts only), so each doc gets a SMALL array of disjoint
+    (start, end) intervals. That array joins back onto the docs scan
+    by id — the payload crosses exactly ONE shuffle, never a
+    token-level explode — and the rewrite is a per-token
+    exists()-over-intervals filter (O(tokens × islands), islands
+    being the merged minority). The DuckDB twin mirrors every stage
+    including the island window and the interval filter."""
+    from pyspark.sql import Window
+    t = F.trim(F.col(text_col))
+    toks = F.when(t == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(t, r"\s+"))
+    base = df.select(F.col(id_col), toks.alias("__toks")) \
+        .select(F.col(id_col), "__toks",
+                F.expr(
+                    # lowered keys, original-case tokens; same
+                    # short-doc guard as dup_span_coverage
+                    f"CASE WHEN size(__toks) < {n} "
+                    f"THEN array() "
+                    f"ELSE transform(sequence(1, size(__toks) "
+                    f"- {n} + 1), "
+                    f"i -> lower(array_join(slice(__toks, i, {n}), "
+                    f"' '))) END")
+                .alias("__grams"))
+    pos_grams = base.select(
+        F.col(id_col), F.posexplode("__grams").alias("__p0", "g")) \
+        .select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "g")
+    dup_g = (pos_grams.groupBy("g")
+             .agg(F.count_distinct(F.col(id_col)).alias("df"))
+             .filter(F.col("df") >= min_df)
+             .select("g"))
+    dup_pos = pos_grams.join(dup_g, "g").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy(F.col("pos").asc())
+    islands = (dup_pos
+               .withColumn("__brk", F.when(
+                   F.col("pos") - F.lag("pos").over(w) >= n, 1)
+                   .otherwise(0))
+               .withColumn("__isl", F.sum("__brk").over(
+                   w.rowsBetween(Window.unboundedPreceding,
+                                 Window.currentRow))))
+    ivs = (islands.groupBy(id_col, "__isl")
+           .agg(F.min("pos").alias("s"),
+                (F.max("pos") + n - 1).alias("e"))
+           .groupBy(id_col)
+           .agg(F.sort_array(F.collect_list(F.struct("s", "e")))
+                .alias("__ivs"),
+                F.count(F.lit(1)).cast("long").alias("spans_removed"),
+                F.sum(F.col("e") - F.col("s") + 1).cast("long")
+                .alias("tokens_removed")))
+    joined = base.drop("__grams").join(ivs, id_col, "left")
+    kept = F.expr(
+        "CASE WHEN __ivs IS NULL THEN __toks "
+        "ELSE filter(__toks, (t, i) -> "
+        "NOT exists(__ivs, v -> v.s <= i + 1 AND i + 1 <= v.e)) END")
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("text"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.coalesce("tokens_removed", F.lit(0)).cast("long")
+        .alias("tokens_removed"),
+        F.coalesce("spans_removed", F.lit(0)).cast("long")
+        .alias("spans_removed"))
+
+
 def dup_span_coverage(df: DataFrame, n: int = 8, min_df: int = 2,
                       id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:

@@ -2235,6 +2235,69 @@ FROM docs d LEFT JOIN cov c USING (doc_id)
 """
 
 
+def q_ts_dup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span REMOVAL
+    (textstats.dup_span_strip): RefinedWeb-style exact-substring
+    dedup — every token interval covered by a 5-gram occurring in
+    ≥ 2 docs is deleted, overlapping intervals merged via
+    gaps-and-islands, rewritten text rebuilt case-preserving. The
+    oracle rebuilds the text independently (NOT EXISTS interval
+    containment + ordered string_agg), so the rewrite is pinned
+    byte-identically, not just counted."""
+    ensure_line_docs()
+    docs = _read_parallel(spark, LINE_DOCS_GLOB.rsplit("/", 1)[0])
+    return textstats.dup_span_strip(docs, n=DUP_SPAN_N,
+                                    min_df=DUP_SPAN_MIN_DF)
+
+
+_ORACLE_TS_DUP_STRIP = f"""
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+')
+         END AS toks
+  FROM read_parquet('{LINE_DOCS_GLOB}')),
+pg AS (
+  SELECT doc_id, i AS pos,
+         lower(array_to_string(toks[i:i+{DUP_SPAN_N}-1], ' ')) AS g
+  FROM docs, unnest(generate_series(
+      1, greatest(len(toks) - {DUP_SPAN_N} + 1, 0))) AS t(i)),
+dg AS (SELECT g FROM pg GROUP BY g
+       HAVING count(DISTINCT doc_id) >= {DUP_SPAN_MIN_DF}),
+dp AS (SELECT doc_id, pos FROM pg JOIN dg USING (g)),
+br AS (SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+              ORDER BY pos) >= {DUP_SPAN_N} THEN 1 ELSE 0 END AS brk
+       FROM dp),
+isl AS (SELECT doc_id, pos,
+          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+        FROM br),
+iv AS (SELECT doc_id, gid, min(pos) AS s,
+              max(pos) + {DUP_SPAN_N} - 1 AS e
+       FROM isl GROUP BY doc_id, gid),
+agg AS (SELECT doc_id, count(*)::BIGINT AS spans_removed,
+          sum(e - s + 1)::BIGINT AS tokens_removed
+        FROM iv GROUP BY doc_id),
+tok AS (SELECT doc_id, unnest(toks) AS tk,
+               unnest(range(1, len(toks) + 1)) AS i
+        FROM docs),
+kept AS (SELECT t.doc_id, t.tk, t.i FROM tok t
+         WHERE NOT EXISTS (SELECT 1 FROM iv
+             WHERE iv.doc_id = t.doc_id
+               AND t.i BETWEEN iv.s AND iv.e)),
+txt AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS text
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(x.text, '') AS text,
+       len(d.toks)::BIGINT AS n_tokens,
+       COALESCE(a.tokens_removed, 0)::BIGINT AS tokens_removed,
+       COALESCE(a.spans_removed, 0)::BIGINT AS spans_removed
+FROM docs d LEFT JOIN txt x USING (doc_id)
+            LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line-level dedup over the newline corpus (a 6-line
     boilerplate pool recurs across ~half the docs; natural lines carry
@@ -3098,6 +3161,8 @@ QUERIES = {
     "rel_region_revenue": q_rel_region_revenue,
     "rel_promo_share": q_rel_promo_share,
     "rel_lapsed_customers": q_rel_lapsed_customers,
+    # r5 additions — appended so the r4 registry order is undisturbed
+    "ts_dup_strip": q_ts_dup_strip,
 }
 
 # Committed golden registries for the deterministic-approximate
@@ -3236,6 +3301,8 @@ ORACLES = {
     "rel_region_revenue": _ORACLE_REGION_REVENUE,
     "rel_promo_share": _ORACLE_PROMO_SHARE,
     "rel_lapsed_customers": _ORACLE_LAPSED,
+    # r5 additions — appended so the r4 registry order is undisturbed
+    "ts_dup_strip": _ORACLE_TS_DUP_STRIP,
 }
 
 # generated oracle: the pagerank recurrence unrolled as a CTE chain

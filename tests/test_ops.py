@@ -1412,3 +1412,94 @@ def test_rule_pattern_regex_shapes(spark):
     assert got["/mid$dollar"] == "^/mid\\$dollar"
     esc = got["/a.b(c)+[d]{e}|f^g?h"]
     assert esc == ("^/a\\.b\\(c\\)\\+\\[d\\]\\{e\\}\\|f\\^g\\?h")
+
+
+def test_dup_span_strip_hand_cases(spark):
+    """Hand-built dup-span removal cases: overlapping intervals merge
+    into one span, all occurrences are stripped (symmetric rule),
+    case is preserved in kept text, short docs pass through, and
+    tokens_removed agrees exactly with dup_span_coverage's dup_tokens
+    (the measurement and the rewrite share one interval union)."""
+    from extract_kit_spark.ops import textstats
+
+    # 3-grams, min_df=2. "a b c d" appears in d1 and d2 (as "A b c d"
+    # in d1 — keys are lowered), so grams "a b c"/"b c d" are
+    # duplicated: d1/d2 lose positions 1-4 as ONE merged span.
+    docs = spark.createDataFrame([
+        ("d1", "A b c d KEEP1 keep2 keep3"),
+        ("d2", "a b c d other tail words"),
+        ("d3", "totally unrelated text here now"),
+        ("d4", "tiny doc"),          # shorter than n: no grams
+        ("d5", ""),                  # empty
+        ("d6", "a b c d"),           # fully covered -> empty text
+    ], "doc_id string, text string")
+
+    got = {r.doc_id: r for r in textstats.dup_span_strip(
+        docs, n=3, min_df=2).collect()}
+    assert got["d1"].text == "KEEP1 keep2 keep3"   # case preserved
+    assert (got["d1"].tokens_removed, got["d1"].spans_removed) == (4, 1)
+    assert got["d2"].text == "other tail words"
+    assert got["d3"].text == "totally unrelated text here now"
+    assert got["d3"].tokens_removed == 0
+    assert got["d4"].text == "tiny doc"
+    assert got["d5"].text == ""
+    assert got["d6"].text == ""
+    assert (got["d6"].tokens_removed, got["d6"].spans_removed) == (4, 1)
+
+    # invariant vs the measurement op: identical interval union
+    cov = {r.doc_id: r.dup_tokens for r in textstats.dup_span_coverage(
+        docs, n=3, min_df=2).collect()}
+    for d, r in got.items():
+        assert r.tokens_removed == cov[d], d
+        # kept + removed == total
+        kept = 0 if r.text == "" else len(r.text.split(" "))
+        assert kept + r.tokens_removed == r.n_tokens, d
+
+
+def test_dup_span_strip_disjoint_spans(spark):
+    """Two duplicated runs separated by a unique gap >= n stay two
+    spans; a gap < n merges them (island rule pos-prev >= n)."""
+    from extract_kit_spark.ops import textstats
+    shared1 = "p q r"            # 3 tokens, n=3 -> one gram
+    shared2 = "x y z"
+    docs = spark.createDataFrame([
+        ("a", f"{shared1} GAP1 GAP2 GAP3 {shared2}"),   # gap 3 >= n
+        ("b", f"{shared1} later {shared2}"),            # gap 1 < n
+        ("c", f"{shared1} unrelated filler {shared2}"),
+    ], "doc_id string, text string")
+    got = {r.doc_id: r for r in textstats.dup_span_strip(
+        docs, n=3, min_df=2).collect()}
+    assert got["a"].spans_removed == 2
+    assert got["a"].text == "GAP1 GAP2 GAP3"
+    # b: starts at 1 and 5 -> 5-1 >= 3 -> two islands; covered 1-3,5-7
+    assert got["b"].spans_removed == 2
+    assert got["b"].text == "later"
+
+
+def test_curate_strip_dup_spans_stage(spark):
+    """curate(strip_dup_spans=True) must equal the explicit
+    composition dup_span_strip -> curate, and differ from the
+    unstripped run when cross-doc boilerplate shifts a doc's quality
+    signals."""
+    from extract_kit_spark.ops import corpus, textstats
+    from extract_kit_spark.queries import (DUP_SPAN_MIN_DF, DUP_SPAN_N,
+                                           LINE_DOCS_GLOB,
+                                           ensure_line_docs)
+    ensure_line_docs()
+    docs = spark.read.parquet(LINE_DOCS_GLOB.rsplit("/", 1)[0])
+
+    fused = corpus.curate(docs, strip_dup_spans=True,
+                          dup_span_n=DUP_SPAN_N,
+                          dup_span_min_df=DUP_SPAN_MIN_DF).collect()
+    stripped = textstats.dup_span_strip(
+        docs, n=DUP_SPAN_N, min_df=DUP_SPAN_MIN_DF).select(
+        "doc_id", "text")
+    composed = corpus.curate(stripped).collect()
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    assert key(fused) == key(composed)
+    assert len(fused) > 0
+    # the stage is live: at least one doc's token count changed
+    plain = {r.doc_id: r.n_tokens for r in corpus.curate(docs).collect()}
+    after = {r.doc_id: r.n_tokens for r in fused}
+    changed = [d for d in after if d in plain and after[d] != plain[d]]
+    assert changed, "strip stage had no effect on the line corpus"

@@ -454,3 +454,12 @@ def test_pagerank_contrib_sum_is_salted_two_phase(spark):
                         F.expr("(rank * n) div w").alias("c"))
                 .groupBy("node").agg(F.sum("c").alias("s")))
     assert got == {r.node: r.s for r in unsalted.collect()}
+
+
+def test_dup_strip_is_jvm_only_no_single_partition(spark):
+    """The dup-span rewrite must stay JVM-side (HOF filter, no Python
+    stage) and contain no single-reducer stage; the payload crosses
+    only the final per-doc id join, never a token-level shuffle."""
+    plan = _plan(QUERIES["ts_dup_strip"](spark, SF_DIR))
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    assert "SinglePartition" not in plan
