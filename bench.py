@@ -413,6 +413,7 @@ HEADLINE = ("ext_invoice_fields", "ext_pdf_invoice_fields",
             "ts_tfidf_topk", "ts_tfidf_zipf", "ts_repetition",
             "ts_normalize",
             "corpus_split", "corpus_curate", "corpus_curate_near",
+            "corpus_curate_emb", "emb_hash_vectors",
             "corpus_curate_lm", "corpus_manifest",
             "corpus_pack_plan", "pii_scrub", "dedup_lines",
             "contamination_8gram", "web_crawl_diff",

@@ -32,6 +32,85 @@ from pyspark.sql import types as T
 
 from .dedup import cosine
 
+EMB_DIM = 64
+EMB_NGRAM = 3
+EMB_SCALE = 10**6
+
+
+def hash_embed(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", dim: int = EMB_DIM,
+               n: int = EMB_NGRAM,
+               salt: str = "emb-v1:") -> DataFrame:
+    """Deterministic text→embedding: the signed hashing trick
+    (feature hashing, Weinberger et al. 2009) over character
+    n-grams — the in-engine embedder that closes the
+    text → embedding → near-dup/ANN loop without any model weights.
+    Each char n-gram of the whitespace-collapsed lowered text maps to
+    bucket ``md5(salt‖gram)[0:8] mod dim`` with sign from the next
+    hex nibble's parity; bucket sums are L2-normalized in FIXED POINT
+    (floor(1e6·v/‖v‖ + 0.5) / 1e6), so the output is a pure integer-
+    and-IEEE function of the text: reruns, engines and partitionings
+    agree bit-for-bit, and the DuckDB oracle mirrors every step
+    (md5 and hex→int arithmetic are the proven-exact split_bucket
+    machinery from ops/corpus.py).
+
+    Returns (id, embedding array<double>, n_grams). Empty/short texts
+    (< n chars) embed as the zero vector.
+
+    Scale shape: gram build + hash are pure expressions riding the
+    scan; the explode feeds ONE partial-aggregated groupBy on
+    (id, bucket) — map-side combine collapses each doc's grams to at
+    most ``dim`` rows before the shuffle, so the shuffle volume is
+    O(docs·dim), independent of text length; densify + normalize are
+    per-row HOFs over dim-length arrays. No Python anywhere."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col),
+                                           r"\s+", " ")))
+    base = df.select(F.col(id_col), norm.alias("__nt"))
+    grams = base.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"CASE WHEN length(__nt) < {n} THEN array() "
+            f"ELSE transform(sequence(1, length(__nt) - {n} + 1), "
+            f"i -> substr(__nt, i, {n})) END")).alias("g"))
+    h = F.md5(F.concat(F.lit(salt), F.col("g")))
+    hashed = grams.select(
+        F.col(id_col),
+        F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+               F.lit(dim)).alias("bucket"),
+        (F.lit(1) - F.lit(2) * F.pmod(
+            F.conv(F.substring(h, 9, 1), 16, 10).cast("long"),
+            F.lit(2))).alias("sign"))
+    sparse = (hashed.groupBy(id_col, "bucket")
+              .agg(F.sum("sign").alias("v"),
+                   F.count(F.lit(1)).alias("ng")))
+    dense = (sparse.groupBy(id_col)
+             .agg(F.map_from_entries(
+                 F.collect_list(F.struct(F.col("bucket").cast("int"),
+                                         F.col("v")))).alias("__m"),
+                  F.sum("ng").cast("long").alias("n_grams")))
+    vec = F.expr(
+        f"transform(sequence(0, {dim} - 1), "
+        f"b -> coalesce(element_at(__m, b), CAST(0 AS BIGINT)))")
+    out = (base.select(id_col).join(dense, id_col, "left")
+           .select(F.col(id_col),
+                   F.coalesce(vec, F.expr(
+                       f"transform(sequence(0, {dim} - 1), "
+                       f"b -> CAST(0 AS BIGINT))")).alias("__v"),
+                   F.coalesce("n_grams", F.lit(0)).cast("long")
+                   .alias("n_grams")))
+    # fixed-point L2 normalize: every step below is a deterministic
+    # IEEE-754 function (exact int→double, one multiply, one divide,
+    # correctly-rounded sqrt, floor), so the quantized doubles are
+    # bit-identical across engines
+    sumsq = F.expr(
+        "aggregate(__v, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
+    q = F.expr(
+        f"CASE WHEN __sq = 0 THEN transform(__v, x -> 0.0) "
+        f"ELSE transform(__v, x -> floor({EMB_SCALE}D * x "
+        f"/ sqrt(CAST(__sq AS DOUBLE)) + 0.5D) / {EMB_SCALE}D) END")
+    return (out.withColumn("__sq", sumsq)
+            .select(F.col(id_col), q.alias("embedding"), "n_grams"))
+
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id",

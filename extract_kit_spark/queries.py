@@ -1042,6 +1042,93 @@ FROM bk
 """
 
 
+EMB_NEAR_T = 0.95
+
+
+def q_corpus_curate_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curate_near on the EMBEDDING route: gate → exact dedup →
+    in-engine hash embeddings (similarity.hash_embed) → blocked
+    cosine pairs ≥ 0.95 → connected components → split. The oracle
+    re-derives the embedding arithmetic AND the recursive-CTE closure,
+    so the whole text→embed→near-dup→curate loop is pinned end-to-end
+    (on the fixture corpus the 0.95 cosine pairs equal the
+    jaccard-0.8 ground truth exactly, so both routes converge to the
+    same survivors — asserted in test_ops)."""
+    _ensure_importable(spark)
+    docs = _read_parallel(spark, _t(sf_dir, "documents"))
+    return corpus.curate_near(docs, min_quality=MIN_QUALITY,
+                              langs=("en",), route="embedding",
+                              embedding_threshold=EMB_NEAR_T)
+
+
+_ORACLE_CURATE_EMB = f"""
+WITH RECURSIVE s AS ({{stats}}),
+k AS (SELECT s.*, d.text FROM s JOIN documents d USING (doc_id)
+      WHERE quality_score >= {{minq}} AND lang_pred IN ('en')),
+dd AS (SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                    ORDER BY doc_id ASC) AS rn FROM k),
+base AS (SELECT * FROM dd WHERE rn = 1),
+ed AS (SELECT doc_id,
+         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+       FROM base),
+eg AS (SELECT doc_id, substring(nt, i, {similarity.EMB_NGRAM}) AS g
+       FROM ed, unnest(generate_series(
+           1, greatest(length(nt) - {similarity.EMB_NGRAM} + 1, 0)))
+           AS t(i)),
+eh AS (SELECT doc_id,
+         (('0x' || substring(md5('emb-v1:' || g), 1, 8))::BIGINT
+             % {similarity.EMB_DIM}) AS bucket,
+         (1 - 2 * (('0x' || substring(md5('emb-v1:' || g), 9, 1))
+             ::BIGINT % 2)) AS sign
+       FROM eg),
+esp AS (SELECT doc_id, bucket, sum(sign)::BIGINT AS v
+        FROM eh GROUP BY doc_id, bucket),
+edims AS (SELECT unnest(range({similarity.EMB_DIM})) AS b),
+edv AS (SELECT ed.doc_id, edims.b, coalesce(esp.v, 0)::BIGINT AS v
+        FROM ed CROSS JOIN edims
+        LEFT JOIN esp ON esp.doc_id = ed.doc_id
+                     AND esp.bucket = edims.b),
+esq AS (SELECT doc_id, sum(v * v)::BIGINT AS sumsq
+        FROM edv GROUP BY doc_id),
+evec AS (SELECT edv.doc_id,
+           list(CASE WHEN esq.sumsq = 0 THEN 0.0
+                ELSE floor({similarity.EMB_SCALE} * edv.v
+                           / sqrt(esq.sumsq::DOUBLE) + 0.5)
+                     / {similarity.EMB_SCALE} END ORDER BY edv.b)
+               AS embedding
+         FROM edv JOIN esq USING (doc_id) GROUP BY edv.doc_id),
+en AS (SELECT doc_id,
+         list_transform(embedding, x -> x
+             / sqrt(list_dot_product(embedding, embedding))) AS nv
+       FROM evec),
+epairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM en a JOIN en b ON a.doc_id < b.doc_id
+           WHERE round(list_dot_product(a.nv, b.nv), 6)
+                 >= {EMB_NEAR_T}),
+cce AS (SELECT id_a AS src, id_b AS dst FROM epairs
+        UNION SELECT id_b AS src, id_a AS dst FROM epairs),
+ccr(src, dst) AS (
+  SELECT src, dst FROM cce
+  UNION
+  SELECT r.src, n.dst FROM ccr r JOIN cce n ON r.dst = n.src),
+losers AS (SELECT src AS doc_id FROM ccr GROUP BY src
+           HAVING least(min(dst), src) != src),
+surv AS (SELECT * FROM base
+         WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+bk AS (SELECT doc_id, n_tokens, quality_score, lang_pred,
+              {{split_sql}} AS bucket
+       FROM surv)
+SELECT doc_id, n_tokens, quality_score, lang_pred, bucket,
+       CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+FROM bk
+"""
+
+# the gate/split fragments are shared verbatim with _ORACLE_CURATE_NEAR
+_ORACLE_CURATE_EMB = _ORACLE_CURATE_EMB.format(
+    stats=_ORACLE_TS_STATS, minq=MIN_QUALITY, split_sql=_SPLIT_SQL)
+
+
 # -- dedup ----------------------------------------------------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1217,6 +1304,55 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drops well below this for the same recall
     return similarity.ann_ivf_topk(emb, queries, k=ANN_K,
                                    n_centroids=32, nprobe=12)
+
+
+def q_emb_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine text→embedding (similarity.hash_embed): signed
+    hashing-trick char-3-gram embedder with fixed-point L2
+    normalization — closes the curate→embed→near-dup loop without a
+    model. The oracle recomputes every bucket/sign/quantization step
+    from the same md5 arithmetic, so the vectors are pinned
+    bit-identically."""
+    docs = _read_parallel(spark, _t(sf_dir, "documents"))
+    return similarity.hash_embed(docs)
+
+
+_ORACLE_EMB_HASH = f"""
+WITH d AS (SELECT doc_id,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+           FROM documents),
+g AS (SELECT doc_id, substring(nt, i, {similarity.EMB_NGRAM}) AS g
+      FROM d, unnest(generate_series(
+          1, greatest(length(nt) - {similarity.EMB_NGRAM} + 1, 0)))
+          AS t(i)),
+h AS (SELECT doc_id,
+        (('0x' || substring(md5('emb-v1:' || g), 1, 8))::BIGINT
+            % {similarity.EMB_DIM}) AS bucket,
+        (1 - 2 * (('0x' || substring(md5('emb-v1:' || g), 9, 1))
+            ::BIGINT % 2)) AS sign
+      FROM g),
+sp AS (SELECT doc_id, bucket, sum(sign)::BIGINT AS v,
+              count(*)::BIGINT AS ng
+       FROM h GROUP BY doc_id, bucket),
+dims AS (SELECT unnest(range({similarity.EMB_DIM})) AS b),
+dv AS (SELECT d.doc_id, dims.b, coalesce(sp.v, 0)::BIGINT AS v
+       FROM d CROSS JOIN dims
+       LEFT JOIN sp ON sp.doc_id = d.doc_id AND sp.bucket = dims.b),
+sq AS (SELECT doc_id, sum(v * v)::BIGINT AS sumsq
+       FROM dv GROUP BY doc_id),
+ngr AS (SELECT doc_id, sum(ng)::BIGINT AS n_grams
+        FROM sp GROUP BY doc_id),
+vec AS (SELECT dv.doc_id,
+          list(CASE WHEN sq.sumsq = 0 THEN 0.0
+               ELSE floor({similarity.EMB_SCALE} * dv.v
+                          / sqrt(sq.sumsq::DOUBLE) + 0.5)
+                    / {similarity.EMB_SCALE} END ORDER BY dv.b)
+              AS embedding
+        FROM dv JOIN sq USING (doc_id) GROUP BY dv.doc_id)
+SELECT v.doc_id, v.embedding,
+       coalesce(ngr.n_grams, 0)::BIGINT AS n_grams
+FROM vec v LEFT JOIN ngr USING (doc_id)
+"""
 
 
 # -- multimodal -----------------------------------------------------------------
@@ -3163,6 +3299,8 @@ QUERIES = {
     "rel_lapsed_customers": q_rel_lapsed_customers,
     # r5 additions — appended so the r4 registry order is undisturbed
     "ts_dup_strip": q_ts_dup_strip,
+    "emb_hash_vectors": q_emb_hash_vectors,
+    "corpus_curate_emb": q_corpus_curate_emb,
 }
 
 # Committed golden registries for the deterministic-approximate
@@ -3303,6 +3441,8 @@ ORACLES = {
     "rel_lapsed_customers": _ORACLE_LAPSED,
     # r5 additions — appended so the r4 registry order is undisturbed
     "ts_dup_strip": _ORACLE_TS_DUP_STRIP,
+    "emb_hash_vectors": _ORACLE_EMB_HASH,
+    "corpus_curate_emb": _ORACLE_CURATE_EMB,
 }
 
 # generated oracle: the pagerank recurrence unrolled as a CTE chain

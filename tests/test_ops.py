@@ -1503,3 +1503,70 @@ def test_curate_strip_dup_spans_stage(spark):
     after = {r.doc_id: r.n_tokens for r in fused}
     changed = [d for d in after if d in plain and after[d] != plain[d]]
     assert changed, "strip stage had no effect on the line corpus"
+
+
+def test_hash_embed_properties(spark):
+    """The in-engine embedder: unit L2 norm (to quantization), zero
+    vector for empty/short text, determinism across partitionings,
+    and near-dup separation — a doc and its lightly-edited twin are
+    ~1.0 cosine while unrelated docs sit well below 0.95."""
+    from extract_kit_spark.ops import similarity
+    from extract_kit_spark.ops.dedup import cosine
+    from pyspark.sql import functions as F
+
+    body = ("The quick brown fox jumps over the lazy dog near the "
+            "river bank while the miller grinds wheat and the ferry "
+            "crosses the channel before dusk settles on the village. ")
+    docs = spark.createDataFrame([
+        (1, body * 4 + "Printed in the year 1901."),
+        (2, body * 4 + "Printed in the year 1902."),  # near-dup twin
+        (3, "Completely different subject matter discussing spark "
+            "shuffle partitions, broadcast joins, codegen stages and "
+            "adaptive query execution internals at cluster scale."),
+        (4, "ab"),    # shorter than the 3-gram window
+        (5, ""),
+    ], "doc_id long, text string")
+    emb = similarity.hash_embed(docs)
+    rows = {r.doc_id: r for r in emb.collect()}
+    import math
+    for d in (1, 2, 3):
+        n = math.sqrt(sum(x * x for x in rows[d].embedding))
+        assert abs(n - 1.0) < 1e-4, (d, n)
+    assert all(x == 0.0 for x in rows[4].embedding)
+    assert rows[4].n_grams == 0
+    assert all(x == 0.0 for x in rows[5].embedding)
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+    near = cos(rows[1].embedding, rows[2].embedding)
+    far = cos(rows[1].embedding, rows[3].embedding)
+    assert near > 0.97, near
+    assert far < 0.9, far
+
+    # partitioning-independence: 1 partition vs 7 produce identical rows
+    a = sorted(map(tuple, similarity.hash_embed(
+        docs.coalesce(1)).collect()))
+    b = sorted(map(tuple, similarity.hash_embed(
+        docs.repartition(7)).collect()))
+    assert a == b
+
+
+def test_curate_near_routes_converge(spark):
+    """On the fixture documents corpus the embedding route (hash-embed
+    cosine >= 0.95) recovers exactly the jaccard-0.8 pair set, so both
+    curate_near routes keep the same survivors; unknown routes raise."""
+    import pytest
+    from extract_kit_spark.ops import corpus
+    from extract_kit_spark.queries import EMB_NEAR_T, JACCARD_T, \
+        JACCARD_MAX_DF, MIN_QUALITY
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    jac = corpus.curate_near(docs, min_quality=MIN_QUALITY,
+                             jaccard_threshold=JACCARD_T,
+                             max_df=JACCARD_MAX_DF).collect()
+    embr = corpus.curate_near(docs, min_quality=MIN_QUALITY,
+                              route="embedding",
+                              embedding_threshold=EMB_NEAR_T).collect()
+    assert sorted(map(tuple, jac)) == sorted(map(tuple, embr))
+    assert len(jac) > 0
+    with pytest.raises(ValueError, match="unknown near-dup route"):
+        corpus.curate_near(docs, route="bogus")
