@@ -525,3 +525,77 @@ def test_url_dedup_stream_first_canonical_wins(spark,
     stream_keys = {r["canonical_url"] for r in got2.collect()}
     batch_keys = {r["c"] for r in twin.collect()}
     assert stream_keys == batch_keys
+
+
+def test_streaming_url_dedup_crash_recovery(spark, tmp_path_factory):
+    """Kill -9 the url-dedup stream mid-run — the first-canonical-wins
+    state spans the kill point — restart from the checkpoint, and
+    prove exactly-once: one output row per canonical url, no
+    duplicates admitted after recovery, and row-for-row equality with
+    a clean never-killed run (same kept variant per canonical, since
+    both runs process the same files in the same order)."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    from extract_kit_spark.streaming import run_url_dedup_stream
+
+    src = str(tmp_path_factory.mktemp("ucrashsrc") / "pages")
+    out = str(tmp_path_factory.mktemp("ucrashout") / "u")
+    ref = str(tmp_path_factory.mktemp("ucrashref") / "u")
+    os.makedirs(src, exist_ok=True)
+    base = dt.datetime(2024, 1, 1)
+
+    # 30 one-file microbatches; every file re-offers tracking-param
+    # variants of the same 40 canonical urls (plus one novel url), so
+    # dedup state built before the crash must keep suppressing
+    # variants arriving after recovery
+    pool = [f"https://dom{j % 5}.example/page-{j:03d}" for j in
+            range(40)]
+    for i in range(30):
+        rows = [(f"{pool[j % 40]}?utm_source=f{i:02d}",
+                 base + dt.timedelta(minutes=i), b"<html>x</html>",
+                 "t", "en") for j in range(i, i + 8)]
+        rows.append((f"https://novel.example/only-{i:02d}",
+                     base + dt.timedelta(minutes=i),
+                     b"<html>y</html>", "t", "en"))
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, "
+            "text string, lang string")
+        tmp = src + f".tmp-{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0],
+                    src + f"/f{i:02d}.parquet")
+        shutil.rmtree(tmp)
+        # identical mtimes pin the file-source processing order to
+        # path order for both the recovered and the clean run
+        os.utime(src + f"/f{i:02d}.parquet", (1_700_000_000,
+                                              1_700_000_000))
+
+    n_at_kill = _run_child_until_killed(
+        tmp_path_factory, "run_url_dedup_stream", src, out,
+        min_commits=3, n_batches_total=30)
+    assert 0 < n_at_kill < 30
+
+    run_url_dedup_stream(spark, src, out, max_files_per_trigger=1)
+    got = spark.read.parquet(os.path.join(out, "data"))
+    # exactly one row per canonical url offered by the source
+    # (files i=0..29 cover pool indices 0..36 plus 30 novel urls = 67)
+    from extract_kit_spark.ops.weburl import canonical_url
+    from pyspark.sql import functions as F
+    expected = (spark.read.parquet(src)
+                .select(canonical_url(F.col("url")).alias("c"))
+                .distinct().count())
+    assert expected == 67
+    assert got.count() == expected
+    assert got.select("canonical_url").distinct().count() == expected
+
+    # the clean reference must consume files in the SAME one-file
+    # microbatch order: "first canonical wins" is defined by stream
+    # order, and a single availableNow mega-batch would pick its
+    # winner by partition order instead
+    run_url_dedup_stream(spark, src, ref, max_files_per_trigger=1)
+    want = spark.read.parquet(os.path.join(ref, "data"))
+    key = lambda df: {(r["url"], r["canonical_url"]) for r in
+                      df.select("url", "canonical_url").collect()}
+    assert key(got) == key(want)
