@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The DECODE stage is REAL for PNG — a pure-stdlib codec
-(``kernels.png``: zlib inflate + scanline unfilter, CRC-checked)
-recovers true width/height and a hash of the raw pixels, no PIL
-needed. Formats whose decoders genuinely aren't in this container
-(JPEG/video/audio) return a typed ``unsupported`` status — never
+The DECODE stage is REAL for PNG **and baseline JPEG** — pure-stdlib
+codecs (``kernels.png``: zlib inflate + scanline unfilter,
+CRC-checked; ``kernels.jpeg``: T.81 baseline sequential — Huffman
+entropy decode, dequant, deterministic float IDCT on hard-coded
+constants, 4:2:0/4:2:2 upsampling, T.871 color transform) recover
+true width/height and a hash of the raw pixels, no PIL needed. JPEG
+covers the dominant crawled-web image format; progressive JPEG and
+video/audio return a typed ``unsupported``/``corrupt`` status — never
 garbage — and on a production cluster would be served by shipping
 PIL/ffmpeg via --py-files/conda into the same
 ``decode_image_pixels`` batch shape.
@@ -25,14 +28,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
+from ..kernels import jpeg as _jpeg
 from ..kernels import png as _png
 
 
 def decode_available(fmt: str = "png") -> bool:
-    """True when a real decoder exists for ``fmt``. PNG is always
-    available (stdlib codec); JPEG would need PIL shipped to the
-    cluster via --py-files/conda."""
-    if fmt.lower() == "png":
+    """True when a real decoder exists for ``fmt``. PNG and baseline
+    JPEG are always available (stdlib codecs); other formats would
+    need PIL/ffmpeg shipped to the cluster via --py-files/conda."""
+    if fmt.lower() in ("png", "jpeg", "jpg"):
         return True
     try:
         import PIL  # noqa: F401
@@ -114,11 +118,12 @@ IMAGE_DECODE_SCHEMA = T.StructType([
 
 def decode_image_pixels(df: DataFrame, id_col: str = "media_id",
                         bin_col: str = "payload") -> DataFrame:
-    """REAL image decode over Arrow batches: PNG payloads are fully
-    decoded (inflate + unfilter, CRC-checked — ``kernels.png``) and
-    reported with true dimensions plus a sha256 of the recovered raw
-    pixel bytes; non-PNG magic → ``decode_status='unsupported'``,
-    structurally-broken PNG → ``'corrupt'`` (typed rows, never a task
+    """REAL image decode over Arrow batches: PNG and baseline-JPEG
+    payloads are fully decoded (``kernels.png`` / ``kernels.jpeg``)
+    and reported with true dimensions plus a sha256 of the recovered
+    raw pixel bytes; unknown magic → ``decode_status='unsupported'``,
+    structurally-broken or out-of-scope files (progressive JPEG,
+    interlaced PNG) → ``'corrupt: …'`` (typed rows, never a task
     failure — the E5 1-in-1-out invariant applies to media too).
 
     Scale shape: this is the expensive stage, so callers filter first
@@ -137,23 +142,33 @@ def decode_image_pixels(df: DataFrame, id_col: str = "media_id",
                        "fmt": None, "width": None, "height": None,
                        "bit_depth": None, "channels": None,
                        "pixel_sha256": None, "decode_status": None}
-                if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
-                    row["decode_status"] = "unsupported"
-                else:
+                if payload.startswith(b"\x89PNG\r\n\x1a\n"):
                     row["fmt"] = "png"
                     try:
                         img = _png.decode_png(payload)
-                        row.update({
-                            "width": img["width"],
-                            "height": img["height"],
-                            "bit_depth": img["bit_depth"],
-                            "channels": img["channels"],
-                            "pixel_sha256": hashlib.sha256(
-                                img["pixels"]).hexdigest(),
-                            "decode_status": "ok",
-                        })
                     except _png.PngError as e:
                         row["decode_status"] = f"corrupt: {e}"
+                        img = None
+                elif payload.startswith(b"\xff\xd8"):
+                    row["fmt"] = "jpeg"
+                    try:
+                        img = _jpeg.decode_jpeg(payload)
+                    except _jpeg.JpegError as e:
+                        row["decode_status"] = f"corrupt: {e}"
+                        img = None
+                else:
+                    row["decode_status"] = "unsupported"
+                    img = None
+                if img is not None:
+                    row.update({
+                        "width": img["width"],
+                        "height": img["height"],
+                        "bit_depth": img["bit_depth"],
+                        "channels": img["channels"],
+                        "pixel_sha256": hashlib.sha256(
+                            img["pixels"]).hexdigest(),
+                        "decode_status": "ok",
+                    })
                 rows.append(row)
             out = pd.DataFrame(rows)
             for c in ("width", "height", "bit_depth", "channels"):

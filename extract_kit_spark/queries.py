@@ -1375,15 +1375,32 @@ FROM p
 """
 
 def _synth_png(doc_id: int, text: str) -> bytes:
-    """Deterministic per-doc PNG payload for the decode query: pixel
-    bytes derive from a sha256 of the doc's content, dims / color type
-    / scanline filter / zlib level all cycle with doc_id so every
-    inverse-filter path and channel count is exercised; every 17th doc
-    is truncated (corrupt) and every 23rd gets a JPEG magic
-    (unsupported) to pin the typed failure statuses."""
+    """Deterministic per-doc media payload for the decode query:
+    pixel bytes derive from a sha256 of the doc's content. Most docs
+    get a PNG (dims / color type / scanline filter / zlib level cycle
+    with doc_id so every inverse-filter path and channel count is
+    exercised); every 23rd doc gets a REAL baseline JPEG instead
+    (r5 — gray/color, 4:4:4 vs 4:2:0, and restart intervals all cycle
+    so every decoder path runs), every 69th a truncated JPEG and
+    every 17th a truncated PNG, pinning the typed corrupt statuses.
+    Everything is a pure function of (doc_id, text)."""
     import hashlib
-    from .kernels import png
+    from .kernels import jpeg, png
     seed = hashlib.sha256(f"{doc_id}:{text[:64]}".encode()).digest()
+    if doc_id % 23 == 0:
+        ch = 1 if doc_id % 2 else 3
+        w, h = 6 + doc_id % 21, 5 + doc_id % 13
+        n = w * h * ch
+        pixels = (seed * (n // len(seed) + 1))[:n]
+        payload = jpeg.encode_jpeg(
+            w, h, pixels, channels=ch, quality=80 + doc_id % 17,
+            subsample=(ch == 3 and doc_id % 4 == 0),
+            restart_interval=doc_id % 3)
+        if doc_id % 69 == 0 and doc_id > 0:
+            return payload[:len(payload) // 2]  # mid-scan truncation
+        return payload
+    if doc_id % 31 == 0 and doc_id > 0:
+        return b"GIF89a" + seed  # unknown magic → typed unsupported
     color_type = (0, 2, 6)[doc_id % 3]
     ch = {0: 1, 2: 3, 6: 4}[color_type]
     w, h = 4 + doc_id % 13, 3 + doc_id % 7
@@ -1392,8 +1409,6 @@ def _synth_png(doc_id: int, text: str) -> bytes:
     payload = png.encode_png(w, h, pixels, color_type,
                              filter_type=doc_id % 5,
                              level=4 + doc_id % 3)
-    if doc_id % 23 == 0:
-        return b"\xff\xd8\xff\xe0" + payload  # JPEG magic
     if doc_id % 17 == 0:
         return payload[:-7]  # truncated chunk
     return payload

@@ -1439,3 +1439,128 @@ def test_aesv2_without_toplevel_length_decrypts():
     # the inner crypt-filter /Length 16 must survive the doctoring
     assert b"/CFM /AESV2 /AuthEvent /DocOpen /Length 16" in no_len
     assert extract_pdf_pages(no_len) == plain
+
+
+# -- JPEG codec (r5) ----------------------------------------------------------
+
+def _jpeg_seg(marker, body):
+    import struct
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
+        + body
+
+
+def _hand_jpeg(entropy, dc_syms, ac_syms, dc_counts, ac_counts):
+    """Assemble a single-component 8x8 baseline JPEG BY HAND from the
+    T.81 grammar — independent of encode_jpeg, so the decoder is
+    pinned against the spec, not against its own encoder."""
+    import struct
+    out = b"\xff\xd8"
+    out += _jpeg_seg(0xDB, bytes([0]) + bytes([16] * 64))  # q all-16
+    out += _jpeg_seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1)
+                     + bytes([1, 0x11, 0]))
+    out += _jpeg_seg(0xC4, bytes([0x00]) + bytes(dc_counts)
+                     + bytes(dc_syms))
+    out += _jpeg_seg(0xC4, bytes([0x10]) + bytes(ac_counts)
+                     + bytes(ac_syms))
+    out += _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return out + entropy + b"\xff\xd9"
+
+
+def test_jpeg_hand_assembled_dc_only_flat_block():
+    """DC-only block, fully analytic: quant=16 everywhere, DC huffman
+    code '0'->category 5, magnitude bits 10000 (diff=+16), AC code
+    '0'->EOB. Dequantized DC = 256; IDCT of a DC-only block is flat
+    256/8 + 128 = 160 exactly, on all 64 pixels. The bit stream
+    0,10000,0 padded with 1 is the single byte 0x41 — checked by
+    hand from T.81 F.1/F.2."""
+    from extract_kit_spark.kernels import jpeg
+    counts1 = [1] + [0] * 15
+    payload = _hand_jpeg(bytes([0x41]), dc_syms=[5], ac_syms=[0x00],
+                         dc_counts=counts1, ac_counts=counts1)
+    img = jpeg.decode_jpeg(payload)
+    assert (img["width"], img["height"], img["channels"]) == (8, 8, 1)
+    assert img["pixels"] == bytes([160] * 64)
+
+
+def test_jpeg_hand_assembled_single_ac_vs_independent_idct():
+    """One AC coefficient, hand-encoded: DC cat 0, then AC symbol
+    0x23 (run 2, size 3) with bits 101 (+5) at zigzag index 3
+    (natural index 16 = (v=2,u=0)), then EOB. Expected pixels come
+    from an INDEPENDENT numpy matrix IDCT (A^T S A), agreeing with
+    the decoder's sequential float IDCT within 1 count."""
+    import numpy as np
+    from extract_kit_spark.kernels import jpeg
+    # two-symbol tables at length 2 (codes 00, 01)
+    counts2 = [0, 2] + [0] * 14
+    # bits: DC '00' (cat 0, no magnitude) + AC '01' (0x23) + '101'
+    # + EOB '00' -> 00 01 101 00 + pad 1...: 0001 1010 0111 1111
+    entropy = bytes([0b00011010, 0b01111111])
+    payload = _hand_jpeg(entropy, dc_syms=[0, 5], ac_syms=[0x00, 0x23],
+                         dc_counts=counts2, ac_counts=counts2)
+    img = jpeg.decode_jpeg(payload)
+    S = np.zeros((8, 8))
+    S[2, 0] = 5 * 16  # natural index 16, dequantized
+    A = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            A[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16)
+    want = np.clip(np.floor(A.T @ S @ A + 128.5), 0, 255)
+    got = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(8, 8)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+    # the AC pattern must actually vary down the columns
+    assert len(set(img["pixels"])) > 1
+
+
+def test_jpeg_roundtrip_bounds_and_determinism():
+    """encode->decode bounds: flat blocks exact, smooth content within
+    quantization tolerance, identical output across repeated decodes
+    and across subsampling of flat chroma."""
+    import hashlib
+    import random
+    from extract_kit_spark.kernels import jpeg
+    # flat gray mid-level: exact
+    img = jpeg.decode_jpeg(jpeg.encode_jpeg(8, 8, bytes([128] * 64),
+                                            1, 90))
+    assert img["pixels"] == bytes([128] * 64)
+    # flat color: within 1 count through YCbCr roundtrip, both paths
+    px = bytes([200, 30, 60] * 256)
+    for sub in (False, True):
+        d = jpeg.decode_jpeg(jpeg.encode_jpeg(16, 16, px, 3, 92,
+                                              subsample=sub))
+        assert max(abs(a - b) for a, b in zip(px, d["pixels"])) <= 1
+    # noise at odd dims: deterministic, bounded, restart-invariant
+    rng = random.Random(7)
+    w, h = 13, 11
+    px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    enc = jpeg.encode_jpeg(w, h, px, 3, 85)
+    d1, d2 = jpeg.decode_jpeg(enc), jpeg.decode_jpeg(enc)
+    assert d1["pixels"] == d2["pixels"]
+    assert (d1["width"], d1["height"]) == (w, h)
+    rst = jpeg.decode_jpeg(jpeg.encode_jpeg(w, h, px, 3, 85,
+                                            restart_interval=1))
+    plain = jpeg.decode_jpeg(jpeg.encode_jpeg(w, h, px, 3, 85))
+    assert rst["pixels"] == plain["pixels"]
+
+
+def test_jpeg_rejects_out_of_scope_typed():
+    """Progressive, arithmetic, 12-bit, truncation and garbage all
+    raise JpegError (typed quarantine), never other exceptions."""
+    import struct
+    import pytest
+    from extract_kit_spark.kernels import jpeg
+    enc = jpeg.encode_jpeg(16, 16, bytes([70] * 768), 3, 90)
+    for doctored, msg in (
+            (enc.replace(b"\xff\xc0", b"\xff\xc2", 1), "progressive"),
+            (enc.replace(b"\xff\xc0", b"\xff\xc9", 1), "SOF"),
+            (enc[:50], "truncated|no SOS"),
+            (b"\xff\xd8\xff\xd9", "no SOS"),
+            (b"not a jpeg", "magic"),
+    ):
+        with pytest.raises(jpeg.JpegError, match=msg):
+            jpeg.decode_jpeg(doctored)
+    # 12-bit precision: patch SOF0 precision byte
+    i = enc.index(b"\xff\xc0")
+    bad = enc[:i + 4] + bytes([12]) + enc[i + 5:]
+    with pytest.raises(jpeg.JpegError, match="precision"):
+        jpeg.decode_jpeg(bad)

@@ -365,27 +365,41 @@ def test_duplicate_clusters_empty_pair_graph(spark):
 
 
 def test_decode_image_pixels_real_and_typed_failures(spark):
-    """The un-stubbed decode stage: real PNGs come back with true dims
-    + pixel sha256; JPEG magic -> 'unsupported'; structural damage ->
-    'corrupt: ...' — one typed row per input, never a task failure."""
+    """The un-stubbed decode stage: real PNGs AND baseline JPEGs come
+    back with true dims + pixel sha256; junk behind a JPEG magic ->
+    'corrupt: ...' (r5 — the magic now routes to a real decoder);
+    structural damage -> 'corrupt: ...'; unknown magic ->
+    'unsupported' — one typed row per input, never a task failure."""
     import hashlib
-    from extract_kit_spark.kernels import png
+    from extract_kit_spark.kernels import jpeg, png
     from extract_kit_spark.ops import multimodal
     pixels = bytes((i * 7 + 3) % 256 for i in range(6 * 4 * 3))
     good = png.encode_png(6, 4, pixels, 2, filter_type=3)
+    jpixels = bytes([90] * (8 * 8))
+    jgood = jpeg.encode_jpeg(8, 8, jpixels, channels=1, quality=90)
+    jref = jpeg.decode_jpeg(jgood)
     rows = [(1, good), (2, b"\xff\xd8\xff\xe0jpegish"),
-            (3, good[:-9]), (4, None)]
+            (3, good[:-9]), (4, None), (5, jgood),
+            (6, b"GIF89a\x01\x02")]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     out = {r["media_id"]: r for r in
            multimodal.decode_image_pixels(df).collect()}
-    assert len(out) == 4
+    assert len(out) == 6
     ok = out[1]
     assert (ok["width"], ok["height"], ok["channels"]) == (6, 4, 3)
     assert ok["pixel_sha256"] == hashlib.sha256(pixels).hexdigest()
     assert ok["decode_status"] == "ok"
-    assert out[2]["decode_status"] == "unsupported"
+    assert out[2]["fmt"] == "jpeg"
+    assert out[2]["decode_status"].startswith("corrupt")
     assert out[3]["decode_status"].startswith("corrupt")
     assert out[4]["decode_status"] == "unsupported"
+    jok = out[5]
+    assert (jok["fmt"], jok["width"], jok["height"],
+            jok["channels"]) == ("jpeg", 8, 8, 1)
+    assert jok["pixel_sha256"] == hashlib.sha256(
+        jref["pixels"]).hexdigest()
+    assert jok["decode_status"] == "ok"
+    assert out[6]["decode_status"] == "unsupported"
 
 
 def test_mm_decode_query_deterministic(spark):
