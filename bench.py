@@ -410,7 +410,7 @@ HEADLINE = ("ext_invoice_fields", "ext_pdf_invoice_fields",
             "warc_read", "warc_fetch", "ext_spans_digest",
             "ts_stats", "ts_lm_bigrams", "ts_lm_score",
             "ts_dup_spans", "ts_dup_strip",
-            "ts_tfidf_topk", "ts_tfidf_zipf", "ts_repetition",
+            "ts_tfidf_topk", "ts_tfidf_zipf", "ts_repetition", "ts_tokens_bpe",
             "ts_normalize",
             "corpus_split", "corpus_curate", "corpus_curate_near",
             "corpus_curate_emb", "emb_hash_vectors",

@@ -119,6 +119,57 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("lang_pred", lang_pred))
 
 
+# GPT-2-style pre-tokenizer, restricted to the RE2 ∩ Java-regex
+# subset so the DuckDB oracle runs the LITERAL same pattern: no
+# lookarounds (the original's `\s+(?!\S)` is dropped), whitespace as
+# an explicit ASCII class (Java's `\s` includes \x0B, RE2's does not
+# — the explicit class makes both engines see the same bytes, the
+# normalize_text lesson), unicode letter/number classes shared by
+# both engines.
+_WS_CLASS = " \\t\\r\\n\\f\\x0B"
+# content pieces only — no whitespace alternative, so regexp_count
+# over the alternation IS the piece count (runs of whitespace between
+# pieces are skipped by the scan; the ` ?` prefix keeps the
+# space-attached-to-word semantic of the original)
+BPE_SPLIT_RE = "|".join((
+    "'(?:s|t|re|ve|m|ll|d)",            # english contractions
+    " ?\\p{L}+",                        # letters (optional space)
+    " ?\\p{N}+",                        # numbers
+    f" ?[^{_WS_CLASS}\\p{{L}}\\p{{N}}]+",  # punctuation runs
+))
+_BPE_WORD_RE = " ?\\p{L}+"
+_BPE_NUM_RE = " ?\\p{N}+"
+
+
+def token_pieces(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """BPE-style token counting — the budget signal a pretraining
+    pipeline needs BEFORE tokenizing 100 TB for real: subword piece
+    counts estimated with the GPT-2 pre-tokenizer split (the regex
+    that runs ahead of the BPE merges; its match count upper-bounds
+    and tightly tracks the true BPE piece count on natural text).
+    Returns per doc: whitespace token count, pre-tokenizer piece
+    count, word/number piece counts, and pieces-per-ws-token (the
+    fertility estimate mixture planning divides budgets by).
+
+    All four counts are `regexp_count` expressions riding the scan —
+    whole-stage codegen, no explode, no shuffle; the DuckDB oracle
+    interpolates the identical pattern strings."""
+    c = F.col(text_col)
+    n_ws = token_count(c).cast("long")
+    n_pieces = F.regexp_count(c, F.lit(BPE_SPLIT_RE)).cast("long")
+    n_words = F.regexp_count(c, F.lit(_BPE_WORD_RE)).cast("long")
+    n_nums = F.regexp_count(c, F.lit(_BPE_NUM_RE)).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_ws.alias("n_tokens_ws"),
+        n_pieces.alias("n_pieces"),
+        n_words.alias("n_word_pieces"),
+        n_nums.alias("n_number_pieces"),
+        F.round(F.when(n_ws > 0, n_pieces.cast("double") / n_ws)
+                .otherwise(F.lit(0.0)), 6).alias("pieces_per_token"))
+
+
 def tfidf_top_terms(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", k: int = 5,
                     min_df: int = 2,

@@ -817,6 +817,48 @@ def q_ts_stats_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_score", "fingerprint", "lang_pred")
 
 
+def q_ts_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style token counting (textstats.token_pieces): GPT-2
+    pre-tokenizer piece counts — the fertility estimate a token-budget
+    plan divides by — as pure regexp_count expressions riding the
+    scan. Runs over the Zipf corpus (real punctuation/number mix).
+    The oracle interpolates the LITERAL same pattern strings into
+    DuckDB (the pattern is restricted to the RE2 ∩ Java subset:
+    no lookarounds, explicit whitespace class)."""
+    ensure_zipf_docs()
+    docs = _read_parallel(spark, ZIPF_DOCS_GLOB)
+    return textstats.token_pieces(docs)
+
+
+from .ops.textstats import (BPE_SPLIT_RE,  # noqa: E402
+                            _BPE_NUM_RE, _BPE_WORD_RE)
+
+# the contraction alternative carries a literal apostrophe — double it
+# for the SQL string literal
+_BPE_RE = BPE_SPLIT_RE.replace("'", "''")
+
+_ORACLE_TOKENS_BPE = f"""
+WITH d AS (SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             END AS n_tokens_ws
+           FROM read_parquet('{ZIPF_DOCS_GLOB}')),
+c AS (SELECT doc_id, n_tokens_ws::BIGINT AS n_tokens_ws,
+        len(regexp_extract_all(text, '{_BPE_RE}'))::BIGINT
+            AS n_pieces,
+        len(regexp_extract_all(text, '{_BPE_WORD_RE}'))::BIGINT
+            AS n_word_pieces,
+        len(regexp_extract_all(text, '{_BPE_NUM_RE}'))::BIGINT
+            AS n_number_pieces
+      FROM d)
+SELECT doc_id, n_tokens_ws, n_pieces, n_word_pieces, n_number_pieces,
+       CASE WHEN n_tokens_ws > 0
+            THEN round(n_pieces::DOUBLE / n_tokens_ws, 6)
+            ELSE 0.0 END AS pieces_per_token
+FROM c
+"""
+
+
 def q_ts_tfidf_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-terms at the PRODUCTION default max_df (0.5) — the
     Zipf corpus has a real document-frequency spread, so the head
@@ -3316,6 +3358,7 @@ QUERIES = {
     "ts_dup_strip": q_ts_dup_strip,
     "emb_hash_vectors": q_emb_hash_vectors,
     "corpus_curate_emb": q_corpus_curate_emb,
+    "ts_tokens_bpe": q_ts_tokens_bpe,
 }
 
 # Committed golden registries for the deterministic-approximate
@@ -3458,6 +3501,7 @@ ORACLES = {
     "ts_dup_strip": _ORACLE_TS_DUP_STRIP,
     "emb_hash_vectors": _ORACLE_EMB_HASH,
     "corpus_curate_emb": _ORACLE_CURATE_EMB,
+    "ts_tokens_bpe": _ORACLE_TOKENS_BPE,
 }
 
 # generated oracle: the pagerank recurrence unrolled as a CTE chain

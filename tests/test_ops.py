@@ -1584,3 +1584,30 @@ def test_curate_near_routes_converge(spark):
     assert len(jac) > 0
     with pytest.raises(ValueError, match="unknown near-dup route"):
         corpus.curate_near(docs, route="bogus")
+
+
+def test_token_pieces_hand_counts(spark):
+    """Hand-counted GPT-2-pre-tokenizer pieces: contractions split,
+    numbers split from letters, punctuation runs group, leading
+    spaces attach to the following piece, whitespace-only/empty
+    texts count zero."""
+    from extract_kit_spark.ops import textstats
+    docs = spark.createDataFrame([
+        # pieces: [I]["'ll"][ pay][ 12][ dollars][,][ right][-][now][!]
+        (1, "I'll pay 12 dollars, right-now!"),
+        (2, "hello   world"),     # [hello][ world] (run skipped)
+        (3, "a1b2"),              # [a][1][b][2]
+        (4, "   "),               # whitespace only
+        (5, ""),
+    ], "doc_id long, text string")
+    got = {r.doc_id: r for r in textstats.token_pieces(docs).collect()}
+    assert got[1].n_pieces == 10
+    assert got[1].n_tokens_ws == 5
+    assert got[1].n_word_pieces == 6   # I, ll, pay, dollars, right, now
+    assert got[1].n_number_pieces == 1
+    assert got[2].n_pieces == 2 and got[2].n_tokens_ws == 2
+    assert got[3].n_pieces == 4 and got[3].n_word_pieces == 2 \
+        and got[3].n_number_pieces == 2
+    assert got[4].n_pieces == 0 and got[4].n_tokens_ws == 0
+    assert got[4].pieces_per_token == 0.0
+    assert got[5].n_pieces == 0

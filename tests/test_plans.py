@@ -463,3 +463,11 @@ def test_dup_strip_is_jvm_only_no_single_partition(spark):
     plan = _plan(QUERIES["ts_dup_strip"](spark, SF_DIR))
     assert "InPandas" not in plan and "EvalPython" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_tokens_bpe_is_jvm_only(spark):
+    """BPE-ish piece counting must ride the scan: four regexp_count
+    expressions, whole-stage codegen, no Python node, no Exchange."""
+    plan = _plan(QUERIES["ts_tokens_bpe"](spark, SF_DIR))
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    assert "Exchange" not in plan
