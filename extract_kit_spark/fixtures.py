@@ -1793,6 +1793,13 @@ def gen_robots_row(d_idx: int, seed: int = SEED) -> dict:
     # …and a decoy group for some OTHER crawler that must be ignored
     if rng.random() < 0.2:
         lines += ["", "User-agent: megabot", "Disallow: /"]
+    # r5b: global Sitemap directives (never group-scoped), drawn after
+    # every earlier draw so all prior rules stay byte-identical
+    if rng.random() < 0.6:
+        lines += ["", f"Sitemap: https://{domain}/sitemap.xml"]
+        if rng.random() < 0.3:
+            lines.append(
+                f"Sitemap: https://{domain}/sitemap-{rng.choice(WORDS)}.xml")
     return {"domain": domain, "robots_txt": "\n".join(lines) + "\n"}
 
 

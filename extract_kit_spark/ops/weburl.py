@@ -369,6 +369,29 @@ def robots_gate(pages: DataFrame, robots: DataFrame,
                     "allow_len", "disallow_len"))
 
 
+_ROBOTS_SITEMAP_RE = r"(?i)^sitemap:\s*(\S+)"
+
+
+def robots_sitemaps(robots: DataFrame, domain_col: str = "domain",
+                    txt_col: str = "robots_txt") -> DataFrame:
+    """(domain, sitemap_url) from `Sitemap:` lines — per RFC 9309 §2.3
+    / sitemaps.org these are NOT group-scoped (they apply to every
+    crawler regardless of User-agent groups), so no group selection
+    runs: one regexp over the exploded lines, distinct per domain.
+    This is the discovery hook that feeds sitemap_urls/sitemap_frontier
+    without out-of-band sitemap location config."""
+    lines = robots.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(F.split(F.col(txt_col), "\n")).alias("line"))
+    return (lines
+            .select("domain",
+                    F.nullif(F.regexp_extract(
+                        "line", _ROBOTS_SITEMAP_RE, 1), F.lit(""))
+                    .alias("sitemap_url"))
+            .where(F.col("sitemap_url").isNotNull())
+            .distinct())
+
+
 def robots_crawl_delays(robots: DataFrame, domain_col: str = "domain",
                         txt_col: str = "robots_txt",
                         ua_token: str = ROBOTS_UA_TOKEN) -> DataFrame:

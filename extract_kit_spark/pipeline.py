@@ -547,7 +547,9 @@ def filter_not_done(pages: DataFrame, done: DataFrame) -> DataFrame:
 def curate_extracted(spark: SparkSession, output_dir: str,
                      min_quality: float = 0.5,
                      langs: tuple[str, ...] = ("en",),
-                     jaccard_max_df: int = 100) -> dict:
+                     jaccard_max_df: int = 100,
+                     strip_dup_spans: bool = False,
+                     route: str = "jaccard") -> dict:
     """Maintenance pass: run the full corpus-curation pipeline
     (quality/lang gate → exact dedup → near-dup removal → deterministic
     split) over an existing extraction table's ok rows and write the
@@ -576,7 +578,9 @@ def curate_extracted(spark: SparkSession, output_dir: str,
     from .ops import corpus
     cur = corpus.curate_near(docs.select("doc_id", "text"),
                              min_quality=min_quality, langs=langs,
-                             max_df=jaccard_max_df)
+                             max_df=jaccard_max_df,
+                             strip_dup_spans=strip_dup_spans,
+                             route=route)
     out = cur.join(docs.select("doc_id", "url"), "doc_id")
     dest = os.path.join(output_dir, "curated")
     out.write.mode("overwrite").parquet(dest)

@@ -113,7 +113,8 @@ def ensure_meta_pages(path: str = META_PAGES_PATH,
 # domain (fixtures.gen_robots_row) ----------------------------------
 # v3: +RFC 9309 cases — wildcard/'$' rules, named-'EkBot' groups,
 # stacked UA headers, decoy groups for other crawlers
-ROBOTS_PATH = "/tmp/ekspark_robots_v3.parquet"
+# v4: +global Sitemap: directives (60% of domains, some with two)
+ROBOTS_PATH = "/tmp/ekspark_robots_v4.parquet"
 
 
 def ensure_robots(path: str = ROBOTS_PATH) -> str:
@@ -3096,6 +3097,27 @@ agg AS (SELECT domain,
 """
 
 
+def q_web_robots_sitemaps(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt (weburl.robots_sitemaps):
+    global `Sitemap:` directives — group-UNscoped per RFC 9309 §2.3,
+    so the parse is one regexp over the exploded lines, distinct per
+    domain. Feeds sitemap_urls/sitemap_frontier without out-of-band
+    sitemap location config."""
+    ensure_robots()
+    return weburl.robots_sitemaps(spark.read.parquet(ROBOTS_PATH))
+
+
+_ORACLE_ROBOTS_SITEMAPS = f"""
+SELECT DISTINCT domain,
+       regexp_extract(line, '(?i)^sitemap:\\s*(\\S+)', 1)
+           AS sitemap_url
+FROM (SELECT domain, unnest(split(robots_txt, chr(10))) AS line
+      FROM read_parquet('{ROBOTS_PATH}'))
+WHERE regexp_matches(line, '(?i)^sitemap:')
+"""
+
+
 def q_web_politeness_schedule(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Per-domain fetch schedule honoring Crawl-delay
@@ -3359,6 +3381,7 @@ QUERIES = {
     "emb_hash_vectors": q_emb_hash_vectors,
     "corpus_curate_emb": q_corpus_curate_emb,
     "ts_tokens_bpe": q_ts_tokens_bpe,
+    "web_robots_sitemaps": q_web_robots_sitemaps,
 }
 
 # Committed golden registries for the deterministic-approximate
@@ -3502,6 +3525,7 @@ ORACLES = {
     "emb_hash_vectors": _ORACLE_EMB_HASH,
     "corpus_curate_emb": _ORACLE_CURATE_EMB,
     "ts_tokens_bpe": _ORACLE_TOKENS_BPE,
+    "web_robots_sitemaps": _ORACLE_ROBOTS_SITEMAPS,
 }
 
 # generated oracle: the pagerank recurrence unrolled as a CTE chain

@@ -73,6 +73,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--langs", default="en",
                    help="comma-separated language allowlist for "
                         "--curate")
+    p.add_argument("--strip-dup-spans", action="store_true",
+                   help="--curate: delete cross-document duplicated "
+                        "spans (RefinedWeb exact-substring dedup) "
+                        "before the quality gate")
+    p.add_argument("--near-dup-route", default="jaccard",
+                   choices=("jaccard", "embedding"),
+                   help="--curate: near-duplicate pair stage - "
+                        "n-gram-Jaccard inverted index (default) or "
+                        "in-engine hash embeddings + cosine")
     p.add_argument("--output", required=True,
                    help="output table dir (data/ + lineage/ + manifest)")
     p.add_argument("--job-id", default=None,
@@ -179,7 +188,9 @@ def main(argv: list[str] | None = None) -> int:
         try:
             summary = curate_extracted(
                 spark, args.output, min_quality=args.min_quality,
-                langs=tuple(x for x in args.langs.split(",") if x))
+                langs=tuple(x for x in args.langs.split(",") if x),
+                strip_dup_spans=args.strip_dup_spans,
+                route=args.near_dup_route)
             print(json.dumps(summary), flush=True)
             return 0
         finally:

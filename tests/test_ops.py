@@ -1611,3 +1611,22 @@ def test_token_pieces_hand_counts(spark):
     assert got[4].n_pieces == 0 and got[4].n_tokens_ws == 0
     assert got[4].pieces_per_token == 0.0
     assert got[5].n_pieces == 0
+
+
+def test_robots_sitemaps_group_unscoped(spark):
+    """Sitemap: directives are global per RFC 9309 2.3 — extracted no
+    matter which User-agent group encloses them, case-insensitive,
+    deduplicated."""
+    from extract_kit_spark.ops import weburl
+    robots = spark.createDataFrame([
+        ("d1.com", "User-agent: megabot\nDisallow: /\n"
+                   "sitemap: https://d1.com/a.xml\n"
+                   "User-agent: *\nAllow: /\n"
+                   "SITEMAP: https://d1.com/b.xml\n"
+                   "Sitemap: https://d1.com/a.xml\n"),  # dup collapses
+        ("d2.com", "User-agent: *\nDisallow: /x\n"),    # none
+    ], "domain string, robots_txt string")
+    got = {(r.domain, r.sitemap_url)
+           for r in weburl.robots_sitemaps(robots).collect()}
+    assert got == {("d1.com", "https://d1.com/a.xml"),
+                   ("d1.com", "https://d1.com/b.xml")}

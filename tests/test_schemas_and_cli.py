@@ -186,3 +186,17 @@ def test_cli_manifest_mode(spark, tmp_path):
         f"WHERE status = 'ok'").fetchone()[0]
     assert int(got[0]) == n_ok
     assert abs(got[1] - 1.0) < 1e-9
+
+
+def test_cli_curate_route_flags():
+    """--strip-dup-spans / --near-dup-route parse and validate."""
+    import pytest
+    ok = parse_args(["--curate", "--output", "/y",
+                     "--strip-dup-spans",
+                     "--near-dup-route", "embedding"])
+    assert ok.strip_dup_spans and ok.near_dup_route == "embedding"
+    assert parse_args(["--curate", "--output", "/y"]) \
+        .near_dup_route == "jaccard"
+    with pytest.raises(SystemExit):
+        parse_args(["--curate", "--output", "/y",
+                    "--near-dup-route", "bogus"])
