@@ -179,6 +179,120 @@ def decode_image_pixels(df: DataFrame, id_col: str = "media_id",
             .mapInPandas(decode, schema=IMAGE_DECODE_SCHEMA))
 
 
+THUMB_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("thumb_w", T.IntegerType()),
+    T.StructField("thumb_h", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("thumb_sha256", T.StringType()),
+    T.StructField("channel_means", T.ArrayType(T.LongType())),
+    T.StructField("decode_status", T.StringType()),
+])
+
+
+def _nearest_resize(pixels: bytes, w: int, h: int, ch: int,
+                    max_side: int) -> tuple[bytes, int, int]:
+    """Nearest-neighbor downscale so max(side) <= max_side (never
+    upscales). Pure integer source-index math — floor(i * src / dst)
+    — so the thumbnail bytes are an exact function of the pixels."""
+    if max(w, h) <= max_side:
+        return pixels, w, h
+    if w >= h:
+        tw = max_side
+        th = max(1, (h * max_side) // w)
+    else:
+        th = max_side
+        tw = max(1, (w * max_side) // h)
+    out = bytearray(tw * th * ch)
+    for y in range(th):
+        sy = (y * h) // th
+        src_row = sy * w * ch
+        dst_row = y * tw * ch
+        for x in range(tw):
+            sx = (x * w) // tw
+            s = src_row + sx * ch
+            d = dst_row + x * ch
+            out[d:d + ch] = pixels[s:s + ch]
+    return bytes(out), tw, th
+
+
+def thumbnail_images(df: DataFrame, id_col: str = "media_id",
+                     bin_col: str = "payload",
+                     max_side: int = 8) -> DataFrame:
+    """Decode → RESIZE → feature-extract, the full image-normalization
+    stage of a multimodal ingest (the reference's image-optimization
+    pipeline resizes before its vision call — `image-optimization.ts`
+    — this is the deterministic in-engine analogue): PNG/JPEG payloads
+    decode with the stdlib codecs, downscale nearest-neighbor to
+    ``max_side`` (integer index math, never upscaled), and emit the
+    thumbnail pixel hash plus per-channel mean (floor of the integer
+    average — the cheapest useful embedding-ish feature, and exactly
+    reproducible). Failure rows carry the same typed statuses as
+    decode_image_pixels.
+
+    Scale shape: per-row independent Arrow-batched Python after
+    JVM-side pruning (media_metadata_sql), like decode_image_pixels;
+    the thumbnail bound caps the output row size regardless of input
+    dimensions."""
+    import hashlib
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col].tolist(),
+                                    pdf[bin_col].tolist()):
+                payload = payload or b""
+                row = {"media_id": int(mid), "fmt": None,
+                       "width": None, "height": None, "thumb_w": None,
+                       "thumb_h": None, "channels": None,
+                       "thumb_sha256": None, "channel_means": None,
+                       "decode_status": None}
+                img = None
+                if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+                    row["fmt"] = "png"
+                    try:
+                        img = _png.decode_png(payload)
+                    except _png.PngError as e:
+                        row["decode_status"] = f"corrupt: {e}"
+                elif payload.startswith(b"\xff\xd8"):
+                    row["fmt"] = "jpeg"
+                    try:
+                        img = _jpeg.decode_jpeg(payload)
+                    except _jpeg.JpegError as e:
+                        row["decode_status"] = f"corrupt: {e}"
+                else:
+                    row["decode_status"] = "unsupported"
+                if img is not None:
+                    ch = img["channels"]
+                    thumb, tw, th = _nearest_resize(
+                        img["pixels"], img["width"], img["height"],
+                        ch, max_side)
+                    n_px = tw * th
+                    means = []
+                    for c in range(ch):
+                        means.append(sum(thumb[c::ch]) // n_px)
+                    row.update({
+                        "width": img["width"],
+                        "height": img["height"],
+                        "thumb_w": tw, "thumb_h": th, "channels": ch,
+                        "thumb_sha256": hashlib.sha256(
+                            thumb).hexdigest(),
+                        "channel_means": means,
+                        "decode_status": "ok"})
+                rows.append(row)
+            out = pd.DataFrame(rows)
+            for c in ("width", "height", "thumb_w", "thumb_h",
+                      "channels"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return (df.select(F.col(id_col).cast("long").alias(id_col), bin_col)
+            .mapInPandas(work, schema=THUMB_SCHEMA))
+
+
 def frame_sample_plan(df: DataFrame, id_col: str, bin_col: str,
                       frame_stride: int = 1024) -> DataFrame:
     """Video-frame sampling plan: byte offsets every ``frame_stride``

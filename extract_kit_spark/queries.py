@@ -1457,20 +1457,27 @@ def _synth_png(doc_id: int, text: str) -> bytes:
     return payload
 
 
-def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode end-to-end: synthesize a deterministic PNG
-    per document (Arrow batch stage), then decode with the stdlib
-    codec — true dims + pixel sha256, typed corrupt/unsupported rows.
-    Both stages are mapInPandas over the same scan: no shuffle."""
+def _synth_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → deterministic (media_id, payload) media table via
+    _synth_png (Arrow batch stage, no shuffle)."""
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame({
                 "media_id": pdf["doc_id"].astype("int64"),
                 "payload": [_synth_png(int(i), t) for i, t in
                             zip(pdf["doc_id"], pdf["text"])]})
-    docs = (_read_parallel(spark, _t(sf_dir, "documents"))
+    return (_read_parallel(spark, _t(sf_dir, "documents"))
             .select("doc_id", "text")
             .mapInPandas(synth, schema="media_id long, payload binary"))
+
+
+def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: synthesize a deterministic
+    PNG/JPEG per document (Arrow batch stage), then decode with the
+    stdlib codecs — true dims + pixel sha256, typed corrupt/
+    unsupported rows. Both stages are mapInPandas over the same scan:
+    no shuffle."""
+    docs = _synth_media_df(spark, sf_dir)
     out = multimodal.decode_image_pixels(docs, "media_id", "payload")
     # sentinel-coalesce the failure-row nulls: the hash compare sorts
     # values, and None breaks total ordering; the op itself keeps
@@ -1483,6 +1490,30 @@ def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("bit_depth", F.lit(-1)).alias("bit_depth"),
         F.coalesce("channels", F.lit(-1)).alias("channels"),
         F.coalesce("pixel_sha256", F.lit("")).alias("pixel_sha256"),
+        "decode_status")
+
+
+def q_mm_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → nearest-neighbor resize (max side 8, never upscaled)
+    → feature extract (thumbnail pixel sha256 + integer per-channel
+    means) over the synthetic media table — the image-normalization
+    stage of a multimodal ingest, deterministic end-to-end (committed
+    golden registry, like mm_decode; resize index math pinned by hand
+    cases in test_ops)."""
+    docs = _synth_media_df(spark, sf_dir)
+    out = multimodal.thumbnail_images(docs, "media_id", "payload",
+                                      max_side=8)
+    return out.select(
+        "media_id",
+        F.coalesce("fmt", F.lit("")).alias("fmt"),
+        F.coalesce("width", F.lit(-1)).alias("width"),
+        F.coalesce("height", F.lit(-1)).alias("height"),
+        F.coalesce("thumb_w", F.lit(-1)).alias("thumb_w"),
+        F.coalesce("thumb_h", F.lit(-1)).alias("thumb_h"),
+        F.coalesce("channels", F.lit(-1)).alias("channels"),
+        F.coalesce("thumb_sha256", F.lit("")).alias("thumb_sha256"),
+        F.coalesce("channel_means",
+                   F.array().cast("array<long>")).alias("channel_means"),
         "decode_status")
 
 
@@ -3382,6 +3413,7 @@ QUERIES = {
     "corpus_curate_emb": q_corpus_curate_emb,
     "ts_tokens_bpe": q_ts_tokens_bpe,
     "web_robots_sitemaps": q_web_robots_sitemaps,
+    "mm_thumbnail": q_mm_thumbnail,
 }
 
 # Committed golden registries for the deterministic-approximate
@@ -3437,6 +3469,15 @@ _ORACLE_MM_DECODE = _approx_golden_oracle(
     "width::INTEGER AS width, height::INTEGER AS height, "
     "bit_depth::INTEGER AS bit_depth, channels::INTEGER AS channels, "
     "pixel_sha256, decode_status")
+
+
+_ORACLE_MM_THUMBNAIL = _approx_golden_oracle(
+    "mm_thumbnail",
+    "media_id::BIGINT AS media_id, fmt, "
+    "width::INTEGER AS width, height::INTEGER AS height, "
+    "thumb_w::INTEGER AS thumb_w, thumb_h::INTEGER AS thumb_h, "
+    "channels::INTEGER AS channels, thumb_sha256, "
+    "channel_means::BIGINT[] AS channel_means, decode_status")
 
 
 _ORACLE_EVT_QUANTILES_APPROX = _approx_golden_oracle(
@@ -3526,6 +3567,7 @@ ORACLES = {
     "corpus_curate_emb": _ORACLE_CURATE_EMB,
     "ts_tokens_bpe": _ORACLE_TOKENS_BPE,
     "web_robots_sitemaps": _ORACLE_ROBOTS_SITEMAPS,
+    "mm_thumbnail": _ORACLE_MM_THUMBNAIL,
 }
 
 # generated oracle: the pagerank recurrence unrolled as a CTE chain

@@ -44,7 +44,10 @@ QUERY_NAMES = ("dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk",
                # expressible (zlib inflate + PNG unfilter), so it uses
                # the same registry mechanism; codec correctness is
                # pinned independently in tests/test_kernels.py
-               "mm_decode")
+               # mm_thumbnail: same mechanism (decode→resize→features
+               # is deterministic but not SQL; resize math pinned in
+               # test_ops)
+               "mm_decode", "mm_thumbnail")
 
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
 

@@ -1630,3 +1630,51 @@ def test_robots_sitemaps_group_unscoped(spark):
            for r in weburl.robots_sitemaps(robots).collect()}
     assert got == {("d1.com", "https://d1.com/a.xml"),
                    ("d1.com", "https://d1.com/b.xml")}
+
+
+def test_thumbnail_resize_hand_cases(spark):
+    """Nearest-neighbor resize pinned by hand: a 4x2 gray image to
+    max_side 2 picks source indices floor(i*src/dst); images already
+    within the bound pass through untouched; channel means are exact
+    integer floors; failure rows stay typed."""
+    import hashlib
+    from extract_kit_spark.kernels import png
+    from extract_kit_spark.ops import multimodal
+    from extract_kit_spark.ops.multimodal import _nearest_resize
+
+    # hand case: 4x2, 1 ch, max_side 2 -> thumb 2x1:
+    #   sx = floor(x*4/2) = 0,2 ; sy = floor(y*2/1) = 0
+    px = bytes([10, 20, 30, 40,
+                50, 60, 70, 80])
+    thumb, tw, th = _nearest_resize(px, 4, 2, 1, 2)
+    assert (tw, th) == (2, 1)
+    assert thumb == bytes([10, 30])
+    # never upscale
+    assert _nearest_resize(px, 4, 2, 1, 8) == (px, 4, 2)
+    # tall image: 2x4 -> 1x2, sy = 0,2
+    px_t = bytes([1, 2,
+                  3, 4,
+                  5, 6,
+                  7, 8])
+    thumb, tw, th = _nearest_resize(px_t, 2, 4, 1, 2)
+    assert (tw, th) == (1, 2)
+    assert thumb == bytes([1, 5])
+
+    # through Spark: a 16x4 RGB image (known bytes) to max_side 8
+    w, h = 16, 4
+    pixels = bytes((3 * i + c) % 256 for i in range(w * h)
+                   for c in range(3))
+    good = png.encode_png(w, h, pixels, 2, filter_type=1)
+    rows = [(1, good), (2, b"GIF89a"), (3, good[:-5])]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in multimodal.thumbnail_images(
+        df, max_side=8).collect()}
+    ok = out[1]
+    assert (ok.width, ok.height, ok.thumb_w, ok.thumb_h) == (16, 4, 8, 2)
+    want, tw, th = _nearest_resize(pixels, 16, 4, 3, 8)
+    assert ok.thumb_sha256 == hashlib.sha256(want).hexdigest()
+    n_px = tw * th
+    assert list(ok.channel_means) == [sum(want[c::3]) // n_px
+                                      for c in range(3)]
+    assert out[2].decode_status == "unsupported"
+    assert out[3].decode_status.startswith("corrupt")
