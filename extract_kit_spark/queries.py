@@ -1398,6 +1398,80 @@ FROM vec v LEFT JOIN ngr USING (doc_id)
 """
 
 
+def q_ann_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search END-TO-END FROM TEXT: hash-embed the
+    documents in-engine (similarity.hash_embed) and run the exact
+    brute-force cosine top-k over the produced vectors — no
+    pre-computed embeddings table anywhere. The oracle recomputes the
+    embedding arithmetic AND the all-pairs ranking in SQL, so the
+    whole text→vector→neighbors path is hash-pinned."""
+    docs = _read_parallel(spark, _t(sf_dir, "documents"))
+    emb = similarity.hash_embed(docs).where(F.col("n_grams") > 0)
+    queries = emb.where(F.col("doc_id") < N_ANN_QUERIES)
+    return similarity.cosine_topk(emb, queries, k=ANN_K,
+                                  id_col="doc_id",
+                                  vec_col="embedding")
+
+
+def _emb_hash_ctes(src_cte: str) -> str:
+    """The hash_embed arithmetic as DuckDB CTEs over a (doc_id, text)
+    CTE named ``src_cte`` — shared by the ann-from-text oracle (and
+    mirroring the inline block in _ORACLE_EMB_HASH / the curate-emb
+    oracle). Final CTE: evec(doc_id, embedding)."""
+    return f"""
+eg AS (SELECT doc_id, substring(nt, i, {similarity.EMB_NGRAM}) AS g
+       FROM {src_cte}, unnest(generate_series(
+           1, greatest(length(nt) - {similarity.EMB_NGRAM} + 1, 0)))
+           AS t(i)),
+eh AS (SELECT doc_id,
+         (('0x' || substring(md5('emb-v1:' || g), 1, 8))::BIGINT
+             % {similarity.EMB_DIM}) AS bucket,
+         (1 - 2 * (('0x' || substring(md5('emb-v1:' || g), 9, 1))
+             ::BIGINT % 2)) AS sign
+       FROM eg),
+esp AS (SELECT doc_id, bucket, sum(sign)::BIGINT AS v
+        FROM eh GROUP BY doc_id, bucket),
+edims AS (SELECT unnest(range({similarity.EMB_DIM})) AS b),
+edv AS (SELECT s.doc_id, edims.b, coalesce(esp.v, 0)::BIGINT AS v
+        FROM {src_cte} s CROSS JOIN edims
+        LEFT JOIN esp ON esp.doc_id = s.doc_id
+                     AND esp.bucket = edims.b),
+esq AS (SELECT doc_id, sum(v * v)::BIGINT AS sumsq
+        FROM edv GROUP BY doc_id),
+evec AS (SELECT edv.doc_id,
+           list(CASE WHEN esq.sumsq = 0 THEN 0.0
+                ELSE floor({similarity.EMB_SCALE} * edv.v
+                           / sqrt(esq.sumsq::DOUBLE) + 0.5)
+                     / {similarity.EMB_SCALE} END ORDER BY edv.b)
+               AS embedding,
+           max(esq.sumsq) AS sumsq
+         FROM edv JOIN esq USING (doc_id) GROUP BY edv.doc_id)"""
+
+
+_ORACLE_ANN_TEXT = f"""
+WITH ed AS (SELECT doc_id,
+              lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+            FROM documents),
+{_emb_hash_ctes('ed')},
+ev AS (SELECT doc_id, embedding FROM evec WHERE sumsq > 0),
+q AS (SELECT doc_id AS qid, embedding AS qv FROM ev
+      WHERE doc_id < {N_ANN_QUERIES}),
+c AS (SELECT doc_id AS nid, embedding AS cv FROM ev),
+s AS (SELECT qid, nid,
+        round(list_dot_product(qv, cv)
+              / (sqrt(list_dot_product(qv, qv))
+                 * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+      FROM q, c WHERE nid != qid),
+r AS (SELECT qid, nid, cosine,
+        row_number() OVER (PARTITION BY qid
+                           ORDER BY cosine DESC, nid ASC) AS rank
+      FROM s)
+SELECT qid::BIGINT AS query_id, nid::BIGINT AS neighbor_id, cosine,
+       rank::INTEGER AS rank
+FROM r WHERE rank <= {ANN_K}
+"""
+
+
 # -- multimodal -----------------------------------------------------------------
 
 def q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3414,6 +3488,7 @@ QUERIES = {
     "ts_tokens_bpe": q_ts_tokens_bpe,
     "web_robots_sitemaps": q_web_robots_sitemaps,
     "mm_thumbnail": q_mm_thumbnail,
+    "ann_text_topk": q_ann_text_topk,
 }
 
 # Committed golden registries for the deterministic-approximate
@@ -3568,6 +3643,7 @@ ORACLES = {
     "ts_tokens_bpe": _ORACLE_TOKENS_BPE,
     "web_robots_sitemaps": _ORACLE_ROBOTS_SITEMAPS,
     "mm_thumbnail": _ORACLE_MM_THUMBNAIL,
+    "ann_text_topk": _ORACLE_ANN_TEXT,
 }
 
 # generated oracle: the pagerank recurrence unrolled as a CTE chain
