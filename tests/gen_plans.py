@@ -112,6 +112,22 @@ SECTIONS = [
      "window and NO SinglePartition exchange — with per-domain "
      "sources the aggregated frame itself is ~10^8 rows at 10^12 "
      "pages."),
+    ("ts_dup_strip",
+     "Dup-span REMOVAL (r5): gram discovery rides the scan exactly "
+     "like the coverage op; merged intervals come from a skinny "
+     "(doc_id, pos) window; the payload crosses exactly ONE Exchange "
+     "(the per-doc id join) and the rewrite is a JVM HOF filter — no "
+     "Python, no SinglePartition."),
+    ("emb_hash_vectors",
+     "Hash embedder (r5): gram build + md5 bucket/sign are JVM "
+     "expressions; the explode feeds a 2-phase (id, bucket) "
+     "HashAggregate — map-side combine caps shuffle volume at "
+     "O(docs·dim) regardless of text length; densify/normalize are "
+     "per-row HOFs. No Python."),
+    ("ts_tokens_bpe",
+     "BPE-ish token counting (r5): four regexp_count expressions in "
+     "one whole-stage-codegen projection riding the scan — NO "
+     "Exchange, no Python."),
 ]
 
 
