@@ -404,7 +404,7 @@ HEADLINE = ("ext_invoice_fields", "ext_pdf_invoice_fields",
             "web_url_dedup", "web_domain_cap", "web_blocklist",
             "web_outlinks", "web_pagerank", "web_html_meta",
             "web_canonical_collapse", "web_anchor_stats",
-            "web_robots_rules", "web_robots_gate",
+            "web_robots_rules", "web_robots_gate", "web_robots_sitemaps",
             "web_politeness_schedule", "web_sitemap_urls",
             "web_sitemap_frontier", "web_crawl_plan",
             "warc_read", "warc_fetch", "ext_spans_digest",

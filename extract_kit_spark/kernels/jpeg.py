@@ -103,6 +103,13 @@ class JpegError(ValueError):
     a typed 'unsupported'/'corrupt' status, never a crash."""
 
 
+#: Decode-bomb guard: a corrupt/hostile SOF can declare 65535x65535
+#: (12 GB of planes) while carrying no real data — an executor-OOM
+#: vector in a decode task. 64 MPx covers any real web image; larger
+#: frames quarantine as typed errors before any allocation.
+MAX_PIXELS = 64 << 20
+
+
 def _clamp(v: int) -> int:
     return 0 if v < 0 else (255 if v > 255 else v)
 
@@ -362,6 +369,8 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac,
     w, h, comps = frame["w"], frame["h"], frame["comps"]
     if w == 0 or h == 0:
         raise JpegError("zero dimension")
+    if w * h > MAX_PIXELS:
+        raise JpegError(f"frame too large: {w}x{h} > {MAX_PIXELS} px")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)

@@ -38,6 +38,14 @@ class PngError(ValueError):
     typed 'unsupported'/'corrupt' status, never a crash."""
 
 
+#: Decode-bomb guard (r5): a hostile IHDR can declare 2^31-px dims, and
+#: a 100 KB IDAT can inflate to GBs (zip bomb) — both executor-OOM
+#: vectors in a decode task. Dimensions are capped BEFORE any
+#: allocation and the inflate is byte-bounded to the declared raster
+#: size, so memory is O(declared image), never O(attacker's choice).
+MAX_PIXELS = 64 << 20
+
+
 def _chunk(tag: bytes, body: bytes) -> bytes:
     return (struct.pack(">I", len(body)) + tag + body
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
@@ -133,12 +141,20 @@ def decode_png(payload: bytes) -> dict:
         pos += 12 + ln
     if width is None or not seen_end:
         raise PngError("missing IHDR or IEND")
+    if width * height > MAX_PIXELS:
+        raise PngError(
+            f"image too large: {width}x{height} > {MAX_PIXELS} px")
+    stride = width * ch
+    expected = (stride + 1) * height
+    d = zlib.decompressobj()
     try:
-        raw = zlib.decompress(bytes(idat))
+        # byte-bounded inflate: never materializes more than the
+        # declared raster + 1 probe byte, whatever the IDAT claims
+        raw = d.decompress(bytes(idat), expected + 1)
     except zlib.error as e:
         raise PngError(f"idat inflate failed: {e}") from None
-    stride = width * ch
-    if len(raw) != (stride + 1) * height:
+    if len(raw) != expected or d.unconsumed_tail \
+            or d.decompress(b"", 1):
         raise PngError("decompressed size mismatch")
     out = bytearray()
     prev = bytes(stride)

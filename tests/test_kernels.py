@@ -1564,3 +1564,72 @@ def test_jpeg_rejects_out_of_scope_typed():
     bad = enc[:i + 4] + bytes([12]) + enc[i + 5:]
     with pytest.raises(jpeg.JpegError, match="precision"):
         jpeg.decode_jpeg(bad)
+
+
+def test_image_decode_bomb_guards():
+    """Hostile headers must quarantine BEFORE allocation: a JPEG SOF
+    declaring 65535x65535, a PNG IHDR declaring giant dims, and a PNG
+    zip-bomb IDAT (tiny compressed, huge inflated) all raise typed
+    errors with O(declared-small-image) memory."""
+    import struct
+    import zlib
+    import pytest
+    from extract_kit_spark.kernels import jpeg, png
+
+    enc = jpeg.encode_jpeg(8, 8, bytes([50] * 64), 1, 90)
+    i = enc.index(b"\xff\xc0")
+    huge = enc[:i + 5] + struct.pack(">HH", 65535, 65535) + enc[i + 9:]
+    with pytest.raises(jpeg.JpegError, match="too large"):
+        jpeg.decode_jpeg(huge)
+
+    good = png.encode_png(4, 4, bytes(range(48)), 2)
+    j = good.index(b"IHDR") + 4
+    bomb_hdr = bytearray(good)
+    bomb_hdr[j:j + 8] = struct.pack(">II", 60000, 60000)
+    # fix the IHDR crc so the guard (not the crc check) is what fires
+    body = bytes(bomb_hdr[j:j + 13])
+    bomb_hdr[j + 13:j + 17] = struct.pack(
+        ">I", zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF)
+    with pytest.raises(png.PngError, match="too large"):
+        png.decode_png(bytes(bomb_hdr))
+
+    # zip bomb: IDAT inflates to ~64 MB against a 4x4 declared raster
+    bomb_idat = zlib.compress(b"\x00" * (64 << 20), 9)  # ~64 KB
+    out = good[:8]
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    out += png._chunk(b"IHDR", ihdr)
+    out += png._chunk(b"IDAT", bomb_idat)
+    out += png._chunk(b"IEND", b"")
+    with pytest.raises(png.PngError, match="size mismatch"):
+        png.decode_png(out)
+
+
+def test_image_decoders_fuzz_only_typed_errors():
+    """Arbitrary bytes behind the right magic must either decode or
+    raise the codec's typed error — never IndexError/struct.error/
+    KeyError/MemoryError. This is the E5 guarantee the mapInPandas
+    stage relies on to map failures to quarantine rows."""
+    import random
+    from extract_kit_spark.kernels import jpeg, png
+    rng = random.Random(99)
+    enc = jpeg.encode_jpeg(10, 6, bytes([70] * 180), 3, 85)
+    png_enc = png.encode_png(5, 4, bytes(range(60)), 2)
+    for trial in range(400):
+        # mix of pure noise and bit-flipped real files (doctored files
+        # reach much deeper into the parsers than noise does)
+        if trial % 2:
+            base = bytearray(enc if trial % 4 == 1 else png_enc)
+            for _ in range(rng.randint(1, 6)):
+                base[rng.randrange(len(base))] = rng.randrange(256)
+            payload = bytes(base)
+        else:
+            payload = bytes(rng.randrange(256)
+                            for _ in range(rng.randint(0, 120)))
+        try:
+            jpeg.decode_jpeg(b"\xff\xd8" + payload)
+        except jpeg.JpegError:
+            pass
+        try:
+            png.decode_png(b"\x89PNG\r\n\x1a\n" + payload)
+        except png.PngError:
+            pass
