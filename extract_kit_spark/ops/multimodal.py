@@ -1,17 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The DECODE stage is REAL for PNG **and baseline JPEG** — pure-stdlib
-codecs (``kernels.png``: zlib inflate + scanline unfilter,
-CRC-checked; ``kernels.jpeg``: T.81 baseline sequential — Huffman
-entropy decode, dequant, deterministic float IDCT on hard-coded
-constants, 4:2:0/4:2:2 upsampling, T.871 color transform) recover
-true width/height and a hash of the raw pixels, no PIL needed. JPEG
-covers the dominant crawled-web image format; progressive JPEG and
-video/audio return a typed ``unsupported``/``corrupt`` status — never
-garbage — and on a production cluster would be served by shipping
-PIL/ffmpeg via --py-files/conda into the same
-``decode_image_pixels`` batch shape.
+The DECODE stage is REAL for PNG, baseline JPEG, GIF, **and
+RIFF/WAVE audio** — pure-stdlib codecs (``kernels.png``: zlib
+inflate + scanline unfilter, CRC-checked; ``kernels.jpeg``: T.81
+baseline sequential — Huffman entropy decode, dequant, deterministic
+float IDCT on hard-coded constants, 4:2:0/4:2:2 upsampling, T.871
+color transform; ``kernels.gif``: GIF89a LZW + interlace + palette
+expansion; ``kernels.wav``: RIFF chunk walk, PCM/float/EXTENSIBLE)
+recover true dimensions / sample geometry and a hash of the raw
+pixels or frames, no PIL/ffmpeg needed. That covers the three major
+crawled-web image formats plus uncompressed audio; progressive JPEG,
+animated-GIF later frames, and compressed audio/video return a typed
+``unsupported``/``corrupt`` status — never garbage — and on a
+production cluster would be served by shipping PIL/ffmpeg via
+--py-files/conda into the same batch shapes.
 
 At 100 TB the rule encoded here: metadata/filter/plan stages stay in
 JVM expressions (prune first!), only the rows that survive filtering
@@ -28,15 +31,42 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
+from ..kernels import gif as _gif
 from ..kernels import jpeg as _jpeg
 from ..kernels import png as _png
+from ..kernels import wav as _wav
+
+
+def _sniff_image(payload: bytes) -> tuple[str | None, dict | None,
+                                          str | None]:
+    """Shared magic-sniff + decode for the image ops: returns
+    ``(fmt, frame, status)`` where exactly one of frame/status is
+    set for a recognized format, both are None-fmt for unknown magic.
+    One routing table so decode_image_pixels and thumbnail_images
+    can never disagree on format support."""
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        try:
+            return "png", _png.decode_png(payload), None
+        except _png.PngError as e:
+            return "png", None, f"corrupt: {e}"
+    if payload.startswith(b"\xff\xd8"):
+        try:
+            return "jpeg", _jpeg.decode_jpeg(payload), None
+        except _jpeg.JpegError as e:
+            return "jpeg", None, f"corrupt: {e}"
+    if payload.startswith((b"GIF87a", b"GIF89a")):
+        try:
+            return "gif", _gif.decode_gif(payload), None
+        except _gif.GifError as e:
+            return "gif", None, f"corrupt: {e}"
+    return None, None, "unsupported"
 
 
 def decode_available(fmt: str = "png") -> bool:
-    """True when a real decoder exists for ``fmt``. PNG and baseline
-    JPEG are always available (stdlib codecs); other formats would
-    need PIL/ffmpeg shipped to the cluster via --py-files/conda."""
-    if fmt.lower() in ("png", "jpeg", "jpg"):
+    """True when a real decoder exists for ``fmt``. PNG, baseline
+    JPEG, GIF, and WAV are always available (stdlib codecs); other
+    formats would need PIL/ffmpeg shipped via --py-files/conda."""
+    if fmt.lower() in ("png", "jpeg", "jpg", "gif", "wav"):
         return True
     try:
         import PIL  # noqa: F401
@@ -142,23 +172,9 @@ def decode_image_pixels(df: DataFrame, id_col: str = "media_id",
                        "fmt": None, "width": None, "height": None,
                        "bit_depth": None, "channels": None,
                        "pixel_sha256": None, "decode_status": None}
-                if payload.startswith(b"\x89PNG\r\n\x1a\n"):
-                    row["fmt"] = "png"
-                    try:
-                        img = _png.decode_png(payload)
-                    except _png.PngError as e:
-                        row["decode_status"] = f"corrupt: {e}"
-                        img = None
-                elif payload.startswith(b"\xff\xd8"):
-                    row["fmt"] = "jpeg"
-                    try:
-                        img = _jpeg.decode_jpeg(payload)
-                    except _jpeg.JpegError as e:
-                        row["decode_status"] = f"corrupt: {e}"
-                        img = None
-                else:
-                    row["decode_status"] = "unsupported"
-                    img = None
+                fmt, img, status = _sniff_image(payload)
+                row["fmt"] = fmt
+                row["decode_status"] = status
                 if img is not None:
                     row.update({
                         "width": img["width"],
@@ -250,21 +266,9 @@ def thumbnail_images(df: DataFrame, id_col: str = "media_id",
                        "thumb_h": None, "channels": None,
                        "thumb_sha256": None, "channel_means": None,
                        "decode_status": None}
-                img = None
-                if payload.startswith(b"\x89PNG\r\n\x1a\n"):
-                    row["fmt"] = "png"
-                    try:
-                        img = _png.decode_png(payload)
-                    except _png.PngError as e:
-                        row["decode_status"] = f"corrupt: {e}"
-                elif payload.startswith(b"\xff\xd8"):
-                    row["fmt"] = "jpeg"
-                    try:
-                        img = _jpeg.decode_jpeg(payload)
-                    except _jpeg.JpegError as e:
-                        row["decode_status"] = f"corrupt: {e}"
-                else:
-                    row["decode_status"] = "unsupported"
+                fmt, img, status = _sniff_image(payload)
+                row["fmt"] = fmt
+                row["decode_status"] = status
                 if img is not None:
                     ch = img["channels"]
                     thumb, tw, th = _nearest_resize(
@@ -291,6 +295,83 @@ def thumbnail_images(df: DataFrame, id_col: str = "media_id",
 
     return (df.select(F.col(id_col).cast("long").alias(id_col), bin_col)
             .mapInPandas(work, schema=THUMB_SCHEMA))
+
+
+AUDIO_DECODE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("bit_depth", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("pcm_sha256", T.StringType()),
+    T.StructField("decode_status", T.StringType()),
+])
+
+
+def decode_audio(df: DataFrame, id_col: str = "media_id",
+                 bin_col: str = "payload") -> DataFrame:
+    """REAL audio decode over Arrow batches: RIFF/WAVE payloads are
+    parsed with the stdlib codec (``kernels.wav`` — PCM, IEEE float,
+    and WAVE_FORMAT_EXTENSIBLE) and reported with true sample rate /
+    channels / bit depth / frame count plus a sha256 of the raw
+    interleaved sample bytes. Non-RIFF magic → ``'unsupported'``;
+    structural damage or compressed-in-WAV codecs (ADPCM, MP3) →
+    typed ``'corrupt:'``/``'unsupported:'`` rows — never a task
+    failure (E5 1-in-1-out). On a production cluster, compressed
+    formats would ship ffmpeg via --py-files into this same batch
+    shape.
+
+    Scale shape: identical to decode_image_pixels — JVM-side pruning
+    first (media_metadata_sql), then per-row-independent Arrow-batched
+    Python, no shuffle, memory linear in payload bytes (WAV has no
+    decompression amplification, so the only kernel guard is on the
+    chunk walk)."""
+    import hashlib
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col].tolist(),
+                                    pdf[bin_col].tolist()):
+                payload = payload or b""
+                row = {"media_id": int(mid), "n_bytes": len(payload),
+                       "fmt": None, "sample_rate": None,
+                       "channels": None, "bit_depth": None,
+                       "n_samples": None, "duration_ms": None,
+                       "pcm_sha256": None, "decode_status": None}
+                if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                    row["fmt"] = "wav"
+                    try:
+                        snd = _wav.decode_wav(payload)
+                        row.update({
+                            "sample_rate": snd["sample_rate"],
+                            "channels": snd["channels"],
+                            "bit_depth": snd["bit_depth"],
+                            "n_samples": snd["n_samples"],
+                            "duration_ms": snd["duration_ms"],
+                            "pcm_sha256": hashlib.sha256(
+                                snd["samples"]).hexdigest(),
+                            "decode_status": "ok",
+                        })
+                    except _wav.WavError as e:
+                        kind = ("unsupported" if "unsupported" in str(e)
+                                else "corrupt")
+                        row["decode_status"] = f"{kind}: {e}"
+                else:
+                    row["decode_status"] = "unsupported"
+                rows.append(row)
+            out = pd.DataFrame(rows)
+            for c in ("sample_rate", "channels", "bit_depth"):
+                out[c] = out[c].astype("Int32")
+            for c in ("n_samples", "duration_ms"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return (df.select(F.col(id_col).cast("long").alias(id_col), bin_col)
+            .mapInPandas(decode, schema=AUDIO_DECODE_SCHEMA))
 
 
 def frame_sample_plan(df: DataFrame, id_col: str, bin_col: str,

@@ -1498,11 +1498,14 @@ def _synth_png(doc_id: int, text: str) -> bytes:
     with doc_id so every inverse-filter path and channel count is
     exercised); every 23rd doc gets a REAL baseline JPEG instead
     (r5 — gray/color, 4:4:4 vs 4:2:0, and restart intervals all cycle
-    so every decoder path runs), every 69th a truncated JPEG and
-    every 17th a truncated PNG, pinning the typed corrupt statuses.
-    Everything is a pure function of (doc_id, text)."""
+    so every decoder path runs), every 31st a REAL GIF (r5 — palette
+    size / interlace / version cycle; every 93rd truncated mid-LZW),
+    every 37th a WebP-magic payload (no stdlib decoder → typed
+    unsupported), every 69th a truncated JPEG and every 17th a
+    truncated PNG, pinning the typed corrupt statuses. Everything is
+    a pure function of (doc_id, text)."""
     import hashlib
-    from .kernels import jpeg, png
+    from .kernels import gif, jpeg, png
     seed = hashlib.sha256(f"{doc_id}:{text[:64]}".encode()).digest()
     if doc_id % 23 == 0:
         ch = 1 if doc_id % 2 else 3
@@ -1517,7 +1520,21 @@ def _synth_png(doc_id: int, text: str) -> bytes:
             return payload[:len(payload) // 2]  # mid-scan truncation
         return payload
     if doc_id % 31 == 0 and doc_id > 0:
-        return b"GIF89a" + seed  # unknown magic → typed unsupported
+        npal = (4, 16, 64, 256)[doc_id % 4]
+        pal = [(seed[i % 32], seed[(i * 3 + 1) % 32],
+                seed[(i * 7 + 2) % 32]) for i in range(npal)]
+        w, h = 5 + doc_id % 19, 4 + doc_id % 11
+        idx = bytes(seed[(i * 11 + 3) % 32] % npal
+                    for i in range(w * h))
+        payload = gif.encode_gif(
+            w, h, idx, pal, interlace=bool(doc_id % 2),
+            version=b"87a" if doc_id % 3 == 0 else b"89a")
+        if doc_id % 93 == 0:
+            return payload[:len(payload) * 2 // 3]  # mid-LZW cut
+        return payload
+    if doc_id % 37 == 0 and doc_id > 0:
+        # WebP magic: recognized by no stdlib codec → 'unsupported'
+        return b"RIFF" + seed[:4] + b"WEBPVP8 " + seed
     color_type = (0, 2, 6)[doc_id % 3]
     ch = {0: 1, 2: 3, 6: 4}[color_type]
     w, h = 4 + doc_id % 13, 3 + doc_id % 7
@@ -1588,6 +1605,73 @@ def q_mm_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("thumb_sha256", F.lit("")).alias("thumb_sha256"),
         F.coalesce("channel_means",
                    F.array().cast("array<long>")).alias("channel_means"),
+        "decode_status")
+
+
+def _synth_wav(doc_id: int, text: str) -> bytes:
+    """Deterministic per-doc AUDIO payload (mm_audio): sample bytes
+    derive from a sha256 of the doc's content; rate / channel /
+    bit-depth / float / EXTENSIBLE paths all cycle with doc_id.
+    Every 23rd doc is truncated mid-data (typed corrupt), every 31st
+    carries an ADPCM format tag (typed unsupported codec), every
+    37th is an Ogg payload (unknown magic). Pure function of
+    (doc_id, text), like _synth_png."""
+    import hashlib
+    import struct
+    from .kernels import wav
+    seed = hashlib.sha256(f"wav:{doc_id}:{text[:64]}".encode()).digest()
+    if doc_id % 37 == 0 and doc_id > 0:
+        return b"OggS" + seed
+    float_fmt = doc_id % 5 == 0
+    bits = 32 if float_fmt else (8 if doc_id % 2 else 16)
+    channels = 1 + (doc_id % 3 == 0)
+    rate = (8000, 16000, 22050, 44100)[doc_id % 4]
+    n = 50 + doc_id % 200
+    need = n * channels * (bits // 8)
+    frames = (seed * (need // len(seed) + 1))[:need]
+    if float_fmt:
+        # bound float payloads to real small magnitudes so the frame
+        # bytes are valid IEEE-754 (determinism doesn't require it,
+        # but honest samples keep the fixture meaningful)
+        vals = [(b - 128) / 128.0 for b in frames[:need // 4]]
+        frames = struct.pack(f"<{len(vals)}f", *vals)
+    payload = wav.encode_wav(rate, channels, bits, frames,
+                             float_fmt=float_fmt,
+                             extensible=doc_id % 7 == 0)
+    if doc_id % 23 == 0 and doc_id > 0:
+        return payload[:-(1 + doc_id % 5)]  # data chunk cut short
+    if doc_id % 31 == 0 and doc_id > 0:
+        i = payload.index(b"fmt ") + 8
+        return (payload[:i] + struct.pack("<H", 2)  # ADPCM tag
+                + payload[i + 2:])
+    return payload
+
+
+def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: synthesize a deterministic WAV
+    per document (Arrow batch stage), then parse with the stdlib
+    RIFF/WAVE codec — true sample geometry + PCM sha256, typed
+    corrupt/unsupported rows. Both stages are mapInPandas over the
+    same scan: no shuffle (same shape as mm_decode)."""
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "payload": [_synth_wav(int(i), t) for i, t in
+                            zip(pdf["doc_id"], pdf["text"])]})
+    docs = (_read_parallel(spark, _t(sf_dir, "documents"))
+            .select("doc_id", "text")
+            .mapInPandas(synth, schema="media_id long, payload binary"))
+    out = multimodal.decode_audio(docs, "media_id", "payload")
+    return out.select(
+        "media_id", "n_bytes",
+        F.coalesce("fmt", F.lit("")).alias("fmt"),
+        F.coalesce("sample_rate", F.lit(-1)).alias("sample_rate"),
+        F.coalesce("channels", F.lit(-1)).alias("channels"),
+        F.coalesce("bit_depth", F.lit(-1)).alias("bit_depth"),
+        F.coalesce("n_samples", F.lit(-1)).alias("n_samples"),
+        F.coalesce("duration_ms", F.lit(-1)).alias("duration_ms"),
+        F.coalesce("pcm_sha256", F.lit("")).alias("pcm_sha256"),
         "decode_status")
 
 
@@ -3455,6 +3539,7 @@ QUERIES = {
     "mm_media_meta": q_mm_media_meta,
     "mm_frame_plan": q_mm_frame_plan,
     "mm_decode": q_mm_decode,
+    "mm_audio": q_mm_audio,
     "web_domain_stats": q_web_domain_stats,
     "web_domain_join_salted": q_web_domain_join_salted,
     "web_domain_join_aqe": q_web_domain_join_aqe,
@@ -3546,6 +3631,15 @@ _ORACLE_MM_DECODE = _approx_golden_oracle(
     "pixel_sha256, decode_status")
 
 
+_ORACLE_MM_AUDIO = _approx_golden_oracle(
+    "mm_audio",
+    "media_id::BIGINT AS media_id, n_bytes::BIGINT AS n_bytes, fmt, "
+    "sample_rate::INTEGER AS sample_rate, "
+    "channels::INTEGER AS channels, bit_depth::INTEGER AS bit_depth, "
+    "n_samples::BIGINT AS n_samples, "
+    "duration_ms::BIGINT AS duration_ms, pcm_sha256, decode_status")
+
+
 _ORACLE_MM_THUMBNAIL = _approx_golden_oracle(
     "mm_thumbnail",
     "media_id::BIGINT AS media_id, fmt, "
@@ -3609,6 +3703,7 @@ ORACLES = {
     "mm_media_meta": _ORACLE_MM_META,
     "mm_frame_plan": _ORACLE_MM_FRAMES,
     "mm_decode": _ORACLE_MM_DECODE,
+    "mm_audio": _ORACLE_MM_AUDIO,
     "web_domain_stats": _ORACLE_DOMAIN_STATS,
     "web_domain_join_salted": _ORACLE_DOMAIN_JOIN,
     "web_domain_join_aqe": _ORACLE_DOMAIN_JOIN,

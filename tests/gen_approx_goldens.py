@@ -47,7 +47,11 @@ QUERY_NAMES = ("dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk",
                # mm_thumbnail: same mechanism (decode→resize→features
                # is deterministic but not SQL; resize math pinned in
                # test_ops)
-               "mm_decode", "mm_thumbnail")
+               "mm_decode", "mm_thumbnail",
+               # mm_audio (r5): same registry mechanism — WAV
+               # parse is deterministic but not SQL; codec pinned
+               # against the stdlib wave module in test_kernels
+               "mm_audio")
 
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
 

@@ -88,6 +88,12 @@ SECTIONS = [
      "WARC source: binaryFile scan → MapInPandas parse, NO Exchange "
      "— one task per archive file, payload bytes never shuffle "
      "(mirrors the parquet flagship's scan shape)."),
+    ("mm_audio",
+     "Audio decode (r5): synth → decode are two MapInPandas stages "
+     "riding ONE scan with NO Exchange — media payloads never "
+     "shuffle; ReadSchema carries only (doc_id, text). Same shape "
+     "as mm_decode/ext_flagship: the rule for every expensive "
+     "Python stage."),
     ("ts_lm_score",
      "Bigram-LM scoring: the vocabulary-cut model reaches the "
      "exploded corpus through a BroadcastHashJoin; the per-doc fold "

@@ -1633,3 +1633,179 @@ def test_image_decoders_fuzz_only_typed_errors():
             png.decode_png(b"\x89PNG\r\n\x1a\n" + payload)
         except png.PngError:
             pass
+
+
+def test_gif_decode_published_worked_example():
+    """Pin the GIF-variant LZW (LSB-first packing, width growth at
+    table==2**size, Clear/EOI) against the published 10x10 worked
+    example from the 'What's In A GIF' spec walkthrough — external
+    authority for the code-width growth rule, since no PIL exists in
+    this container to cross-check."""
+    from extract_kit_spark.kernels import gif
+
+    data = bytes.fromhex("8C2D99872A1CDC33A00275EC95FAA8DE608C04914C0100")
+    out = gif._lzw_decode(2, data, 100)
+    rows = [out[r * 10:(r + 1) * 10] for r in range(10)]
+    # red/blue quadrants with the white 4x4 square in the middle
+    assert rows[0] == bytes([1] * 5 + [2] * 5)
+    assert rows[3] == bytes([1] * 3 + [0] * 4 + [2] * 3)
+    assert rows[6] == bytes([2] * 3 + [0] * 4 + [1] * 3)
+    assert rows[9] == bytes([2] * 5 + [1] * 5)
+
+
+def test_gif_roundtrip_paths():
+    """Encoder→decoder roundtrips across palette sizes, interlacing,
+    12-bit table growth + mid-stream Clear reset, GCE transparency
+    reporting, and 87a/89a versions."""
+    import random
+    from extract_kit_spark.kernels import gif
+
+    pal = [(i, (i * 7) % 256, (i * 13) % 256) for i in range(256)]
+    rng = random.Random(7)
+    for w, h, npal, inter in [(4, 3, 4, False), (13, 9, 16, True),
+                              (64, 64, 256, False), (1, 1, 2, False),
+                              (31, 17, 7, True)]:
+        idx = bytes(rng.randrange(npal) for _ in range(w * h))
+        payload = gif.encode_gif(w, h, idx, pal[:npal], interlace=inter)
+        d = gif.decode_gif(payload)
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+        assert d["pixels"] == b"".join(bytes(pal[i]) for i in idx)
+    # high-entropy 300x200 forces growth to 12 bits AND the
+    # full-table Clear reset inside one image
+    idx = bytes(rng.randrange(256) for _ in range(300 * 200))
+    d = gif.decode_gif(gif.encode_gif(300, 200, idx, pal))
+    assert d["pixels"] == b"".join(bytes(pal[i]) for i in idx)
+    # GCE transparency index is reported (not applied); 87a accepted
+    p = gif.encode_gif(2, 2, b"\x00\x01\x01\x00", pal[:2], transparent=1)
+    assert gif.decode_gif(p)["transparent_index"] == 1
+    p87 = gif.encode_gif(2, 2, b"\x00\x01\x01\x00", pal[:2],
+                         version=b"87a")
+    assert gif.decode_gif(p87)["version"] == "87a"
+
+
+def test_gif_typed_errors_and_bomb_guard():
+    """Structural damage → GifError only; hostile dims quarantine
+    before allocation (same MAX_PIXELS rule as png/jpeg)."""
+    import random
+    import struct
+    import pytest
+    from extract_kit_spark.kernels import gif
+
+    pal = [(9, 9, 9), (200, 4, 4)]
+    good = gif.encode_gif(6, 5, bytes([0, 1] * 15), pal)
+    with pytest.raises(gif.GifError, match="signature"):
+        gif.decode_gif(b"GIF90a" + good[6:])
+    with pytest.raises(gif.GifError, match="truncated|trailer|sub-block"):
+        gif.decode_gif(good[:len(good) // 2])
+    # image descriptor doctored to 40000x40000: guard fires pre-LZW
+    i = good.index(b"\x2c")
+    bomb = (good[:i + 5] + struct.pack("<HH", 40000, 40000)
+            + good[i + 9:])
+    with pytest.raises(gif.GifError, match="too large"):
+        gif.decode_gif(bomb)
+    # palette index beyond the color table: a 2-entry GCT with an
+    # LZW stream that names index 3 (min code size 2 permits 0-3)
+    overflow = (b"GIF89a" + struct.pack("<HHBBB", 2, 1, 0x80, 0, 0)
+                + bytes(6)  # 2-entry global color table
+                + struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 1, 0)
+                + b"\x02")
+    lzw = gif._lzw_encode(2, b"\x00\x03")
+    overflow += bytes([len(lzw)]) + lzw + b"\x00\x3b"
+    with pytest.raises(gif.GifError, match="palette index"):
+        gif.decode_gif(overflow)
+    with pytest.raises(gif.GifError, match="short raster|truncated|LZW"):
+        trunc = bytearray(good)
+        # zero out the LZW payload → EOI never reached
+        j = good.index(b"\x2c") + 10
+        k = trunc[j]  # first sub-block length
+        trunc[j + 1:j + 1 + k] = bytes(k)
+        gif.decode_gif(bytes(trunc))
+    # fuzz: noise and bit-flipped real files raise GifError only
+    rng = random.Random(31)
+    for trial in range(400):
+        if trial % 2:
+            base = bytearray(good)
+            for _ in range(rng.randint(1, 6)):
+                base[rng.randrange(len(base))] = rng.randrange(256)
+            payload = bytes(base)
+        else:
+            payload = b"GIF89a" + bytes(
+                rng.randrange(256) for _ in range(rng.randint(0, 120)))
+        try:
+            gif.decode_gif(payload)
+        except gif.GifError:
+            pass
+
+
+def test_wav_roundtrip_and_stdlib_crosscheck():
+    """encode_wav→decode_wav roundtrip, cross-checked against the
+    STDLIB wave module (independent reader) for plain PCM; the
+    EXTENSIBLE + float paths (which stdlib wave cannot read) are
+    pinned by our own decode."""
+    import io
+    import struct
+    import wave as stdlib_wave
+    from extract_kit_spark.kernels import wav
+
+    frames = struct.pack("<" + "h" * 480,
+                         *[(i * 37) % 32768 - 16384 for i in range(480)])
+    p = wav.encode_wav(16000, 2, 16, frames)
+    d = wav.decode_wav(p)
+    assert (d["sample_rate"], d["channels"], d["bit_depth"],
+            d["n_samples"], d["duration_ms"]) == (16000, 2, 16, 240, 15)
+    assert d["samples"] == frames
+    r = stdlib_wave.open(io.BytesIO(p))
+    assert (r.getframerate(), r.getnchannels(), r.getsampwidth(),
+            r.getnframes()) == (16000, 2, 2, 240)
+    assert r.readframes(240) == frames
+    # odd-length data chunk is pad-byte aligned per RIFF
+    p8 = wav.encode_wav(8000, 1, 8, bytes(range(101)))
+    assert len(p8) % 2 == 0
+    assert wav.decode_wav(p8)["n_samples"] == 101
+    # WAVE_FORMAT_EXTENSIBLE resolves via SubFormat; float tag kept
+    pf = wav.encode_wav(44100, 1, 32, struct.pack("<25f", *range(25)),
+                        float_fmt=True, extensible=True)
+    df = wav.decode_wav(pf)
+    assert (df["fmt_tag"], df["n_samples"]) == ("float", 25)
+    pe = wav.decode_wav(wav.encode_wav(22050, 2, 16, frames,
+                                       extensible=True))
+    assert (pe["fmt_tag"], pe["sample_rate"]) == ("pcm", 22050)
+
+
+def test_wav_typed_errors():
+    """Structural damage / unsupported codecs → WavError only."""
+    import random
+    import struct
+    import pytest
+    from extract_kit_spark.kernels import wav
+
+    good = wav.encode_wav(8000, 1, 16, bytes(64))
+    with pytest.raises(wav.WavError, match="signature"):
+        wav.decode_wav(b"OggS" + good[4:])
+    with pytest.raises(wav.WavError, match="truncated"):
+        wav.decode_wav(good[:30])
+    # ADPCM (tag 2) is a typed unsupported, not a crash
+    i = good.index(b"fmt ") + 8
+    adpcm = good[:i] + struct.pack("<H", 2) + good[i + 2:]
+    with pytest.raises(wav.WavError, match="unsupported format tag"):
+        wav.decode_wav(adpcm)
+    # misaligned data chunk
+    bad = bytearray(good)
+    j = good.index(b"data")
+    bad[j + 4:j + 8] = struct.pack("<I", 63)
+    with pytest.raises(wav.WavError, match="frame-aligned|truncated"):
+        wav.decode_wav(bytes(bad[:-1]))
+    rng = random.Random(17)
+    for trial in range(300):
+        if trial % 2:
+            base = bytearray(good)
+            for _ in range(rng.randint(1, 6)):
+                base[rng.randrange(len(base))] = rng.randrange(256)
+            payload = bytes(base)
+        else:
+            payload = b"RIFF" + bytes(
+                rng.randrange(256) for _ in range(rng.randint(0, 80)))
+        try:
+            wav.decode_wav(payload)
+        except wav.WavError:
+            pass

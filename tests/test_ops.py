@@ -365,26 +365,37 @@ def test_duplicate_clusters_empty_pair_graph(spark):
 
 
 def test_decode_image_pixels_real_and_typed_failures(spark):
-    """The un-stubbed decode stage: real PNGs AND baseline JPEGs come
-    back with true dims + pixel sha256; junk behind a JPEG magic ->
-    'corrupt: ...' (r5 — the magic now routes to a real decoder);
-    structural damage -> 'corrupt: ...'; unknown magic ->
+    """The un-stubbed decode stage: real PNGs, baseline JPEGs AND
+    GIFs come back with true dims + pixel sha256; junk behind a
+    JPEG/GIF magic -> 'corrupt: ...' (the magics route to real
+    decoders); structural damage -> 'corrupt: ...'; unknown magic ->
     'unsupported' — one typed row per input, never a task failure."""
     import hashlib
-    from extract_kit_spark.kernels import jpeg, png
+    from extract_kit_spark.kernels import gif, jpeg, png
     from extract_kit_spark.ops import multimodal
     pixels = bytes((i * 7 + 3) % 256 for i in range(6 * 4 * 3))
     good = png.encode_png(6, 4, pixels, 2, filter_type=3)
     jpixels = bytes([90] * (8 * 8))
     jgood = jpeg.encode_jpeg(8, 8, jpixels, channels=1, quality=90)
     jref = jpeg.decode_jpeg(jgood)
+    gpal = [(10, 20, 30), (200, 100, 50)]
+    ggood = gif.encode_gif(3, 2, b"\x00\x01\x01\x00\x01\x00", gpal)
+    gpixels = b"".join(bytes(gpal[i])
+                       for i in b"\x00\x01\x01\x00\x01\x00")
     rows = [(1, good), (2, b"\xff\xd8\xff\xe0jpegish"),
             (3, good[:-9]), (4, None), (5, jgood),
-            (6, b"GIF89a\x01\x02")]
+            (6, b"GIF89a\x01\x02"), (7, ggood),
+            (8, b"RIFF\x10\x00\x00\x00WEBPVP8 ")]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     out = {r["media_id"]: r for r in
            multimodal.decode_image_pixels(df).collect()}
-    assert len(out) == 6
+    assert len(out) == 8
+    gok = out[7]
+    assert (gok["fmt"], gok["width"], gok["height"],
+            gok["channels"]) == ("gif", 3, 2, 3)
+    assert gok["pixel_sha256"] == hashlib.sha256(gpixels).hexdigest()
+    assert gok["decode_status"] == "ok"
+    assert out[8]["decode_status"] == "unsupported"
     ok = out[1]
     assert (ok["width"], ok["height"], ok["channels"]) == (6, 4, 3)
     assert ok["pixel_sha256"] == hashlib.sha256(pixels).hexdigest()
@@ -399,7 +410,9 @@ def test_decode_image_pixels_real_and_typed_failures(spark):
     assert jok["pixel_sha256"] == hashlib.sha256(
         jref["pixels"]).hexdigest()
     assert jok["decode_status"] == "ok"
-    assert out[6]["decode_status"] == "unsupported"
+    # GIF magic with a broken body routes to the REAL decoder now
+    assert out[6]["fmt"] == "gif"
+    assert out[6]["decode_status"].startswith("corrupt")
 
 
 def test_mm_decode_query_deterministic(spark):
@@ -416,6 +429,65 @@ def test_mm_decode_query_deterministic(spark):
     assert statuses == {"ok", "corrupt", "unsupported"}
     n_ok = sum(r["decode_status"] == "ok" for r in a.values())
     assert n_ok > 400
+
+
+def test_decode_audio_real_and_typed_failures(spark):
+    """The audio twin of decode_image_pixels: real WAVs (PCM, float,
+    EXTENSIBLE) come back with true sample geometry + PCM sha256;
+    truncation -> 'corrupt: ...'; ADPCM/unknown magic ->
+    'unsupported...' — one typed row per input."""
+    import hashlib
+    import struct
+    from extract_kit_spark.kernels import wav
+    from extract_kit_spark.ops import multimodal
+    frames = struct.pack("<" + "h" * 96, *[(i * 331) % 4096 - 2048
+                                           for i in range(96)])
+    good = wav.encode_wav(16000, 2, 16, frames)
+    i = good.index(b"fmt ") + 8
+    adpcm = good[:i] + struct.pack("<H", 2) + good[i + 2:]
+    rows = [(1, good), (2, good[:-5]), (3, adpcm),
+            (4, b"OggS" + bytes(16)), (5, None),
+            (6, wav.encode_wav(8000, 1, 8, bytes(range(64)),
+                               extensible=True))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in
+           multimodal.decode_audio(df).collect()}
+    assert len(out) == 6
+    ok = out[1]
+    assert (ok["fmt"], ok["sample_rate"], ok["channels"],
+            ok["bit_depth"], ok["n_samples"],
+            ok["duration_ms"]) == ("wav", 16000, 2, 16, 48, 3)
+    assert ok["pcm_sha256"] == hashlib.sha256(frames).hexdigest()
+    assert ok["decode_status"] == "ok"
+    assert out[2]["decode_status"].startswith("corrupt")
+    assert out[3]["decode_status"].startswith("unsupported")
+    assert out[4]["decode_status"] == "unsupported"
+    assert out[5]["decode_status"] == "unsupported"
+    ext = out[6]
+    assert (ext["sample_rate"], ext["n_samples"]) == (8000, 64)
+    assert ext["decode_status"] == "ok"
+
+
+def test_mm_audio_query_deterministic(spark):
+    """mm_audio over the documents table: fully deterministic (golden
+    registry depends on it), covers ok/corrupt/unsupported statuses,
+    one row per document."""
+    from extract_kit_spark.queries import QUERIES
+    a = {r["media_id"]: r for r in
+         QUERIES["mm_audio"](spark, "/root/testdata/sf0.001").collect()}
+    b = {r["media_id"]: r for r in
+         QUERIES["mm_audio"](spark, "/root/testdata/sf0.001").collect()}
+    assert a == b and len(a) == 500
+    statuses = {r["decode_status"].split(":")[0] for r in a.values()}
+    assert statuses == {"ok", "corrupt", "unsupported"}
+    n_ok = sum(r["decode_status"] == "ok" for r in a.values())
+    assert n_ok > 400
+    # every advertised decode path appears in the synth corpus
+    oks = [r for r in a.values() if r["decode_status"] == "ok"]
+    assert {r["bit_depth"] for r in oks} == {8, 16, 32}
+    assert {r["channels"] for r in oks} == {1, 2}
+    assert {r["sample_rate"] for r in oks} == {8000, 16000, 22050,
+                                               44100}
 
 
 def test_zipf_corpus_statistics_and_langid(spark):
@@ -1665,7 +1737,7 @@ def test_thumbnail_resize_hand_cases(spark):
     pixels = bytes((3 * i + c) % 256 for i in range(w * h)
                    for c in range(3))
     good = png.encode_png(w, h, pixels, 2, filter_type=1)
-    rows = [(1, good), (2, b"GIF89a"), (3, good[:-5])]
+    rows = [(1, good), (2, b"BM\x00\x00"), (3, good[:-5])]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     out = {r.media_id: r for r in multimodal.thumbnail_images(
         df, max_side=8).collect()}

@@ -62,6 +62,21 @@ def test_mm_media_meta_is_jvm_only(spark):
     assert "InPandas" not in plan and "EvalPython" not in plan
 
 
+def test_mm_decode_and_audio_plans_have_no_shuffle(spark):
+    """The expensive media decode stages (synth → decode, two
+    MapInPandas over one scan) must never KEY-shuffle payload bytes
+    (the only Exchange allowed is _read_parallel's RoundRobin
+    tiny-scan fan-out, a no-op at real scale) and must prune the
+    documents scan to (doc_id, text)."""
+    for name in ("mm_decode", "mm_audio"):
+        plan = _plan(QUERIES[name](spark, SF_DIR))
+        assert "hashpartitioning" not in plan, name
+        assert "SinglePartition" not in plan, name
+        assert "MapInPandas" in plan, name
+        # column pruning: lang/source never reach the parquet scan
+        assert "lang" not in plan.split("ReadSchema", 1)[-1], name
+
+
 def test_scan_extraction_plan_has_no_shuffle(spark):
     """The flagship dataflow (scan → mapInPandas) must not shuffle the
     payload bytes."""
