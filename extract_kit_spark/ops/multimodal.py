@@ -33,6 +33,7 @@ from pyspark.sql import types as T
 
 from ..kernels import gif as _gif
 from ..kernels import jpeg as _jpeg
+from ..kernels import mp4 as _mp4
 from ..kernels import png as _png
 from ..kernels import wav as _wav
 
@@ -372,6 +373,90 @@ def decode_audio(df: DataFrame, id_col: str = "media_id",
 
     return (df.select(F.col(id_col).cast("long").alias(id_col), bin_col)
             .mapInPandas(decode, schema=AUDIO_DECODE_SCHEMA))
+
+
+VIDEO_PROBE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("major_brand", T.StringType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("timescale", T.IntegerType()),
+    T.StructField("n_tracks", T.IntegerType()),
+    T.StructField("video_width", T.IntegerType()),
+    T.StructField("video_height", T.IntegerType()),
+    T.StructField("handlers", T.StringType()),
+    T.StructField("mdat_bytes", T.LongType()),
+    T.StructField("decode_status", T.StringType()),
+])
+
+
+def probe_video(df: DataFrame, id_col: str = "media_id",
+                bin_col: str = "payload") -> DataFrame:
+    """REAL video CONTAINER probe over Arrow batches: ISO-BMFF/MP4
+    payloads are box-walked with the stdlib parser (``kernels.mp4``)
+    and reported with brands, mvhd duration, per-track handlers and
+    the first video track's geometry. FRAME decode stays honestly
+    gated (ship ffmpeg via --py-files into this same batch shape;
+    ``frame_sample_plan`` already plans the sampling) — but this is
+    the stage a 100 TB pipeline needs FIRST: filter/route on
+    duration, geometry and codec handler before any expensive decode.
+    Non-BMFF magic → ``'unsupported'``; structural damage → typed
+    ``'corrupt:'`` rows, never a task failure (E5 1-in-1-out).
+
+    Scale shape: header-proportional work per row (the box walk skips
+    mdat bodies), no shuffle, same pruning rule as the other decode
+    stages."""
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col].tolist(),
+                                    pdf[bin_col].tolist()):
+                payload = payload or b""
+                row = {"media_id": int(mid), "n_bytes": len(payload),
+                       "fmt": None, "major_brand": None,
+                       "duration_ms": None, "timescale": None,
+                       "n_tracks": None, "video_width": None,
+                       "video_height": None, "handlers": None,
+                       "mdat_bytes": None, "decode_status": None}
+                if payload[4:8] == b"ftyp":
+                    row["fmt"] = "mp4"
+                    try:
+                        info = _mp4.probe_mp4(payload)
+                        vids = [t for t in info["tracks"]
+                                if t.get("handler") == "vide"
+                                and "width" in t]
+                        row.update({
+                            "major_brand": info["major_brand"],
+                            "duration_ms": info["duration_ms"],
+                            "timescale": info["timescale"],
+                            "n_tracks": len(info["tracks"]),
+                            "video_width":
+                                vids[0]["width"] if vids else None,
+                            "video_height":
+                                vids[0]["height"] if vids else None,
+                            "handlers": ",".join(
+                                t.get("handler", "?")
+                                for t in info["tracks"]),
+                            "mdat_bytes": info["mdat_bytes"],
+                            "decode_status": "ok",
+                        })
+                    except _mp4.Mp4Error as e:
+                        row["decode_status"] = f"corrupt: {e}"
+                else:
+                    row["decode_status"] = "unsupported"
+                rows.append(row)
+            out = pd.DataFrame(rows)
+            for c in ("timescale", "n_tracks", "video_width",
+                      "video_height"):
+                out[c] = out[c].astype("Int32")
+            for c in ("duration_ms", "mdat_bytes"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return (df.select(F.col(id_col).cast("long").alias(id_col), bin_col)
+            .mapInPandas(probe, schema=VIDEO_PROBE_SCHEMA))
 
 
 def frame_sample_plan(df: DataFrame, id_col: str, bin_col: str,

@@ -1675,6 +1675,66 @@ def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decode_status")
 
 
+def _synth_mp4(doc_id: int, text: str) -> bytes:
+    """Deterministic per-doc VIDEO-container payload (mm_video):
+    brands / timescale / duration / track sets cycle with doc_id
+    (video-only, video+audio, audio-only); every 23rd doc is
+    truncated mid-moov (typed corrupt), every 37th is a Matroska
+    payload (unknown magic → unsupported). Pure function of
+    (doc_id, text), like _synth_png / _synth_wav."""
+    import hashlib
+    from .kernels import mp4
+    seed = hashlib.sha256(f"mp4:{doc_id}:{text[:64]}".encode()).digest()
+    if doc_id % 37 == 0 and doc_id > 0:
+        return b"\x1aE\xdf\xa3" + seed  # EBML/Matroska magic
+    tracks = [
+        [("vide", 640 + 16 * (doc_id % 40), 360 + 9 * (doc_id % 40))],
+        [("vide", 1920, 1080), ("soun", 0, 0)],
+        [("soun", 0, 0)],
+    ][doc_id % 3]
+    payload = mp4.encode_mp4(
+        duration_ms=1000 + (doc_id * 137) % 600000,
+        timescale=(600, 1000, 90000)[doc_id % 3],
+        tracks=tracks,
+        mdat=seed * (1 + doc_id % 7),
+        brand=("isom", "mp42", "dash")[doc_id % 3])
+    if doc_id % 23 == 0 and doc_id > 0:
+        return payload[:len(payload) // 2]  # mid-moov truncation
+    return payload
+
+
+def q_mm_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container probe end-to-end: synthesize a
+    deterministic MP4 per document (Arrow batch stage), then box-walk
+    with the stdlib ISO-BMFF parser — brands, duration, track
+    geometry/handlers, typed corrupt/unsupported rows. Frame decode
+    stays gated; this is the filter/route stage that must run before
+    any decode at 100 TB. Both stages are mapInPandas over the same
+    scan: no shuffle (same shape as mm_decode/mm_audio)."""
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "payload": [_synth_mp4(int(i), t) for i, t in
+                            zip(pdf["doc_id"], pdf["text"])]})
+    docs = (_read_parallel(spark, _t(sf_dir, "documents"))
+            .select("doc_id", "text")
+            .mapInPandas(synth, schema="media_id long, payload binary"))
+    out = multimodal.probe_video(docs, "media_id", "payload")
+    return out.select(
+        "media_id", "n_bytes",
+        F.coalesce("fmt", F.lit("")).alias("fmt"),
+        F.coalesce("major_brand", F.lit("")).alias("major_brand"),
+        F.coalesce("duration_ms", F.lit(-1)).alias("duration_ms"),
+        F.coalesce("timescale", F.lit(-1)).alias("timescale"),
+        F.coalesce("n_tracks", F.lit(-1)).alias("n_tracks"),
+        F.coalesce("video_width", F.lit(-1)).alias("video_width"),
+        F.coalesce("video_height", F.lit(-1)).alias("video_height"),
+        F.coalesce("handlers", F.lit("")).alias("handlers"),
+        F.coalesce("mdat_bytes", F.lit(-1)).alias("mdat_bytes"),
+        "decode_status")
+
+
 FRAME_STRIDE = 64
 
 
@@ -3540,6 +3600,7 @@ QUERIES = {
     "mm_frame_plan": q_mm_frame_plan,
     "mm_decode": q_mm_decode,
     "mm_audio": q_mm_audio,
+    "mm_video": q_mm_video,
     "web_domain_stats": q_web_domain_stats,
     "web_domain_join_salted": q_web_domain_join_salted,
     "web_domain_join_aqe": q_web_domain_join_aqe,
@@ -3640,6 +3701,16 @@ _ORACLE_MM_AUDIO = _approx_golden_oracle(
     "duration_ms::BIGINT AS duration_ms, pcm_sha256, decode_status")
 
 
+_ORACLE_MM_VIDEO = _approx_golden_oracle(
+    "mm_video",
+    "media_id::BIGINT AS media_id, n_bytes::BIGINT AS n_bytes, fmt, "
+    "major_brand, duration_ms::BIGINT AS duration_ms, "
+    "timescale::INTEGER AS timescale, n_tracks::INTEGER AS n_tracks, "
+    "video_width::INTEGER AS video_width, "
+    "video_height::INTEGER AS video_height, handlers, "
+    "mdat_bytes::BIGINT AS mdat_bytes, decode_status")
+
+
 _ORACLE_MM_THUMBNAIL = _approx_golden_oracle(
     "mm_thumbnail",
     "media_id::BIGINT AS media_id, fmt, "
@@ -3704,6 +3775,7 @@ ORACLES = {
     "mm_frame_plan": _ORACLE_MM_FRAMES,
     "mm_decode": _ORACLE_MM_DECODE,
     "mm_audio": _ORACLE_MM_AUDIO,
+    "mm_video": _ORACLE_MM_VIDEO,
     "web_domain_stats": _ORACLE_DOMAIN_STATS,
     "web_domain_join_salted": _ORACLE_DOMAIN_JOIN,
     "web_domain_join_aqe": _ORACLE_DOMAIN_JOIN,

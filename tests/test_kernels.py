@@ -1809,3 +1809,53 @@ def test_wav_typed_errors():
             wav.decode_wav(payload)
         except wav.WavError:
             pass
+
+
+def test_mp4_probe_roundtrip_and_typed_errors():
+    """ISO-BMFF container probe: brands / mvhd duration / per-track
+    tkhd 16.16 geometry + hdlr codec handler / mdat size roundtrip
+    through the writer twin; largesize and runs-to-end boxes parse;
+    damage raises Mp4Error only (walk budget caps hostile chains)."""
+    import random
+    import struct
+    import pytest
+    from extract_kit_spark.kernels import mp4
+
+    p = mp4.encode_mp4(125000, 600, [("vide", 1920, 1080),
+                                     ("soun", 0, 0)],
+                       mdat=bytes(500), brand="mp42")
+    d = mp4.probe_mp4(p)
+    assert (d["duration_ms"], d["timescale"]) == (125000, 600)
+    assert d["tracks"] == [
+        {"width": 1920, "height": 1080, "handler": "vide"},
+        {"width": 0, "height": 0, "handler": "soun"}]
+    assert d["mdat_bytes"] == 500
+    assert d["major_brand"] == "mp42"
+    assert d["compatible_brands"] == ["isom", "mp42"]
+    # 64-bit largesize mdat: rewrite the trailing mdat box
+    i = p.rindex(b"mdat") - 4
+    big = (p[:i] + struct.pack(">I", 1) + b"mdat"
+           + struct.pack(">Q", 16 + 500) + bytes(500))
+    assert mp4.probe_mp4(big)["mdat_bytes"] == 500
+    # size==0 runs-to-end
+    zero = p[:i] + struct.pack(">I", 0) + b"mdat" + bytes(500)
+    assert mp4.probe_mp4(zero)["mdat_bytes"] == 500
+    # typed failures: no ftyp, truncation, missing moov, box-size lies
+    for bad in (b"", b"\x00\x00\x00\x08free", p[:40],
+                p[:8] + b"\x00\x00\x00\x30moov"):
+        with pytest.raises(mp4.Mp4Error):
+            mp4.probe_mp4(bad)
+    rng = random.Random(5)
+    for trial in range(400):
+        if trial % 2:
+            b = bytearray(p)
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            x = bytes(b)
+        else:
+            x = p[:8] + bytes(rng.randrange(256)
+                              for _ in range(rng.randint(0, 120)))
+        try:
+            mp4.probe_mp4(x)
+        except mp4.Mp4Error:
+            pass

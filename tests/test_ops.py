@@ -490,6 +490,59 @@ def test_mm_audio_query_deterministic(spark):
                                                44100}
 
 
+def test_probe_video_real_and_typed_failures(spark):
+    """The video-container probe: real MP4s come back with brands,
+    duration and first-video-track geometry; truncation -> 'corrupt:
+    ...'; non-BMFF magic -> 'unsupported' — one typed row per input."""
+    from extract_kit_spark.kernels import mp4
+    from extract_kit_spark.ops import multimodal
+    good = mp4.encode_mp4(90000, 1000, [("vide", 1280, 720),
+                                        ("soun", 0, 0)],
+                          mdat=bytes(64), brand="mp42")
+    audio_only = mp4.encode_mp4(5000, 600, [("soun", 0, 0)])
+    rows = [(1, good), (2, good[:30]), (3, b"\x1aE\xdf\xa3" + bytes(8)),
+            (4, None), (5, audio_only)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in
+           multimodal.probe_video(df).collect()}
+    assert len(out) == 5
+    ok = out[1]
+    assert (ok["fmt"], ok["major_brand"], ok["duration_ms"],
+            ok["timescale"], ok["n_tracks"]) == ("mp4", "mp42", 90000,
+                                                 1000, 2)
+    assert (ok["video_width"], ok["video_height"]) == (1280, 720)
+    assert ok["handlers"] == "vide,soun"
+    assert ok["mdat_bytes"] == 64
+    assert ok["decode_status"] == "ok"
+    assert out[2]["fmt"] == "mp4"
+    assert out[2]["decode_status"].startswith("corrupt")
+    assert out[3]["decode_status"] == "unsupported"
+    assert out[4]["decode_status"] == "unsupported"
+    ao = out[5]
+    assert ao["decode_status"] == "ok"
+    assert ao["video_width"] is None and ao["handlers"] == "soun"
+
+
+def test_mm_video_query_deterministic(spark):
+    """mm_video over the documents table: fully deterministic (golden
+    registry depends on it), covers ok/corrupt/unsupported statuses,
+    one row per document, and every synth track-set shape appears."""
+    from extract_kit_spark.queries import QUERIES
+    a = {r["media_id"]: r for r in
+         QUERIES["mm_video"](spark, "/root/testdata/sf0.001").collect()}
+    b = {r["media_id"]: r for r in
+         QUERIES["mm_video"](spark, "/root/testdata/sf0.001").collect()}
+    assert a == b and len(a) == 500
+    statuses = {r["decode_status"].split(":")[0] for r in a.values()}
+    assert statuses == {"ok", "corrupt", "unsupported"}
+    oks = [r for r in a.values() if r["decode_status"] == "ok"]
+    assert len(oks) > 400
+    assert {r["handlers"] for r in oks} == {"vide", "vide,soun",
+                                            "soun"}
+    assert {r["major_brand"] for r in oks} == {"isom", "mp42", "dash"}
+    assert {r["timescale"] for r in oks} == {600, 1000, 90000}
+
+
 def test_zipf_corpus_statistics_and_langid(spark):
     """The r4 Zipf corpus carries the signal its queries claim:
     (a) deterministic rows; (b) an open vocabulary (thousands of
