@@ -49,7 +49,10 @@ def _lzw_decode(min_code_size: int, data: bytes, max_out: int) -> bytes:
     terminates. Output is capped at ``max_out`` indices (the declared
     raster) — anything further is a spec violation we tolerate by
     truncation, matching mainstream decoders."""
-    if not 2 <= min_code_size <= 11:
+    # spec cap is 8 (palettes max out at 256 entries); anything
+    # larger would also make the bytes([i]) base-table build blow up
+    # with an UNTYPED ValueError on a hostile file
+    if not 2 <= min_code_size <= 8:
         raise GifError(f"bad LZW min code size {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1
@@ -274,6 +277,7 @@ def encode_gif(width: int, height: int, indices: bytes,
     optional graphic-control extension + interlacing. ``indices`` is
     the row-major palette-index raster."""
     assert len(indices) == width * height
+    assert 1 <= len(palette) <= 256, "GIF palettes cap at 256 entries"
     n = max(2, len(palette))
     bits = max(1, (n - 1).bit_length())
     n = 1 << bits

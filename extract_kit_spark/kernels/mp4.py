@@ -36,12 +36,18 @@ class Mp4Error(ValueError):
 #: Containers whose children we walk. Everything else is opaque.
 _CONTAINERS = {b"moov", b"trak", b"mdia"}
 
-#: Walk guard: total boxes visited across the whole file.
+#: Walk guards: total boxes visited across the whole file, and
+#: container nesting depth (a chain of nested moov headers would
+#: otherwise drive Python recursion past its limit — an UNTYPED
+#: RecursionError — before the box budget fires).
 MAX_BOXES = 4096
+MAX_DEPTH = 16
 
 
 def _walk(payload: bytes, start: int, end: int, depth: int,
           out: dict, budget: list[int]) -> None:
+    if depth > MAX_DEPTH:
+        raise Mp4Error(f"container nesting beyond {MAX_DEPTH}")
     pos = start
     while pos < end:
         if budget[0] <= 0:

@@ -124,8 +124,10 @@ def encode_wav(sample_rate: int, channels: int, bit_depth: int,
     tag = _FLOAT if float_fmt else _PCM
     byte_rate = sample_rate * block_align
     if extensible:
-        sub = struct.pack("<H", tag) + bytes.fromhex(
-            "0000000010800080" "00aa00389b71")
+        # KSDATAFORMAT_SUBTYPE GUID {tag}-0000-0010-8000-00AA00389B71:
+        # Data1-3 little-endian, Data4 big-endian raw bytes
+        sub = struct.pack("<IHH", tag, 0, 0x0010) + bytes.fromhex(
+            "800000aa00389b71")
         fmt = struct.pack("<HHIIHHHHI", _EXTENSIBLE, channels,
                           sample_rate, byte_rate, block_align,
                           bit_depth, 22, bit_depth, 0) + sub

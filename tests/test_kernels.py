@@ -1859,3 +1859,43 @@ def test_mp4_probe_roundtrip_and_typed_errors():
             mp4.probe_mp4(x)
         except mp4.Mp4Error:
             pass
+
+
+def test_codec_hostile_paths_stay_typed():
+    """Review-found crash paths stay typed: an LZW min-code-size of
+    9-11 (would blow up the base-table build with a raw ValueError),
+    a deeply-nested MP4 container chain (would hit Python's recursion
+    limit before the box budget), and the EXTENSIBLE writer's
+    SubFormat GUID (must be the spec KSDATAFORMAT value, not just
+    something our own lenient reader accepts)."""
+    import struct
+    import pytest
+    from extract_kit_spark.kernels import gif, mp4, wav
+
+    # GIF: valid header, hostile min code size 9
+    bad = (b"GIF89a" + struct.pack("<HHBBB", 2, 1, 0x80, 0, 0)
+           + bytes(6)
+           + struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 1, 0)
+           + b"\x09" + b"\x01\x00" + b"\x00\x3b")
+    with pytest.raises(gif.GifError, match="min code size"):
+        gif.decode_gif(bad)
+    # encoder precondition: >256-entry palettes rejected up front
+    with pytest.raises(AssertionError, match="256"):
+        gif.encode_gif(1, 1, b"\x00", [(0, 0, 0)] * 300)
+
+    # MP4: 2000 nested moov headers — typed depth error, not
+    # RecursionError
+    p = mp4.encode_mp4(1000, 600, [("vide", 16, 16)])
+    nest = b""
+    for _ in range(2000):
+        nest = struct.pack(">I", 8 + len(nest)) + b"moov" + nest
+    with pytest.raises(mp4.Mp4Error, match="nesting"):
+        mp4.probe_mp4(p[:p.index(b"moov") - 4] + nest)
+
+    # WAV: the emitted EXTENSIBLE SubFormat GUID is the spec
+    # KSDATAFORMAT_SUBTYPE_PCM value byte-for-byte
+    pe = wav.encode_wav(8000, 1, 16, bytes(4), extensible=True)
+    i = pe.index(b"fmt ") + 8
+    guid = pe[i + 24:i + 40]
+    assert guid == (struct.pack("<IHH", 1, 0, 0x0010)
+                    + bytes.fromhex("800000AA00389B71"))
