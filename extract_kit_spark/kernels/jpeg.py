@@ -161,7 +161,7 @@ def _fdct8x8(samples: list[int]) -> list[float]:
 
 
 class _HuffTable:
-    __slots__ = ("lookup", "max_len")
+    __slots__ = ("lookup",)
 
     def __init__(self, counts: bytes, symbols: bytes):
         if len(counts) != 16 or sum(counts) != len(symbols):
@@ -175,7 +175,6 @@ class _HuffTable:
                 code += 1
                 k += 1
             code <<= 1
-        self.max_len = max((ln for ln, _ in self.lookup), default=0)
 
 
 class _BitReader:
@@ -325,6 +324,8 @@ def _decode_jpeg(payload: bytes) -> dict:
                 raise JpegError(f"unsupported precision {prec}")
             if ncomp not in (1, 3):
                 raise JpegError(f"unsupported component count {ncomp}")
+            if len(body) < 6 + 3 * ncomp:
+                raise JpegError("truncated SOF component specs")
             comps = []
             for c in range(ncomp):
                 cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
@@ -371,6 +372,13 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac,
         raise JpegError("zero dimension")
     if w * h > MAX_PIXELS:
         raise JpegError(f"frame too large: {w}x{h} > {MAX_PIXELS} px")
+    if len(comps) == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — the
+        # MCU is one data unit and the declared sampling factors do
+        # not affect the raster layout, so gray files that keep e.g.
+        # 2x2 luma factors must decode identically to 1x1. Mutate in
+        # place: the scan tuples alias these dicts.
+        comps[0]["h"] = comps[0]["v"] = 1
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)

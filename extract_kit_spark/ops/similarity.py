@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 from .dedup import cosine
+from .textstats import normalized
 
 EMB_DIM = 64
 EMB_NGRAM = 3
@@ -63,9 +64,11 @@ def hash_embed(df: DataFrame, id_col: str = "doc_id",
     most ``dim`` rows before the shuffle, so the shuffle volume is
     O(docs·dim), independent of text length; densify + normalize are
     per-row HOFs over dim-length arrays. No Python anywhere."""
-    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col),
-                                           r"\s+", " ")))
-    base = df.select(F.col(id_col), norm.alias("__nt"))
+    # the SAME normalization as the rest of the text pipeline — a
+    # silent divergence here would split the embedder's view of a
+    # document from fingerprint()/dedup's view
+    base = df.select(F.col(id_col),
+                     normalized(F.col(text_col)).alias("__nt"))
     grams = base.select(
         F.col(id_col),
         F.explode(F.expr(

@@ -49,6 +49,7 @@ import gzip
 import hashlib
 import io
 import os
+import re
 import uuid
 import zlib
 from collections.abc import Iterator
@@ -356,9 +357,27 @@ def read_warc(spark: SparkSession, path: "str | list[str]",
     record_length=file size) so the skip is visible downstream instead
     of silent — the extraction pipeline routes it to quarantine like
     any other unsupported document."""
-    src = ([os.path.join(path, "*.warc.gz")]
-           if isinstance(path, str) else list(path))
-    meta = spark.read.format("binaryFile").load(src)
+    # directory input lists RECURSIVELY (recursiveFileLookup, the
+    # Spark-native recursion — Hadoop globs can't express "**"), so a
+    # directory whose archives live only in subdirectories behaves
+    # the same here, in the scan pipeline's Python glob, and in
+    # run.py's input validation, which all accept nested archives
+    if isinstance(path, str):
+        meta = (spark.read.format("binaryFile")
+                .option("pathGlobFilter", "*.warc.gz")
+                .option("recursiveFileLookup", "true")
+                .load(path))
+        # warc_file is the path RELATIVE to the scan root (equal to
+        # the basename for flat layouts), so warc_fetch(root, cdx)
+        # can reopen archives that live in subdirectories
+        root = os.path.abspath(path)
+        rel_expr = F.regexp_replace(
+            F.col("path"),
+            "^.*" + re.escape(root.rstrip("/")) + "/", "")
+    else:
+        meta = spark.read.format("binaryFile").load(list(path))
+        root = None
+        rel_expr = F.element_at(F.split(F.col("path"), "/"), -1)
     files = meta.where(F.col("length") <= F.lit(max_archive_bytes)) \
         .select("path", "content")
     oversize = (
@@ -369,8 +388,7 @@ def read_warc(spark: SparkSession, path: "str | list[str]",
             F.lit(-1).cast("int").alias("status"),
             F.lit(OVERSIZE_CONTENT_TYPE).alias("content_type"),
             F.lit(b"").cast("binary").alias("payload"),
-            F.element_at(F.split(F.col("path"), "/"), -1)
-            .alias("warc_file"),
+            rel_expr.alias("warc_file"),
             F.lit(-1).cast("long").alias("record_offset"),
             F.col("length").cast("long").alias("record_length"),
         ))
@@ -380,7 +398,13 @@ def read_warc(spark: SparkSession, path: "str | list[str]",
             rows = []
             for fpath, data in zip(pdf["path"].tolist(),
                                    pdf["content"].tolist()):
-                base = os.path.basename(fpath)
+                local = fpath
+                if local.startswith("file:"):
+                    local = local[5:]
+                    while local.startswith("//"):
+                        local = local[1:]
+                base = (os.path.relpath(local, root) if root
+                        else os.path.basename(local))
                 for off, ln, rec in parse_warc_gz(bytes(data)):
                     if rec["warc_type"] != "response":
                         continue
@@ -445,7 +469,11 @@ def warc_fetch(spark: SparkSession, path: str, cdx: DataFrame) -> DataFrame:
             rows = []
             handle, cur = None, None
             member_key, member_recs = None, []
-            want_ts = (pdf["want_ts"].tolist() if has_ts
+            # Spark nulls arrive in pandas as NaN (float64 column),
+            # not None — normalize so a null warc_ts means "no ts
+            # filter" instead of int(NaN) exploding mid-task
+            want_ts = ([None if pd.isna(w) else w
+                        for w in pdf["want_ts"].tolist()] if has_ts
                        else [None] * len(pdf))
             try:
                 for url, fname, off, ln, wts in zip(

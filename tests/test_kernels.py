@@ -1899,3 +1899,31 @@ def test_codec_hostile_paths_stay_typed():
     guid = pe[i + 24:i + 40]
     assert guid == (struct.pack("<IHH", 1, 0, 0x0010)
                     + bytes.fromhex("800000AA00389B71"))
+
+
+def test_jpeg_gray_noninterleaved_and_truncated_sof():
+    """T.81 A.2: a single-component scan is non-interleaved, so gray
+    files that declare 2x2/2x1 luma sampling decode byte-identically
+    to their 1x1 twins (common in the wild); and an SOF whose length
+    lies about its component specs raises a typed error, not a bare
+    ValueError escaping the mapInPandas stage."""
+    import struct
+    import pytest
+    from extract_kit_spark.kernels import jpeg
+
+    for (w, h), samp in [((8, 8), 0x22), ((13, 9), 0x21),
+                         ((16, 4), 0x12)]:
+        px = bytes((40 + i * 3) % 200 for i in range(w * h))
+        enc = jpeg.encode_jpeg(w, h, px, channels=1, quality=88)
+        ref = jpeg.decode_jpeg(enc)
+        i = enc.index(b"\xff\xc0")
+        patched = bytearray(enc)
+        assert patched[i + 11] == 0x11
+        patched[i + 11] = samp
+        got = jpeg.decode_jpeg(bytes(patched))
+        assert got["pixels"] == ref["pixels"]
+        assert (got["width"], got["height"]) == (w, h)
+    trunc = (b"\xff\xd8\xff\xc0" + struct.pack(">H", 2 + 6)
+             + struct.pack(">BHHB", 8, 16, 16, 3))
+    with pytest.raises(jpeg.JpegError, match="truncated SOF"):
+        jpeg.decode_jpeg(trunc)

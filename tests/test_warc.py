@@ -368,3 +368,36 @@ def test_scan_pipeline_finds_nested_archives(spark, tmp_path):
         spark, str(tmp_path / "crawl"), str(tmp_path / "out"),
         n_groups=2, input_format="warc")
     assert stats["n_rows"] == 10
+
+
+def test_read_warc_nested_dirs_and_null_want_ts(spark, tmp_path):
+    """read_warc on a DIRECTORY must list archives recursively (the
+    CLI validation and the scan pipeline both accept nested layouts),
+    and warc_fetch must treat a NULL warc_ts in the cdx frame as 'no
+    ts filter' instead of crashing on int(NaN)."""
+    from pyspark.sql import functions as F
+    from extract_kit_spark import warc
+
+    base_us = 1_756_425_600_000_000  # 2025-08-29T00:00:00Z in micros
+    rows = [{"url": f"https://ex.com/p{i}",
+             "ts_micros": base_us + i * 1_000_000,
+             "payload": f"<html><body>doc {i}</body></html>".encode(),
+             "content_type": "text/html", "status": 200}
+            for i in range(6)]
+    nested = tmp_path / "archives" / "crawl=2025-08" / "seg=0"
+    nested.mkdir(parents=True)
+    warc.write_warc_local(rows, str(nested))
+    root = str(tmp_path / "archives")
+    got = warc.read_warc(spark, root)
+    assert got.count() == 6  # top-level glob would find nothing
+    cdx = warc.warc_cdx(spark, root)
+    # null out warc_ts on half the rows: fetch must still resolve by
+    # url alone for those
+    cdx = cdx.withColumn(
+        "warc_ts", F.when(F.col("url").endswith("1"), None)
+        .otherwise(F.col("warc_ts")))
+    fetched = warc.warc_fetch(spark, root, cdx)
+    rows = {r["url"]: r for r in fetched.collect()}
+    assert len(rows) == 6
+    assert rows["https://ex.com/p1"]["payload"] == \
+        b"<html><body>doc 1</body></html>"
