@@ -79,16 +79,22 @@ def _walk(payload: bytes, start: int, end: int, depth: int,
             v = body[0] if body else 255
             if v == 0 and len(body) >= 20:
                 ts, dur = struct.unpack(">II", body[12:20])
-            elif v == 1 and len(body) >= 28:
+            elif v == 1 and len(body) >= 32:
                 ts, = struct.unpack(">I", body[20:24])
-                dur, = struct.unpack(">Q", body[24:32]) \
-                    if len(body) >= 32 else (0,)
+                dur, = struct.unpack(">Q", body[24:32])
             else:
                 raise Mp4Error(f"bad mvhd version/size {v}/{len(body)}")
-            if ts == 0:
-                raise Mp4Error("mvhd timescale 0")
+            # hostile headers: a 0xFFFFFFFF timescale / near-2^64
+            # duration would overflow the callers' int32/int64 column
+            # casts — bound them as typed corruption, like the image
+            # codecs bound dimensions
+            if not 1 <= ts <= 0x7FFFFFFF:
+                raise Mp4Error(f"implausible mvhd timescale {ts}")
+            dur_ms = dur * 1000 // ts
+            if dur_ms > (1 << 62):
+                raise Mp4Error(f"implausible duration {dur_ms} ms")
             out["timescale"] = ts
-            out["duration_ms"] = dur * 1000 // ts
+            out["duration_ms"] = dur_ms
         elif btype == b"trak":
             out.setdefault("tracks", []).append({})
             _walk(payload, pos + header, pos + size, depth + 1,
@@ -146,6 +152,9 @@ def encode_mp4(duration_ms: int, timescale: int,
     """Minimal writer for deterministic test vectors: ftyp + moov
     (mvhd v0 + one trak/tkhd/mdia/hdlr per entry) + mdat.
     ``tracks`` entries are (handler, width, height)."""
+    assert len(brand.encode("ascii")) == 4, "brands are 4 ASCII bytes"
+    assert all(len(h.encode("ascii")) == 4 for h, _, _ in tracks), \
+        "handler types are 4 ASCII bytes"
     dur = duration_ms * timescale // 1000
     mvhd = _box(b"mvhd", bytes(12) + struct.pack(">II", timescale, dur)
                 + bytes(80))

@@ -90,6 +90,10 @@ def decode_wav(payload: bytes) -> dict:
         raise WavError(f"unsupported format tag {tag}")
     if channels == 0 or rate == 0:
         raise WavError("zero channels or sample rate")
+    if rate > 0x7FFFFFFF:
+        # uint32 field; a hostile value past int32 would overflow the
+        # caller's sample_rate column cast — bound it as corruption
+        raise WavError(f"implausible sample rate {rate}")
     if bits == 0 or bits % 8:
         raise WavError(f"bad bit depth {bits}")
     if tag == _FLOAT and bits not in (32, 64):

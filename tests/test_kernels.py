@@ -1927,3 +1927,48 @@ def test_jpeg_gray_noninterleaved_and_truncated_sof():
              + struct.pack(">BHHB", 8, 16, 16, 3))
     with pytest.raises(jpeg.JpegError, match="truncated SOF"):
         jpeg.decode_jpeg(trunc)
+
+
+def test_media_header_overflow_bounds():
+    """Hostile header VALUES (not just sizes) stay typed: a
+    0xFFFFFFFF mvhd timescale, a near-2^64 v1 duration, a truncated
+    v1 mvhd, and a >int32 WAV sample rate must raise the codec's
+    typed error — otherwise they overflow the ops layer's
+    int32/int64 column casts and kill the task."""
+    import struct
+    import pytest
+    from extract_kit_spark.kernels import mp4, wav
+
+    good = mp4.encode_mp4(1000, 600, [("vide", 16, 16)])
+    i = good.index(b"mvhd") + 4
+    hot_ts = bytearray(good)
+    hot_ts[i + 12:i + 16] = struct.pack(">I", 0xFFFFFFFF)
+    with pytest.raises(mp4.Mp4Error, match="timescale"):
+        mp4.probe_mp4(bytes(hot_ts))
+    # v1 mvhd: duration near 2^64 -> implausible; truncated v1 body
+    # (28-31 bytes) -> typed size error, never a fabricated duration
+    v1body = bytes([1]) + bytes(19) + struct.pack(">IQ", 600,
+                                                  (1 << 63))
+    j = good.index(b"moov") - 4
+    with pytest.raises(mp4.Mp4Error, match="implausible duration"):
+        mp4.probe_mp4(good[:j]
+                      + struct.pack(">I", 16 + len(v1body)) + b"moov"
+                      + struct.pack(">I", 8 + len(v1body)) + b"mvhd"
+                      + v1body)
+    with pytest.raises(mp4.Mp4Error, match="version/size"):
+        mp4.probe_mp4(good[:j]
+                      + struct.pack(">I", 8 + 8 + 28) + b"moov"
+                      + struct.pack(">I", 8 + 28) + b"mvhd"
+                      + bytes([1]) + bytes(27))
+    # writer preconditions match the parser's field widths
+    with pytest.raises(AssertionError, match="4 ASCII"):
+        mp4.encode_mp4(1000, 600, [("sou", 1, 1)])
+    with pytest.raises(AssertionError, match="4 ASCII"):
+        mp4.encode_mp4(1000, 600, [("vide", 1, 1)], brand="mp4")
+
+    w = wav.encode_wav(8000, 1, 16, bytes(4))
+    k = w.index(b"fmt ") + 8
+    hot_rate = bytearray(w)
+    hot_rate[k + 4:k + 8] = struct.pack("<I", 0xFFFFFFFE)
+    with pytest.raises(wav.WavError, match="implausible sample rate"):
+        wav.decode_wav(bytes(hot_rate))
