@@ -93,7 +93,8 @@ SECTIONS = [
      "riding ONE scan with NO Exchange — media payloads never "
      "shuffle; ReadSchema carries only (doc_id, text). Same shape "
      "as mm_decode/ext_flagship: the rule for every expensive "
-     "Python stage."),
+     "Python stage. mm_video (the ISO-BMFF probe) plans "
+     "identically and is pinned by the same plan test."),
     ("ts_lm_score",
      "Bigram-LM scoring: the vocabulary-cut model reaches the "
      "exploded corpus through a BroadcastHashJoin; the per-doc fold "
