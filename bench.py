@@ -421,7 +421,7 @@ HEADLINE = ("ext_invoice_fields", "ext_pdf_invoice_fields",
             "dedup_exact", "dedup_jaccard", "dedup_clusters",
             "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
             "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_text_topk", "mm_media_meta", "mm_thumbnail",
-            "mm_decode", "mm_audio", "mm_video",
+            "mm_decode", "mm_audio", "mm_audio_features", "mm_video",
             "evt_sessionize", "evt_hourly_windows",
             "evt_asof_click", "evt_value_quantiles",
             "evt_value_quantiles_approx",

@@ -375,6 +375,121 @@ def decode_audio(df: DataFrame, id_col: str = "media_id",
             .mapInPandas(decode, schema=AUDIO_DECODE_SCHEMA))
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("peak", T.IntegerType()),
+    T.StructField("mean_abs", T.IntegerType()),
+    T.StructField("zero_crossings", T.LongType()),
+    T.StructField("envelope", T.ArrayType(T.LongType())),
+    T.StructField("decode_status", T.StringType()),
+])
+
+#: Envelope buckets for audio_features — the audio analogue of the
+#: thumbnail's fixed max_side: a constant-size sketch per clip.
+ENVELOPE_BUCKETS = 16
+
+
+def _pcm_ints(snd: dict) -> list[int]:
+    """Channel-0 samples of a decoded WAV as plain ints on a common
+    signed-16-bit-ish scale: 8-bit unsigned is centered (-128..127),
+    16-bit passes through, 32-bit float is clamped to [-1, 1] and
+    scaled by 32767 with truncation toward zero (NaN → 0) — every
+    step integer-or-IEEE-exact, so features are bit-deterministic."""
+    import struct as _struct
+    data, ch, bits = snd["samples"], snd["channels"], snd["bit_depth"]
+    if snd["fmt_tag"] == "float":
+        n = len(data) // 4
+        vals = _struct.unpack(f"<{n}f", data)[::ch]
+        out = []
+        for v in vals:
+            if v != v:  # NaN
+                out.append(0)
+            else:
+                out.append(int(max(-1.0, min(1.0, v)) * 32767))
+        return out
+    if bits == 8:
+        return [b - 128 for b in data[::ch]]
+    step = ch * (bits // 8)
+    offs = bits // 8 - 2  # top two bytes of each sample
+    return [int.from_bytes(data[i + offs:i + offs + 2], "little",
+                           signed=True)
+            for i in range(0, len(data), step)]
+
+
+def audio_features(df: DataFrame, id_col: str = "media_id",
+                   bin_col: str = "payload") -> DataFrame:
+    """Decode → FEATURE-EXTRACT for audio — the analogue of
+    ``thumbnail_images`` for the sound modality: channel-0 peak
+    amplitude, floor-integer mean absolute amplitude, zero-crossing
+    count (the classic cheap voicing/noise signal), and a fixed
+    ``ENVELOPE_BUCKETS``-slot peak envelope (constant-size output
+    regardless of clip length, like the thumbnail's max_side bound).
+    All integer math over the decoded samples — exactly reproducible,
+    so the committed-golden oracle mechanism applies. Failure rows
+    carry the same typed statuses as decode_audio.
+
+    Scale shape: per-row independent Arrow-batched Python after
+    JVM-side pruning; output is O(1) per clip."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col].tolist(),
+                                    pdf[bin_col].tolist()):
+                payload = payload or b""
+                row = {"media_id": int(mid), "fmt": None,
+                       "sample_rate": None, "channels": None,
+                       "n_samples": None, "peak": None,
+                       "mean_abs": None, "zero_crossings": None,
+                       "envelope": None, "decode_status": None}
+                snd = None
+                if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                    row["fmt"] = "wav"
+                    try:
+                        snd = _wav.decode_wav(payload)
+                    except _wav.WavError as e:
+                        kind = ("unsupported" if "unsupported" in str(e)
+                                else "corrupt")
+                        row["decode_status"] = f"{kind}: {e}"
+                else:
+                    row["decode_status"] = "unsupported"
+                if snd is not None:
+                    s = _pcm_ints(snd)
+                    n = len(s)
+                    zc = sum(1 for i in range(1, n)
+                             if (s[i - 1] < 0) != (s[i] < 0))
+                    env = []
+                    for b in range(ENVELOPE_BUCKETS):
+                        lo = b * n // ENVELOPE_BUCKETS
+                        hi = (b + 1) * n // ENVELOPE_BUCKETS
+                        env.append(max((abs(v) for v in s[lo:hi]),
+                                       default=0))
+                    row.update({
+                        "sample_rate": snd["sample_rate"],
+                        "channels": snd["channels"],
+                        "n_samples": snd["n_samples"],
+                        "peak": max((abs(v) for v in s), default=0),
+                        "mean_abs":
+                            sum(abs(v) for v in s) // n if n else 0,
+                        "zero_crossings": zc,
+                        "envelope": env,
+                        "decode_status": "ok"})
+                rows.append(row)
+            out = pd.DataFrame(rows)
+            for c in ("sample_rate", "channels", "peak", "mean_abs"):
+                out[c] = out[c].astype("Int32")
+            for c in ("n_samples", "zero_crossings"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return (df.select(F.col(id_col).cast("long").alias(id_col), bin_col)
+            .mapInPandas(work, schema=AUDIO_FEATURES_SCHEMA))
+
+
 VIDEO_PROBE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("n_bytes", T.LongType()),

@@ -1653,16 +1653,8 @@ def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     RIFF/WAVE codec — true sample geometry + PCM sha256, typed
     corrupt/unsupported rows. Both stages are mapInPandas over the
     same scan: no shuffle (same shape as mm_decode)."""
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame({
-                "media_id": pdf["doc_id"].astype("int64"),
-                "payload": [_synth_wav(int(i), t) for i, t in
-                            zip(pdf["doc_id"], pdf["text"])]})
-    docs = (_read_parallel(spark, _t(sf_dir, "documents"))
-            .select("doc_id", "text")
-            .mapInPandas(synth, schema="media_id long, payload binary"))
-    out = multimodal.decode_audio(docs, "media_id", "payload")
+    out = multimodal.decode_audio(
+        _synth_audio_df(spark, sf_dir), "media_id", "payload")
     return out.select(
         "media_id", "n_bytes",
         F.coalesce("fmt", F.lit("")).alias("fmt"),
@@ -1672,6 +1664,47 @@ def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_samples", F.lit(-1)).alias("n_samples"),
         F.coalesce("duration_ms", F.lit(-1)).alias("duration_ms"),
         F.coalesce("pcm_sha256", F.lit("")).alias("pcm_sha256"),
+        "decode_status")
+
+
+def _synth_audio_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → deterministic (media_id, payload) WAV table via
+    _synth_wav (Arrow batch stage, no shuffle) — shared by mm_audio
+    and mm_audio_features."""
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "payload": [_synth_wav(int(i), t) for i, t in
+                            zip(pdf["doc_id"], pdf["text"])]})
+    return (_read_parallel(spark, _t(sf_dir, "documents"))
+            .select("doc_id", "text")
+            .mapInPandas(synth, schema="media_id long, payload binary"))
+
+
+def q_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → feature-extract for audio (peak / mean-abs /
+    zero-crossings / fixed-bucket peak envelope over channel 0) —
+    the sound-modality analogue of mm_thumbnail, integer-exact so the
+    committed-golden oracle pins it. Same no-shuffle two-stage
+    mapInPandas shape as mm_audio."""
+    out = multimodal.audio_features(
+        _synth_audio_df(spark, sf_dir), "media_id", "payload")
+    return out.select(
+        "media_id",
+        F.coalesce("fmt", F.lit("")).alias("fmt"),
+        F.coalesce("sample_rate", F.lit(-1)).alias("sample_rate"),
+        F.coalesce("channels", F.lit(-1)).alias("channels"),
+        F.coalesce("n_samples", F.lit(-1)).alias("n_samples"),
+        F.coalesce("peak", F.lit(-1)).alias("peak"),
+        F.coalesce("mean_abs", F.lit(-1)).alias("mean_abs"),
+        F.coalesce("zero_crossings", F.lit(-1)).alias("zero_crossings"),
+        # stringified like mm_frame_plan: the driver canonicalizer
+        # sorts pandas frames, where Python lists are unhashable
+        F.concat_ws(",", F.coalesce(
+            F.col("envelope"),
+            F.array().cast("array<long>")).cast("array<string>"))
+        .alias("envelope"),
         "decode_status")
 
 
@@ -3601,6 +3634,7 @@ QUERIES = {
     "mm_decode": q_mm_decode,
     "mm_audio": q_mm_audio,
     "mm_video": q_mm_video,
+    "mm_audio_features": q_mm_audio_features,
     "web_domain_stats": q_web_domain_stats,
     "web_domain_join_salted": q_web_domain_join_salted,
     "web_domain_join_aqe": q_web_domain_join_aqe,
@@ -3711,6 +3745,16 @@ _ORACLE_MM_VIDEO = _approx_golden_oracle(
     "mdat_bytes::BIGINT AS mdat_bytes, decode_status")
 
 
+_ORACLE_MM_AUDIO_FEATURES = _approx_golden_oracle(
+    "mm_audio_features",
+    "media_id::BIGINT AS media_id, fmt, "
+    "sample_rate::INTEGER AS sample_rate, "
+    "channels::INTEGER AS channels, n_samples::BIGINT AS n_samples, "
+    "peak::INTEGER AS peak, mean_abs::INTEGER AS mean_abs, "
+    "zero_crossings::BIGINT AS zero_crossings, envelope, "
+    "decode_status")
+
+
 _ORACLE_MM_THUMBNAIL = _approx_golden_oracle(
     "mm_thumbnail",
     "media_id::BIGINT AS media_id, fmt, "
@@ -3776,6 +3820,7 @@ ORACLES = {
     "mm_decode": _ORACLE_MM_DECODE,
     "mm_audio": _ORACLE_MM_AUDIO,
     "mm_video": _ORACLE_MM_VIDEO,
+    "mm_audio_features": _ORACLE_MM_AUDIO_FEATURES,
     "web_domain_stats": _ORACLE_DOMAIN_STATS,
     "web_domain_join_salted": _ORACLE_DOMAIN_JOIN,
     "web_domain_join_aqe": _ORACLE_DOMAIN_JOIN,

@@ -51,7 +51,7 @@ QUERY_NAMES = ("dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk",
                # mm_audio (r5): same registry mechanism — WAV
                # parse is deterministic but not SQL; codec pinned
                # against the stdlib wave module in test_kernels
-               "mm_audio", "mm_video")
+               "mm_audio", "mm_video", "mm_audio_features")
 
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
 

@@ -1803,3 +1803,42 @@ def test_thumbnail_resize_hand_cases(spark):
                                       for c in range(3)]
     assert out[2].decode_status == "unsupported"
     assert out[3].decode_status.startswith("corrupt")
+
+
+def test_audio_features_hand_case_and_query(spark):
+    """audio_features pinned by hand: a 4-sample 16-bit mono square
+    wave has known peak/mean/zero-crossings/envelope; the registry
+    query is deterministic, covers every typed status, and the
+    envelope always has exactly ENVELOPE_BUCKETS slots."""
+    import struct
+    from extract_kit_spark.kernels import wav
+    from extract_kit_spark.ops import multimodal
+    from extract_kit_spark.ops.multimodal import ENVELOPE_BUCKETS
+    from extract_kit_spark.queries import QUERIES
+
+    frames = struct.pack("<4h", 1000, -1000, 1000, -1000)
+    good = wav.encode_wav(8000, 1, 16, frames)
+    rows = [(1, good), (2, good[:-3]), (3, b"OggS" + bytes(8))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in
+           multimodal.audio_features(df).collect()}
+    ok = out[1]
+    assert (ok["peak"], ok["mean_abs"], ok["zero_crossings"]) == \
+        (1000, 1000, 3)
+    assert len(ok["envelope"]) == ENVELOPE_BUCKETS
+    # 4 samples over 16 buckets: only buckets 3,7,11,15 are non-empty
+    assert [v for v in ok["envelope"] if v] == [1000] * 4
+    assert out[2]["decode_status"].startswith("corrupt")
+    assert out[3]["decode_status"] == "unsupported"
+
+    a = {r["media_id"]: r for r in QUERIES["mm_audio_features"](
+        spark, "/root/testdata/sf0.001").collect()}
+    b = {r["media_id"]: r for r in QUERIES["mm_audio_features"](
+        spark, "/root/testdata/sf0.001").collect()}
+    assert a == b and len(a) == 500
+    statuses = {r["decode_status"].split(":")[0] for r in a.values()}
+    assert statuses == {"ok", "corrupt", "unsupported"}
+    oks = [r for r in a.values() if r["decode_status"] == "ok"]
+    assert len(oks) > 400
+    assert all(len(r["envelope"].split(",")) == ENVELOPE_BUCKETS
+               for r in oks)

@@ -68,7 +68,8 @@ def test_mm_decode_and_audio_plans_have_no_shuffle(spark):
     (the only Exchange allowed is _read_parallel's RoundRobin
     tiny-scan fan-out, a no-op at real scale) and must prune the
     documents scan to (doc_id, text)."""
-    for name in ("mm_decode", "mm_audio", "mm_video"):
+    for name in ("mm_decode", "mm_audio", "mm_video",
+                 "mm_audio_features"):
         plan = _plan(QUERIES[name](spark, SF_DIR))
         assert "hashpartitioning" not in plan, name
         assert "SinglePartition" not in plan, name
